@@ -1,0 +1,62 @@
+"""Table loaders for the driver's synthetic parquet corpus
+(TESTDATA.md): TPC-H-ish star schema + events/documents/embeddings.
+
+The reference's "dataset = sorted glob of partition files"
+(/root/reference/shmr/partitions.py:13-24) maps to Spark's native
+path-glob reads; for the test corpus each table is a single parquet
+file, but ``load_table`` accepts globs and directories unchanged —
+at 100 TB a table is a directory of thousands of files and nothing
+here changes.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one corpus table. Column pruning + predicate pushdown reach
+    the parquet scan because nothing is materialized here.
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark 4 rejects
+    outright; we read it via the nanosAsLong legacy conf and convert to
+    a microsecond TIMESTAMP (matching DuckDB, which also truncates
+    nanos to micros)."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        return df.withColumn(
+            "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
+        )
+    return spark.read.parquet(path)
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every corpus table lazily (no I/O beyond footer reads)."""
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register each table as a temp view so spark.sql() queries can
+    name them exactly as the DuckDB oracle does."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)

@@ -1,0 +1,215 @@
+"""Analytics extensions — windows, rollup/cube/pivot, top-k,
+sessionization (SURVEY.md §2.4: absent in the reference, free in
+Spark, mandated by the north star).
+
+Events timestamps surface as epoch-second BIGINTs (TZ-independent on
+both engines: Spark casts the instant, DuckDB floors epoch()).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from shmr_spark.catalog import load_table
+from shmr_spark.dataset import Dataset
+from shmr_spark.functions.numeric import dsum, sql_dsum
+from shmr_spark.queries import query
+
+# --------------------------------------------------------------------------
+# Tumbling window over event time.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "window_tumbling",
+    oracle=f"""
+SELECT CAST(epoch(time_bucket(INTERVAL 1 HOUR, ts)) AS BIGINT) AS window_start,
+       event_type,
+       COUNT(*) AS n,
+       {sql_dsum('value')} AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+    headline=True,
+)
+def window_tumbling(spark, sf_dir):
+    ev = Dataset(load_table(spark, sf_dir, "events"))
+    return (
+        ev.df.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"), dsum("value").alias("sum_value"))
+        .select(
+            F.col("window.start").cast("long").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "window_sliding",
+    oracle=f"""
+SELECT window_start, COUNT(*) AS n, {sql_dsum('value')} AS sum_value FROM (
+  SELECT CAST(epoch(time_bucket(INTERVAL 1 HOUR, ts)) AS BIGINT) AS window_start, value
+  FROM events
+  UNION ALL
+  SELECT CAST(epoch(time_bucket(INTERVAL 1 HOUR, ts, INTERVAL 30 MINUTE)) AS BIGINT), value
+  FROM events
+) GROUP BY 1
+""",
+)
+def window_sliding(spark, sf_dir):
+    """1h windows sliding every 30min — each event lands in exactly two
+    windows; the oracle expresses that as a union of two bucketings."""
+    ev = Dataset(load_table(spark, sf_dir, "events"))
+    return (
+        ev.df.groupBy(F.window("ts", "1 hour", "30 minutes"))
+        .agg(F.count("*").alias("n"), dsum("value").alias("sum_value"))
+        .select(F.col("window.start").cast("long").alias("window_start"), "n", "sum_value")
+    )
+
+
+# --------------------------------------------------------------------------
+# Window functions: top-k per group (absent in reference; free in Spark).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "topk_per_group",
+    oracle="""
+SELECT c_nationkey, c_custkey, c_acctbal, rn FROM (
+  SELECT c_nationkey, c_custkey, c_acctbal,
+         row_number() OVER (PARTITION BY c_nationkey
+                            ORDER BY c_acctbal DESC, c_custkey) AS rn
+  FROM customer
+) WHERE rn <= 3
+""",
+)
+def topk_per_group(spark, sf_dir):
+    cust = Dataset(load_table(spark, sf_dir, "customer"))
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        cust.select("c_nationkey", "c_custkey", "c_acctbal")
+        .with_columns(rn=F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .df
+    )
+
+
+@query(
+    "topk_global",
+    oracle=f"""
+SELECT l_partkey, {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem GROUP BY l_partkey
+ORDER BY revenue DESC, l_partkey LIMIT 10
+""",
+)
+def topk_global(spark, sf_dir):
+    """Global top-k: planned as TakeOrdered (per-partition heap +
+    driver merge), not a full sort. Revenue is exact-decimal so both
+    engines order identically; ties broken by key."""
+    li = Dataset(load_table(spark, sf_dir, "lineitem"))
+    return (
+        li.reduce_by_key(
+            ["l_partkey"],
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        )
+        .top_k(10, F.desc("revenue"), F.asc("l_partkey"))
+        .df
+    )
+
+
+# --------------------------------------------------------------------------
+# Grouping sets — rollup / cube / pivot.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "rollup_agg",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n, {sql_dsum('l_quantity')} AS sum_qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+)
+def rollup_agg(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"), dsum("l_quantity").alias("sum_qty")
+    )
+
+
+@query(
+    "cube_agg",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n, {sql_dsum('l_quantity')} AS sum_qty
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+)
+def cube_agg(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"), dsum("l_quantity").alias("sum_qty")
+    )
+
+
+@query(
+    "pivot_agg",
+    oracle=f"""
+SELECT l_returnflag,
+       {sql_dsum("CASE WHEN l_linestatus = 'O' THEN l_quantity END")} AS qty_O,
+       {sql_dsum("CASE WHEN l_linestatus = 'F' THEN l_quantity END")} AS qty_F
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+)
+def pivot_agg(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(dsum("l_quantity"))
+        .select(
+            "l_returnflag",
+            F.col("O").alias("qty_O"),
+            F.col("F").alias("qty_F"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --------------------------------------------------------------------------
+# Sessionization — lag + gap threshold (guide: "Common OLAP patterns").
+# --------------------------------------------------------------------------
+
+
+@query(
+    "sessionize",
+    oracle="""
+SELECT user_id,
+       CAST(SUM(CASE WHEN prev_e IS NULL OR e - prev_e > 1800 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_sessions,
+       COUNT(*) AS n_events
+FROM (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS e,
+         lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY ts) AS prev_e
+  FROM events
+) GROUP BY user_id
+""",
+)
+def sessionize(spark, sf_dir):
+    """Session counts per user with a 30-minute inactivity gap — one
+    shuffle on user_id shared by the window and the aggregation."""
+    ev = Dataset(load_table(spark, sf_dir, "events"))
+    w = Window.partitionBy("user_id").orderBy("ts")
+    e = F.col("ts").cast("long")
+    gap_new = F.when(
+        F.lag(e).over(w).isNull() | ((e - F.lag(e).over(w)) > 1800), 1
+    ).otherwise(0)
+    return (
+        ev.df.withColumn("new_sess", gap_new)
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_sess").cast("long").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+    )

@@ -1,0 +1,428 @@
+"""Core relational queries — one per reference operator (SURVEY.md §2).
+
+Each exercises the native Dataset tier; oracle twins are DuckDB SQL
+over the same parquet views. Timestamp columns surface as DATE
+(orders/lineitem are timestamp_ntz, timezone-free) or epoch-second
+BIGINT (events) so value hashes match across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from shmr_spark.catalog import load_table
+from shmr_spark.dataset import Dataset
+from shmr_spark.functions.numeric import davg, dsum, sql_davg, sql_dsum
+from shmr_spark.queries import query
+
+# --------------------------------------------------------------------------
+# reduce_by_key — flagship (TPC-H Q1 shape): scan → filter → project →
+# partial agg → exchange → final agg. The reference needs 3 CLI passes +
+# xargs for this (SURVEY.md §3); here it is one logical plan.
+# --------------------------------------------------------------------------
+
+_Q1_ORACLE = f"""
+SELECT l_returnflag, l_linestatus,
+       {sql_dsum('l_quantity')} AS sum_qty,
+       {sql_dsum('l_extendedprice')} AS sum_base_price,
+       {sql_dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+       {sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+       {sql_davg('l_quantity')} AS avg_qty,
+       {sql_davg('l_extendedprice')} AS avg_price,
+       {sql_davg('l_discount')} AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+@query("reduce_by_key_q1", oracle=_Q1_ORACLE, headline=True)
+def reduce_by_key_q1(spark, sf_dir):
+    li = Dataset(load_table(spark, sf_dir, "lineitem"))
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00"))
+        .reduce_by_key(
+            ["l_returnflag", "l_linestatus"],
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .sort("l_returnflag", "l_linestatus")
+        .df
+    )
+
+
+# --------------------------------------------------------------------------
+# map — narrow projection; plan check: scan reads only 4 columns.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "map_project",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       CAST(l_extendedprice * (1 - l_discount) AS DOUBLE) AS revenue
+FROM lineitem
+""",
+)
+def map_project(spark, sf_dir):
+    li = Dataset(load_table(spark, sf_dir, "lineitem"))
+    return li.map(
+        l_orderkey=F.col("l_orderkey"),
+        l_linenumber=F.col("l_linenumber"),
+        revenue=(F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("double"),
+    ).df
+
+
+# --------------------------------------------------------------------------
+# flat_map — explode whitespace tokens (reference: fn returns iterable).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "flat_map_tokens",
+    oracle="""
+SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+""",
+)
+def flat_map_tokens(spark, sf_dir):
+    docs = Dataset(load_table(spark, sf_dir, "documents"))
+    return docs.with_columns(__toks=F.split(F.col("text"), " ")).flat_map(
+        "__toks", alias="token", keep=["doc_id"]
+    ).df
+
+
+# --------------------------------------------------------------------------
+# filter — predicate pushed to the parquet scan.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "filter_orders",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+       CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority
+FROM orders
+WHERE o_totalprice > 150000 AND o_orderstatus = 'O'
+""",
+)
+def filter_orders(spark, sf_dir):
+    orders = Dataset(load_table(spark, sf_dir, "orders"))
+    return (
+        orders.filter((F.col("o_totalprice") > 150000) & (F.col("o_orderstatus") == "O"))
+        .map(
+            o_orderkey=F.col("o_orderkey"),
+            o_custkey=F.col("o_custkey"),
+            o_orderstatus=F.col("o_orderstatus"),
+            o_totalprice=F.col("o_totalprice"),
+            o_orderdate=F.to_date("o_orderdate"),
+            o_orderpriority=F.col("o_orderpriority"),
+        )
+        .df
+    )
+
+
+# --------------------------------------------------------------------------
+# distinct — global keyed dedup (upgrade of reference per-file distinct).
+# --------------------------------------------------------------------------
+
+
+@query("distinct_keys", oracle="SELECT DISTINCT l_partkey FROM lineitem")
+def distinct_keys(spark, sf_dir):
+    li = Dataset(load_table(spark, sf_dir, "lineitem"))
+    return li.select("l_partkey").distinct().df
+
+
+@query(
+    "distinct_first",
+    oracle="""
+SELECT l_partkey, l_orderkey, l_linenumber, l_quantity
+FROM (
+  SELECT l_partkey, l_orderkey, l_linenumber, l_quantity,
+         row_number() OVER (PARTITION BY l_partkey
+                            ORDER BY l_orderkey, l_linenumber) AS rn
+  FROM lineitem
+) WHERE rn = 1
+""",
+)
+def distinct_first(spark, sf_dir):
+    """Deterministic first-occurrence-wins distinct (reference #3 made
+    order-explicit, SURVEY.md §7.3)."""
+    li = Dataset(load_table(spark, sf_dir, "lineitem"))
+    return (
+        li.select("l_partkey", "l_orderkey", "l_linenumber", "l_quantity")
+        .distinct_first(["l_partkey"], ["l_orderkey", "l_linenumber"])
+        .df
+    )
+
+
+# --------------------------------------------------------------------------
+# count / head
+# --------------------------------------------------------------------------
+
+
+@query("count_lineitem", oracle="SELECT COUNT(*) AS n FROM lineitem")
+def count_lineitem(spark, sf_dir):
+    li = Dataset(load_table(spark, sf_dir, "lineitem"))
+    return li.reduce(F.count("*").alias("n")).df
+
+
+@query(
+    "head_sorted",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+ORDER BY o_orderkey LIMIT 10
+""",
+)
+def head_sorted(spark, sf_dir):
+    """head = positional limit; made deterministic with a sort (Spark's
+    bare limit, like the reference's glob order, is an artifact of file
+    layout)."""
+    orders = Dataset(load_table(spark, sf_dir, "orders"))
+    return orders.select("o_orderkey", "o_custkey", "o_totalprice").sort("o_orderkey").head(10).df
+
+
+# --------------------------------------------------------------------------
+# reduce — global fold → one record (reference #8/#16).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "reduce_global",
+    oracle=f"""
+SELECT {sql_dsum('l_quantity')} AS sum_qty,
+       MIN(l_quantity) AS min_qty,
+       MAX(l_quantity) AS max_qty,
+       {sql_davg('l_quantity')} AS avg_qty,
+       COUNT(*) AS n
+FROM lineitem
+""",
+)
+def reduce_global(spark, sf_dir):
+    li = Dataset(load_table(spark, sf_dir, "lineitem"))
+    return li.reduce(
+        dsum("l_quantity").alias("sum_qty"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        davg("l_quantity").alias("avg_qty"),
+        F.count("*").alias("n"),
+    ).df
+
+
+# --------------------------------------------------------------------------
+# join — intended semantics of reference #11 + the free extensions.
+# customer is a small dim → broadcast (no shuffle of the fact side).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "join_inner",
+    oracle="""
+SELECT o.o_orderkey, c.c_custkey, c.c_name, o.o_totalprice, c.c_acctbal
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+""",
+)
+def join_inner(spark, sf_dir):
+    orders = Dataset(load_table(spark, sf_dir, "orders"))
+    cust = Dataset(load_table(spark, sf_dir, "customer"))
+    joined = orders.join(
+        cust, on=orders.df.o_custkey == cust.df.c_custkey, broadcast_other=True
+    )
+    return joined.select("o_orderkey", "c_custkey", "c_name", "o_totalprice", "c_acctbal").df
+
+
+@query(
+    "join_left",
+    oracle="""
+SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+""",
+)
+def join_left(spark, sf_dir):
+    orders = Dataset(load_table(spark, sf_dir, "orders"))
+    cust = Dataset(load_table(spark, sf_dir, "customer"))
+    return (
+        cust.join(orders, on=cust.df.c_custkey == orders.df.o_custkey, how="left")
+        .select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+        .df
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+SELECT c_custkey, c_name, c_acctbal FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+)
+def join_semi(spark, sf_dir):
+    orders = Dataset(load_table(spark, sf_dir, "orders"))
+    cust = Dataset(load_table(spark, sf_dir, "customer"))
+    return (
+        cust.join(orders, on=cust.df.c_custkey == orders.df.o_custkey, how="left_semi")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .df
+    )
+
+
+@query(
+    "join_anti",
+    oracle="""
+SELECT c_custkey, c_name, c_acctbal FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+)
+def join_anti(spark, sf_dir):
+    orders = Dataset(load_table(spark, sf_dir, "orders"))
+    cust = Dataset(load_table(spark, sf_dir, "customer"))
+    return (
+        cust.join(orders, on=cust.df.c_custkey == orders.df.o_custkey, how="left_anti")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .df
+    )
+
+
+@query(
+    "join_grouped",
+    oracle=f"""
+SELECT c.c_custkey, c.c_name,
+       g.n_orders,
+       g.sum_total
+FROM customer c
+JOIN (SELECT o_custkey, COUNT(*) AS n_orders,
+             {sql_dsum('o_totalprice')} AS sum_total
+      FROM orders GROUP BY o_custkey) g
+  ON c.c_custkey = g.o_custkey
+""",
+)
+def join_grouped(spark, sf_dir):
+    """Reference #11's output shape (one row per key, right matches
+    grouped — /root/reference/shmr/partition.py:300-323) exercised via
+    Dataset.join_grouped, then flattened to an oracle-comparable
+    aggregate view: array size + exact-decimal array sum."""
+    orders = Dataset(load_table(spark, sf_dir, "orders"))
+    cust = Dataset(load_table(spark, sf_dir, "customer"))
+    grouped = cust.join_grouped(orders, "c_custkey", "o_custkey", "cust", "ords")
+    dec = "decimal(28,6)"
+    return grouped.df.select(
+        F.col("cust.c_custkey").alias("c_custkey"),
+        F.col("cust.c_name").alias("c_name"),
+        F.size("ords").cast("long").alias("n_orders"),
+        F.aggregate(
+            F.col("ords"),
+            F.lit(0).cast(dec),
+            lambda acc, o: (acc + o["o_totalprice"].cast(dec)).cast(dec),
+        )
+        .cast("double")
+        .alias("sum_total"),
+    )
+
+
+@query(
+    "join_three_way",
+    oracle=f"""
+SELECT c.c_mktsegment,
+       COUNT(*) AS n_items,
+       {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+ORDER BY c.c_mktsegment
+""",
+    headline=True,
+)
+def join_three_way(spark, sf_dir):
+    """Fact ⋈ fact ⋈ dim with aggregation — the bench-critical join
+    path: lineitem⋈orders shuffles on orderkey, customer broadcasts."""
+    li = Dataset(load_table(spark, sf_dir, "lineitem"))
+    orders = Dataset(load_table(spark, sf_dir, "orders"))
+    cust = Dataset(load_table(spark, sf_dir, "customer"))
+    j = li.join(orders, on=li.df.l_orderkey == orders.df.o_orderkey).join(
+        cust, on=F.col("o_custkey") == cust.df.c_custkey, broadcast_other=True
+    )
+    return (
+        j.reduce_by_key(
+            ["c_mktsegment"],
+            F.count("*").alias("n_items"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        )
+        .sort("c_mktsegment")
+        .df
+    )
+
+
+# --------------------------------------------------------------------------
+# split_by_key — residue invariant surfaced as a per-bucket summary
+# (the reference's test checks (key - i) % N == 0 per bucket,
+# /root/reference/tests/test_partition.py:58-73).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "split_by_key_buckets",
+    oracle="""
+SELECT CAST(c_custkey % 8 AS INT) AS bucket, COUNT(*) AS n,
+       MIN(c_custkey) AS min_key, MAX(c_custkey) AS max_key
+FROM customer GROUP BY 1 ORDER BY 1
+""",
+)
+def split_by_key_buckets(spark, sf_dir):
+    cust = Dataset(load_table(spark, sf_dir, "customer"))
+    bucketed = cust.with_bucket("c_custkey", 8).split_by_key("bucket", 8)
+    return (
+        bucketed.reduce_by_key(
+            ["bucket"],
+            F.count("*").alias("n"),
+            F.min("c_custkey").alias("min_key"),
+            F.max("c_custkey").alias("max_key"),
+        )
+        .sort("bucket")
+        .df
+    )
+
+
+# --------------------------------------------------------------------------
+# concat — UNION ALL identity: complementary filters reassemble the table.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "concat_union",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+       CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority
+FROM orders
+""",
+)
+def concat_union(spark, sf_dir):
+    orders = Dataset(load_table(spark, sf_dir, "orders")).map(
+        o_orderkey=F.col("o_orderkey"),
+        o_custkey=F.col("o_custkey"),
+        o_orderstatus=F.col("o_orderstatus"),
+        o_totalprice=F.col("o_totalprice"),
+        o_orderdate=F.to_date("o_orderdate"),
+        o_orderpriority=F.col("o_orderpriority"),
+    )
+    lo = orders.filter(F.col("o_totalprice") < 100000)
+    hi = orders.filter(F.col("o_totalprice") >= 100000)
+    return lo.concat(hi).df
+
+
+# --------------------------------------------------------------------------
+# coalesce — re-chunk; correctness contract is row conservation.
+# --------------------------------------------------------------------------
+
+
+@query("coalesce_count", oracle="SELECT COUNT(*) AS n FROM lineitem")
+def coalesce_count(spark, sf_dir):
+    li = Dataset(load_table(spark, sf_dir, "lineitem"))
+    return li.coalesce(5, shuffle=True).reduce(F.count("*").alias("n")).df

@@ -1,0 +1,234 @@
+"""Text-analysis + dedup queries over the documents table — the
+LLM-data-pipeline extensions (BASELINE.json north star): token stats,
+language-ID, quality scoring, fingerprinting, exact dedup.
+
+Near-dup (MinHash/SimHash) queries live in queries/vectors.py-adjacent
+modules with rows-only oracles; everything here is SQL-expressible and
+hash-checked against DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from shmr_spark.catalog import load_table
+from shmr_spark.dataset import Dataset
+from shmr_spark.functions.hashing import fingerprint_md5
+from shmr_spark.functions.numeric import davg, sql_davg
+from shmr_spark.functions.text import (
+    bpe_token_estimate,
+    lang_id,
+    marker_count,
+    quality_score,
+    sql_lang_id,
+    sql_marker_count,
+    sql_quality_score,
+    sql_token_count,
+    token_count,
+    LANG_MARKERS,
+)
+from shmr_spark.queries import query
+
+# --------------------------------------------------------------------------
+# Per-language corpus stats.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "text_stats",
+    oracle=f"""
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       {sql_davg(sql_token_count('text'))} AS avg_tokens
+FROM documents GROUP BY lang ORDER BY lang
+""",
+    headline=True,
+)
+def text_stats(spark, sf_dir):
+    docs = Dataset(load_table(spark, sf_dir, "documents"))
+    return (
+        docs.reduce_by_key(
+            ["lang"],
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            davg(token_count("text").cast("double")).alias("avg_tokens"),
+        )
+        .sort("lang")
+        .df
+    )
+
+
+# --------------------------------------------------------------------------
+# Per-document token counting (whitespace + BPE-ish estimate).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "token_count",
+    oracle=f"""
+SELECT doc_id,
+       {sql_token_count('text')} AS n_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars_calc,
+       CAST(ceil(length(text) / 4) AS BIGINT) AS n_bpe_est
+FROM documents
+""",
+)
+def token_count_q(spark, sf_dir):
+    docs = Dataset(load_table(spark, sf_dir, "documents"))
+    return docs.map(
+        doc_id=F.col("doc_id"),
+        n_tokens=token_count("text"),
+        n_chars_calc=F.length("text").cast("long"),
+        n_bpe_est=bpe_token_estimate("text"),
+    ).df
+
+
+# --------------------------------------------------------------------------
+# Language-ID heuristic (marker-word vote) vs the labeled lang column.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "lang_id",
+    oracle=f"""
+SELECT doc_id, lang,
+       {sql_lang_id('text')} AS lang_pred,
+       {sql_marker_count('text', LANG_MARKERS['en'])} AS en_markers
+FROM documents
+""",
+)
+def lang_id_q(spark, sf_dir):
+    docs = Dataset(load_table(spark, sf_dir, "documents"))
+    return docs.map(
+        doc_id=F.col("doc_id"),
+        lang=F.col("lang"),
+        lang_pred=lang_id("text"),
+        en_markers=marker_count("text", LANG_MARKERS["en"]),
+    ).df
+
+
+# --------------------------------------------------------------------------
+# Quality scoring.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "quality_score",
+    oracle=f"""
+SELECT doc_id, {sql_quality_score('text')} AS quality FROM documents
+""",
+)
+def quality_score_q(spark, sf_dir):
+    docs = Dataset(load_table(spark, sf_dir, "documents"))
+    return docs.map(doc_id=F.col("doc_id"), quality=quality_score("text")).df
+
+
+# --------------------------------------------------------------------------
+# Fingerprinting: whole-doc md5 + winnowing-style min-shingle hash.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "fingerprint_docs",
+    oracle=r"""
+SELECT doc_id,
+       md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+FROM documents
+""",
+)
+def fingerprint_docs(spark, sf_dir):
+    docs = Dataset(load_table(spark, sf_dir, "documents"))
+    return docs.map(doc_id=F.col("doc_id"), fp=fingerprint_md5("text")).df
+
+
+@query(
+    "fingerprint_winnow",
+    oracle="""
+SELECT doc_id,
+       list_min(list_transform(generate_series(1, greatest(length(text) - 4, 1)),
+                               i -> md5(substr(text, i, 5)))) AS fp
+FROM documents
+""",
+)
+def fingerprint_winnow(spark, sf_dir):
+    """Rolling-hash fingerprint: min md5 over all 5-char shingles — the
+    winnowing primitive, as one codegen'd array expression (no explode,
+    no shuffle)."""
+    docs = Dataset(load_table(spark, sf_dir, "documents"))
+    fp = F.expr(
+        "array_min(transform(sequence(1, greatest(length(text) - 4, 1)),"
+        " i -> md5(substring(text, i, 5))))"
+    )
+    return docs.map(doc_id=F.col("doc_id"), fp=fp).df
+
+
+# --------------------------------------------------------------------------
+# Exact dedup: group by content fingerprint, keep min doc_id.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact",
+    oracle=r"""
+SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
+       MIN(doc_id) AS keep_id,
+       COUNT(*) AS n_copies
+FROM documents GROUP BY 1
+""",
+)
+def dedup_exact(spark, sf_dir):
+    docs = Dataset(load_table(spark, sf_dir, "documents"))
+    return (
+        docs.with_columns(fp=fingerprint_md5("text"))
+        .reduce_by_key(
+            ["fp"],
+            F.min("doc_id").alias("keep_id"),
+            F.count("*").alias("n_copies"),
+        )
+        .df
+    )
+
+
+# --------------------------------------------------------------------------
+# n-gram Jaccard similarity between a probe subset of documents.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "ngram_jaccard",
+    oracle="""
+WITH grams AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+             generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+             i -> string_split(text, ' ')[i] || ' ' ||
+                  string_split(text, ' ')[i+1] || ' ' ||
+                  string_split(text, ' ')[i+2])) AS gs
+  FROM documents WHERE doc_id < 30
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE) /
+       CAST(len(list_distinct(list_concat(a.gs, b.gs))) AS DOUBLE) AS jaccard
+FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+""",
+)
+def ngram_jaccard(spark, sf_dir):
+    """Token 3-gram Jaccard over all probe-doc pairs. At scale the
+    pair space comes from LSH candidates (dedup.minhash), not a cross
+    join; the probe subset keeps the oracle-checkable variant O(k²)."""
+    docs = Dataset(load_table(spark, sf_dir, "documents"))
+    grams = F.expr(
+        "array_distinct(transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1)),"
+        " i -> concat(split(text, ' ')[i-1], ' ', split(text, ' ')[i], ' ',"
+        " split(text, ' ')[i+1])))"
+    )
+    probe = (
+        docs.filter(F.col("doc_id") < 30).map(doc_id=F.col("doc_id"), gs=grams).df
+    )
+    a = probe.select(F.col("doc_id").alias("doc_a"), F.col("gs").alias("gs_a"))
+    b = probe.select(F.col("doc_id").alias("doc_b"), F.col("gs").alias("gs_b"))
+    pairs = a.join(b, a.doc_a < b.doc_b)
+    inter = F.size(F.array_intersect("gs_a", "gs_b")).cast("double")
+    union = F.size(F.array_distinct(F.concat("gs_a", "gs_b"))).cast("double")
+    return pairs.select("doc_a", "doc_b", (inter / union).alias("jaccard"))

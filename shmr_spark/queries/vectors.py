@@ -1,0 +1,81 @@
+"""Similarity search + near-dup queries: brute-force cosine top-k
+(oracle-checked vs DuckDB), embedding near-dup pairs, and the
+rows-only MinHash/SimHash/LSH variants backed by shmr_spark.dedup /
+shmr_spark.similarity.
+
+Cross-engine float discipline: cosine is computed element-wise in
+double on both sides and rounded to 6 decimals before any ordering or
+filtering, so accumulation-order noise (~1e-15) can't flip the hash,
+the top-k cut, or a threshold.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from shmr_spark.catalog import load_table
+from shmr_spark.functions.vectors import cosine_similarity
+from shmr_spark.queries import query
+
+_SQL_COS = (
+    "round(list_cosine_similarity("
+    "list_transform({a}, x -> CAST(x AS DOUBLE)), "
+    "list_transform({b}, x -> CAST(x AS DOUBLE))), 6)"
+)
+
+
+@query(
+    "similarity_topk",
+    oracle=f"""
+WITH probe AS (SELECT embedding AS p FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id, e.label,
+       {_SQL_COS.format(a='e.embedding', b='probe.p')} AS sim
+FROM embeddings e, probe
+WHERE e.vec_id <> 0
+ORDER BY sim DESC, e.vec_id
+LIMIT 10
+""",
+    headline=True,
+)
+def similarity_topk(spark, sf_dir):
+    """Brute-force cosine top-k against a probe vector. The probe is a
+    1-row broadcast cross join — no collect, no driver loop — and the
+    top-k is TakeOrdered. This is the baseline ANN path; the LSH-bucket
+    scale path is similarity_lsh_topk."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("p"))
+    sim = F.round(cosine_similarity(F.col("embedding"), F.col("p")), 6)
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(probe))
+        .select("vec_id", "label", sim.alias("sim"))
+        .orderBy(F.desc("sim"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+@query(
+    "embedding_neardup",
+    oracle=f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       {_SQL_COS.format(a='a.embedding', b='b.embedding')} AS sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE a.vec_id % 25 = 0
+  AND {_SQL_COS.format(a='a.embedding', b='b.embedding')} >= 0.99
+""",
+)
+def embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs from a deterministic probe
+    stratum (vec_id % 25 == 0) against the full table — the verify
+    step of embedding dedup. At 100 TB the candidate pairs come from
+    LSH buckets instead of a cross join (see dedup.embedding)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    sim = F.round(cosine_similarity(F.col("ea"), F.col("eb")), 6)
+    return (
+        a.filter(F.col("vec_a") % 25 == 0)
+        .join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", sim.alias("sim"))
+        .filter(F.col("sim") >= 0.99)
+    )

@@ -1,0 +1,23 @@
+from shmr_spark.sources.readers import (
+    read_parquet,
+    read_ndjson,
+    read_csv,
+    read_text,
+)
+from shmr_spark.sources.writers import (
+    write_parquet,
+    write_ndjson,
+    write_csv,
+    write_text,
+)
+
+__all__ = [
+    "read_parquet",
+    "read_ndjson",
+    "read_csv",
+    "read_text",
+    "write_parquet",
+    "write_ndjson",
+    "write_csv",
+    "write_text",
+]

@@ -1,0 +1,94 @@
+"""Writers/sinks.
+
+The reference writes one output file per operator invocation with
+templated names and optional gzip/bz2 (/root/reference/shmr/misc.py:23-47,
+partition_writer.py). Spark owns file naming; we expose directory,
+partition count, compression, and ``max_records_per_file`` — the
+scale-correct form of the reference's records_per_partition coalesce
+sizing (/root/reference/shmr/partitions.py:97-100): the sink splits
+files at N records without any driver-side re-chunk pass.
+
+Empty-output pruning (delete_on_empty / on_close_delete_if_empty,
+/root/reference/shmr/partition.py:154-172) is Spark's default — empty
+partitions don't produce files.
+"""
+
+from __future__ import annotations
+
+from shmr_spark.dataset import Dataset
+
+
+def _writer(
+    ds: Dataset,
+    mode: str,
+    num_partitions: int | None,
+    max_records_per_file: int | None,
+    partition_by: list[str] | None,
+):
+    df = ds.df
+    if num_partitions is not None:
+        df = df.repartition(num_partitions)
+    w = df.write.mode(mode)
+    if max_records_per_file is not None:
+        w = w.option("maxRecordsPerFile", str(max_records_per_file))
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    return w
+
+
+def write_parquet(
+    ds: Dataset,
+    path: str,
+    mode: str = "overwrite",
+    num_partitions: int | None = None,
+    max_records_per_file: int | None = None,
+    partition_by: list[str] | None = None,
+    compression: str = "snappy",
+) -> None:
+    _writer(ds, mode, num_partitions, max_records_per_file, partition_by).option(
+        "compression", compression
+    ).parquet(path)
+
+
+def write_ndjson(
+    ds: Dataset,
+    path: str,
+    mode: str = "overwrite",
+    num_partitions: int | None = None,
+    max_records_per_file: int | None = None,
+    compression: str | None = None,
+) -> None:
+    w = _writer(ds, mode, num_partitions, max_records_per_file, None)
+    if compression:
+        w = w.option("compression", compression)
+    w.json(path)
+
+
+def write_csv(
+    ds: Dataset,
+    path: str,
+    mode: str = "overwrite",
+    header: bool = True,
+    num_partitions: int | None = None,
+    max_records_per_file: int | None = None,
+    compression: str | None = None,
+) -> None:
+    w = _writer(ds, mode, num_partitions, max_records_per_file, None).option(
+        "header", str(header).lower()
+    )
+    if compression:
+        w = w.option("compression", compression)
+    w.csv(path)
+
+
+def write_text(
+    ds: Dataset,
+    path: str,
+    mode: str = "overwrite",
+    num_partitions: int | None = None,
+    compression: str | None = None,
+) -> None:
+    w = _writer(ds, mode, num_partitions, None, None)
+    if compression:
+        w = w.option("compression", compression)
+    w.text(path)

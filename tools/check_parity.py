@@ -1,0 +1,104 @@
+"""Local replica of the driver's correctness gate: run every registry
+query on Spark and its oracle on DuckDB over the same sf dir, compare
+row count + column names + order-insensitive values, print a verdict
+per query with a value-level diff on mismatch.
+
+Usage: python tools/check_parity.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import duckdb  # noqa: E402
+
+from shmr_spark import get_spark  # noqa: E402
+from shmr_spark.catalog import TABLES  # noqa: E402
+from shmr_spark.queries import load_all  # noqa: E402
+
+
+def _norm_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    if isinstance(v, list):
+        return tuple(_norm_cell(x) for x in v)
+    return v
+
+
+def _norm_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(_norm_cell(r[i]) for i in order) for r in rows]
+    out.sort(key=repr)
+    return [cols[i] for i in order], out
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+    registry = load_all()
+
+    spark = get_spark(app_name="check_parity", shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    failures = []
+    for name, spec in sorted(registry.items()):
+        if only and name not in only:
+            continue
+        try:
+            sdf = spec.fn(spark, sf_dir)
+            s_cols = list(sdf.columns)
+            s_rows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL {name}: spark error: {type(e).__name__}: {e}")
+            continue
+        if spec.oracle is None:
+            print(f"ok   {name}: rows-only ({len(s_rows)} rows)")
+            continue
+        try:
+            res = con.execute(spec.oracle)
+            d_cols = [d[0] for d in res.description]
+            d_rows = res.fetchall()
+        except Exception as e:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL {name}: duckdb error: {type(e).__name__}: {e}")
+            continue
+
+        if sorted(s_cols) != sorted(d_cols):
+            failures.append(name)
+            print(f"FAIL {name}: columns spark={sorted(s_cols)} duck={sorted(d_cols)}")
+            continue
+        if len(s_rows) != len(d_rows):
+            failures.append(name)
+            print(f"FAIL {name}: rowcount spark={len(s_rows)} duck={len(d_rows)}")
+            continue
+        _, sn = _norm_rows(s_cols, s_rows)
+        _, dn = _norm_rows(d_cols, d_rows)
+        if sn != dn:
+            failures.append(name)
+            ndiff = sum(1 for a, b in zip(sn, dn) if a != b)
+            print(f"FAIL {name}: {ndiff}/{len(sn)} rows differ after sort")
+            for a, b in zip(sn, dn):
+                if a != b:
+                    print(f"  spark: {a}\n  duck : {b}")
+                    break
+        else:
+            print(f"ok   {name}: {len(s_rows)} rows hash-match")
+
+    print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
