@@ -1,0 +1,135 @@
+"""MinHash + LSH near-duplicate detection, Spark-first.
+
+Pipeline (shingle → minhash → band → bucket-join → verify):
+
+1. ``shingle_ngrams`` — token n-gram shingles as one array expression
+   (no explode): codegen'd, computed inside the scan stage.
+2. ``minhash_signature`` — k minhashes, each ``array_min`` over
+   seed-perturbed xxhash64 of the shingles. Still zero shuffles: the
+   signature is a per-row array<long>.
+3. ``lsh_candidates`` — split the signature into b bands of r rows,
+   hash each band, explode ONLY the b (band_id, band_hash) pairs
+   (b ≈ 16 rows per doc, not |shingles| rows), self-join on the band
+   bucket → candidate pairs. This is the scale path: the shuffle
+   carries b small rows per doc and the join explodes only true
+   bucket collisions.
+4. ``minhash_near_duplicates`` — verify candidates with exact Jaccard
+   over the shingle sets and filter by threshold.
+
+Banding math: P(candidate) = 1 - (1 - j^r)^b — with k=64, b=16, r=4
+the S-curve midpoint sits near j ≈ 0.5.
+
+Everything is deterministic (xxhash64, fixed seeds) — rows-only
+oracle checks are stable across runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def shingle_ngrams(text: Column | str, n: int = 3) -> Column:
+    """Distinct token n-gram shingles of a text column, as
+    array<string>. Documents shorter than n tokens yield their full
+    token sequence as one shingle."""
+    c = F.col(text) if isinstance(text, str) else text
+    toks = F.split(c, " ")
+    joined = F.array_join(F.slice(toks, 1, F.lit(n)), " ")
+    make = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    return F.array_distinct(F.when(F.size(toks) >= n, make).otherwise(F.array(joined)))
+
+
+def _seeded_hash(i: int):
+    # Single-parameter lambda on purpose: a two-parameter lambda would
+    # make F.transform pass the ARRAY INDEX as the second argument,
+    # silently replacing the seed (all hash functions collapse to one).
+    return lambda s: F.xxhash64(s, F.lit(i))
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
+    """MinHash signature (array<long>, length num_hashes): hash i is
+    min over shingles of xxhash64(shingle, i). Pure expression —
+    no explode, no shuffle, no UDF."""
+    return F.array(
+        *(
+            F.array_min(F.transform(shingles, _seeded_hash(i)))
+            for i in range(num_hashes)
+        )
+    )
+
+
+def lsh_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "sig",
+    bands: int = 16,
+) -> DataFrame:
+    """Candidate pairs (id_a < id_b) whose signatures collide in at
+    least one LSH band. Input: one row per doc with a minhash
+    signature; output: distinct candidate id pairs.
+
+    The only wide ops are the band-bucket self-join (shuffle on
+    band hash — uniformly distributed, skew-free) and the final
+    distinct."""
+    r = F.floor(F.size(sig_col) / bands).cast("int")
+    banded = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.array_join(F.slice(F.col(sig_col), b * r + 1, r), ",")
+                    ).alias("bh"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("__id", "bb.band", "bb.bh")
+    left = banded.alias("a")
+    right = banded.alias("b")
+    return (
+        left.join(
+            right,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_size: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """End-to-end near-dup pairs: LSH candidates verified with exact
+    Jaccard over shingle sets; returns (id_a, id_b, jaccard ≥
+    threshold). The verify join ships shingle arrays only for
+    candidate ids (semi-join pruned), not the whole corpus."""
+    sh = df.select(
+        F.col(id_col).alias("__id"),
+        shingle_ngrams(text_col, shingle_size).alias("__sh"),
+    )
+    sigs = sh.select("__id", minhash_signature(F.col("__sh"), num_hashes).alias("sig"))
+    cands = lsh_candidates(sigs, "__id", "sig", bands)
+    a = sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a"))
+    b = sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", (inter / union).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -1,0 +1,15 @@
+from shmr_spark.multimodal.binary import (
+    MEDIA_SCHEMA,
+    IMAGE_FEATURE_SCHEMA,
+    attach_media_metadata,
+    decode_and_featurize,
+    sample_frames,
+)
+
+__all__ = [
+    "MEDIA_SCHEMA",
+    "IMAGE_FEATURE_SCHEMA",
+    "attach_media_metadata",
+    "decode_and_featurize",
+    "sample_frames",
+]

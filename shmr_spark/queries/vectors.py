@@ -14,8 +14,14 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from shmr_spark.catalog import load_table
+from shmr_spark.dedup import (
+    embedding_near_duplicates,
+    minhash_near_duplicates,
+    simhash_near_duplicates,
+)
 from shmr_spark.functions.vectors import cosine_similarity
 from shmr_spark.queries import query
+from shmr_spark.similarity import cosine_topk_ivf, cosine_topk_lsh
 
 _SQL_COS = (
     "round(list_cosine_similarity("
@@ -79,3 +85,41 @@ def embedding_neardup(spark, sf_dir):
         .select("vec_a", "vec_b", sim.alias("sim"))
         .filter(F.col("sim") >= 0.99)
     )
+
+
+# --------------------------------------------------------------------------
+# Approximate tiers + near-dup operators. Deterministic (fixed seeds,
+# rounded sims) but not SQL-expressible → rows-only oracle checks; the
+# pytest suite cross-validates them against the brute-force/oracle
+# variants instead.
+# --------------------------------------------------------------------------
+
+
+@query("similarity_lsh_topk", oracle=None)
+def similarity_lsh_topk(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk_lsh(emb, probe_id=0, k=10)
+
+
+@query("similarity_ivf_topk", oracle=None)
+def similarity_ivf_topk(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk_ivf(emb, probe_id=0, k=10)
+
+
+@query("dedup_minhash", oracle=None)
+def dedup_minhash(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_near_duplicates(docs, threshold=0.5)
+
+
+@query("dedup_simhash", oracle=None)
+def dedup_simhash(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_near_duplicates(docs, max_hamming=3)
+
+
+@query("dedup_embedding_lsh", oracle=None)
+def dedup_embedding_lsh(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_duplicates(emb, threshold=0.95, n_planes=8)

@@ -1,0 +1,13 @@
+from shmr_spark.similarity.search import (
+    cosine_topk_bruteforce,
+    cosine_topk_lsh,
+    ivf_assign,
+    cosine_topk_ivf,
+)
+
+__all__ = [
+    "cosine_topk_bruteforce",
+    "cosine_topk_lsh",
+    "ivf_assign",
+    "cosine_topk_ivf",
+]

@@ -1,0 +1,143 @@
+"""Approximate-nearest-neighbor search over array<float> embedding
+columns.
+
+Three tiers, all native Column math (F.zip_with/F.aggregate dot
+products — JVM-side, no UDF):
+
+- cosine_topk_bruteforce — exact: probe broadcast-cross-joined against
+  the corpus, TakeOrdered top-k. O(N·d) work but embarrassingly
+  parallel; the right baseline and the verifier for the approximate
+  tiers.
+- cosine_topk_lsh — sign-LSH blocking: only the probe's bucket is
+  scanned. The bucket predicate prunes via the bucket equi-filter.
+- cosine_topk_ivf — IVF-style: corpus pre-assigned to the nearest of
+  K centroid vectors; the probe scans its n_probe nearest centroids'
+  cells. Centroids here are seeded from the corpus (deterministic
+  sample) — a k-means refinement is a drop-in upgrade.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from shmr_spark.dedup.embedding import hyperplanes, lsh_bucket
+from shmr_spark.functions.vectors import cosine_similarity
+
+
+def _probe_df(df: DataFrame, id_col: str, vec_col: str, probe_id):
+    return df.filter(F.col(id_col) == probe_id).select(F.col(vec_col).alias("__probe"))
+
+
+def cosine_topk_bruteforce(
+    df: DataFrame,
+    probe_id,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k vs the probe vector (excluded from results)."""
+    probe = _probe_df(df, id_col, vec_col, probe_id)
+    sim = F.round(cosine_similarity(F.col(vec_col), F.col("__probe")), 6)
+    return (
+        df.filter(F.col(id_col) != probe_id)
+        .crossJoin(F.broadcast(probe))
+        .select(F.col(id_col), sim.alias("sim"))
+        .orderBy(F.desc("sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def cosine_topk_lsh(
+    df: DataFrame,
+    probe_id,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 6,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: scan only vectors sharing the probe's
+    sign-LSH bucket (expected N/2^n_planes of the corpus)."""
+    planes = hyperplanes(dim, n_planes, seed)
+    bucketed = df.select(
+        F.col(id_col), F.col(vec_col), lsh_bucket(vec_col, planes).alias("__bucket")
+    )
+    probe = (
+        bucketed.filter(F.col(id_col) == probe_id)
+        .select(F.col(vec_col).alias("__probe"), F.col("__bucket").alias("__pbucket"))
+    )
+    sim = F.round(cosine_similarity(F.col(vec_col), F.col("__probe")), 6)
+    return (
+        bucketed.filter(F.col(id_col) != probe_id)
+        .crossJoin(F.broadcast(probe))
+        .filter(F.col("__bucket") == F.col("__pbucket"))
+        .select(F.col(id_col), sim.alias("sim"))
+        .orderBy(F.desc("sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def ivf_assign(
+    df: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Assign every vector to its nearest centroid cell.
+
+    Centroids = the corpus vectors with the n_cells smallest ids
+    (deterministic seeding). Returns (assigned_df with __cell column,
+    centroids_df). The centroid table is tiny and broadcast; the
+    assignment is one narrow pass (argmax over n_cells cosines via a
+    broadcast join + window)."""
+    centroids = (
+        df.orderBy(id_col)
+        .limit(n_cells)
+        .select(
+            F.row_number().over(Window.orderBy(id_col)).alias("__cell"),
+            F.col(vec_col).alias("__cvec"),
+        )
+    )
+    sim = cosine_similarity(F.col(vec_col), F.col("__cvec"))
+    w = Window.partitionBy(id_col).orderBy(F.desc("__csim"), F.asc("__cell"))
+    assigned = (
+        df.crossJoin(F.broadcast(centroids))
+        .withColumn("__csim", sim)
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .drop("__csim", "__rk", "__cvec")
+    )
+    return assigned, centroids
+
+
+def cosine_topk_ivf(
+    df: DataFrame,
+    probe_id,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search: rank centroids by similarity to the probe, scan the
+    n_probe best cells only."""
+    assigned, centroids = ivf_assign(df, n_cells, id_col, vec_col)
+    probe = _probe_df(df, id_col, vec_col, probe_id)
+    probe_cells = (
+        centroids.crossJoin(F.broadcast(probe))
+        .select("__cell", cosine_similarity(F.col("__cvec"), F.col("__probe")).alias("__s"))
+        .orderBy(F.desc("__s"))
+        .limit(n_probe)
+        .select("__cell")
+    )
+    sim = F.round(cosine_similarity(F.col(vec_col), F.col("__probe")), 6)
+    return (
+        assigned.join(F.broadcast(probe_cells), "__cell")
+        .filter(F.col(id_col) != probe_id)
+        .crossJoin(F.broadcast(probe))
+        .select(F.col(id_col), sim.alias("sim"))
+        .orderBy(F.desc("sim"), F.asc(id_col))
+        .limit(k)
+    )

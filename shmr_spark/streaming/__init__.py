@@ -1,0 +1,17 @@
+from shmr_spark.streaming.windows import (
+    EVENTS_RAW_SCHEMA,
+    read_events_stream,
+    tumbling_window_stream,
+    sliding_window_stream,
+    run_stream_to_memory,
+)
+from shmr_spark.streaming.stateful import sessionize_stream
+
+__all__ = [
+    "EVENTS_RAW_SCHEMA",
+    "read_events_stream",
+    "tumbling_window_stream",
+    "sliding_window_stream",
+    "run_stream_to_memory",
+    "sessionize_stream",
+]

@@ -1,0 +1,95 @@
+"""Structured Streaming over the events table: event-time windows with
+watermarks for late data (SURVEY.md §2.4 — the reference has no
+streaming; this is the north-star extension).
+
+Sources are file streams (parquet directories) here; on a real
+deployment swap ``readStream.format("kafka")`` — every transformation
+below is source-agnostic. Batch twins of these windows live in
+queries/analytics.py (window_tumbling / window_sliding) and the test
+suite asserts stream ≡ batch on the same data — the defining property
+of a correct streaming aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from shmr_spark.functions.numeric import dsum
+
+# Raw parquet schema: ts is INT64 TIMESTAMP(NANOS) which Spark reads
+# as long under the nanosAsLong legacy conf (see catalog.load_table).
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, source_dir: str) -> DataFrame:
+    """File-stream the events parquet directory; ts nanos → timestamp
+    (micros), matching the batch loader exactly."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+    )
+    return raw.withColumn(
+        "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
+    )
+
+
+def tumbling_window_stream(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling event-time window agg with a late-data watermark —
+    streaming twin of queries/analytics.window_tumbling."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "event_type")
+        .agg(F.count("*").alias("n"), dsum("value").alias("sum_value"))
+        .select(
+            F.col("window.start").cast("long").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def sliding_window_stream(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide))
+        .agg(F.count("*").alias("n"), dsum("value").alias("sum_value"))
+        .select(F.col("window.start").cast("long").alias("window_start"), "n", "sum_value")
+    )
+
+
+def run_stream_to_memory(sdf: DataFrame, name: str, output_mode: str = "complete") -> DataFrame:
+    """Drive a streaming DF to completion into an in-memory table
+    (test/smoke harness): processAllAvailable → stop → return the
+    materialized result as a batch DF."""
+    q = (
+        sdf.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return sdf.sparkSession.sql(f"SELECT * FROM {name}")

@@ -1,0 +1,67 @@
+"""Structured Streaming tests: stream ≡ batch on the same events data
+(the defining correctness property), plus the stateful sessionizer."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from shmr_spark.catalog import load_table
+from shmr_spark.queries import load_all
+from shmr_spark.streaming import (
+    read_events_stream,
+    run_stream_to_memory,
+    sessionize_stream,
+    tumbling_window_stream,
+)
+
+
+@pytest.fixture(scope="module")
+def events_dir(sf_dir, tmp_path_factory):
+    d = tmp_path_factory.mktemp("events_stream")
+    shutil.copy(f"{sf_dir}/events.parquet", d / "events.parquet")
+    return str(d)
+
+
+def test_tumbling_stream_equals_batch(spark, sf_dir, events_dir):
+    stream_out = run_stream_to_memory(
+        tumbling_window_stream(read_events_stream(spark, events_dir)),
+        "tumbling_test",
+        output_mode="complete",
+    )
+    batch_out = load_all()["window_tumbling"].fn(spark, sf_dir)
+    s = {tuple(r) for r in stream_out.collect()}
+    b = {tuple(r) for r in batch_out.collect()}
+    assert s == b
+
+
+def test_sessionize_stream_final_state_equals_batch(spark, sf_dir, events_dir):
+    stream_df = sessionize_stream(read_events_stream(spark, events_dir))
+    q = (
+        stream_df.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("sess_test")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # update mode emits one row per user per batch — the LAST row per
+    # user is the final state
+    final = (
+        spark.sql("SELECT * FROM sess_test")
+        .groupBy("user_id")
+        .agg(F.max("n_sessions").alias("n_sessions"), F.max("n_events").alias("n_events"))
+    )
+    batch = load_all()["sessionize"].fn(spark, sf_dir)
+    s = {(r.user_id, r.n_sessions, r.n_events) for r in final.collect()}
+    b = {(r.user_id, r.n_sessions, r.n_events) for r in batch.collect()}
+    assert s == b
+
+
+def test_watermark_present_in_plan(spark, events_dir):
+    sdf = tumbling_window_stream(read_events_stream(spark, events_dir), watermark="2 hours")
+    assert "EventTimeWatermark" in sdf._jdf.queryExecution().analyzed().toString()
