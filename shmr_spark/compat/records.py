@@ -18,7 +18,6 @@ reference's JSON-object records.
 
 from __future__ import annotations
 
-import functools
 from collections.abc import Callable
 from typing import Any
 
@@ -63,53 +62,29 @@ def filter_records(ds: Dataset, fn: Callable[[dict], bool]) -> Dataset:
     return Dataset(spark.createDataFrame(rdd, schema=schema))
 
 
-def _fold_iter(it, fn: Callable, init_val: Any, has_init: bool):
-    """The reference's fold loop incl. the 1-arg seeding convention
-    (/root/reference/shmr/partition.py:174-204): with init, accum
-    starts at init and every record goes through fn(rec, accum);
-    without, the first record seeds via fn(record) — the fn's default
-    second arg supplies the zero (e.g. ``sum_age(row, accum=0)``,
-    /root/reference/tests/test_partition.py:17-19)."""
-    accum = init_val
-    seeded = has_init
-    for rec in it:
-        accum = fn(rec, accum) if seeded else fn(rec)
-        seeded = True
-    return accum, seeded
-
-
 _NO_INIT = object()
 
 
 def reduce_records(ds: Dataset, fn: Callable, init_val: Any = _NO_INIT) -> Any:
     """Global fold to ONE value (reference #8/#16).
 
-    The reference folds strictly sequentially; a distributed fold
-    requires fn to be associative-ish. We fold each partition with the
-    reference's seeding rule, then fold the per-partition results on
-    the driver in partition order — bit-exact for associative fns and
-    matching glob-order semantics for the common algebraic ones.
+    Strictly SEQUENTIAL like the reference (its fold is one process,
+    one pass, order-dependent — /root/reference/shmr/partitions.py:145),
+    so arbitrary non-associative fns are exact: records stream to the
+    driver partition-by-partition via toLocalIterator (never
+    materialized at once). A partial-fold-then-merge scheme would need
+    fn to accept accumulator-shaped inputs, which the reference's fn
+    contract (record, accum) does not promise. The scale path for
+    folds is the native Dataset.reduce with algebraic aggregates.
     Empty dataset + no init ⇒ None (the reference writes ``null``).
     """
     has_init = init_val is not _NO_INIT
-    init = init_val if has_init else None
-
-    def fold_partition(it):
-        accum, seeded = _fold_iter((_to_record(r) for r in it), fn, init, has_init)
-        if seeded:
-            yield accum
-
-    partials = ds.df.rdd.mapPartitions(fold_partition).collect()
-    if not partials:
-        return None
-    if has_init:
-        # Each partition already consumed init; merge partials pairwise
-        # via fn treating prior accum as the accumulator.
-        accum = partials[0]
-        for p in partials[1:]:
-            accum = fn(p, accum)
-        return accum
-    return functools.reduce(lambda acc, rec: fn(rec, acc), partials[1:], partials[0])
+    accum, seeded = (init_val, True) if has_init else (None, False)
+    for row in ds.df.toLocalIterator():
+        rec = _to_record(row)
+        accum = fn(rec, accum) if seeded else fn(rec)
+        seeded = True
+    return accum if seeded else None
 
 
 def reduce_by_key_records(

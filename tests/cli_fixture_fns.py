@@ -1,0 +1,39 @@
+"""User functions for compat-CLI tests — the same shapes the
+reference's tests use (get_age / sum_age with a default accumulator,
+/root/reference/tests/test_partition.py:11-19), written fresh."""
+
+from __future__ import annotations
+
+
+def get_age(row: list) -> int:
+    return int(row[3])
+
+
+def sum_age(row: list, accum: int = 0) -> int:
+    return accum + int(row[3])
+
+
+def age_key(row: list) -> int:
+    return int(row[3])
+
+
+def sum_int(value: int, accum: int = 0) -> int:
+    return accum + int(value)
+
+
+def is_adult(row: list) -> bool:
+    return int(row[3]) >= 18
+
+
+def dup_twice(rec) -> list:
+    return [rec, rec]
+
+
+def by_k(rec: dict) -> int:
+    return rec["k"]
+
+
+def count_by_k(rec: dict, accum: dict | None = None) -> dict:
+    if accum is None:
+        return {"k": rec.get("k"), "n": rec.get("n", 1)}
+    return {"k": accum["k"], "n": accum["n"] + rec.get("n", 1)}

@@ -9,6 +9,12 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO not in sys.path:
     sys.path.insert(0, REPO)
 
+# Spark workers spawn fresh Python processes: they need the repo on
+# PYTHONPATH to unpickle test fixture functions by module reference.
+_pp = os.environ.get("PYTHONPATH", "")
+if REPO not in _pp.split(os.pathsep):
+    os.environ["PYTHONPATH"] = f"{REPO}{os.pathsep}{_pp}" if _pp else REPO
+
 from shmr_spark import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SHMR_TEST_SF_DIR", "/root/testdata/sf0.001")
