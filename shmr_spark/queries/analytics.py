@@ -213,3 +213,48 @@ def sessionize(spark, sf_dir):
             F.count("*").alias("n_events"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Exact quantiles — Spark percentile() and DuckDB quantile_cont() use
+# the same linear interpolation on doubles; verified bit-identical.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "percentiles",
+    oracle="""
+SELECT l_returnflag,
+       quantile_cont(l_extendedprice, 0.25) AS p25,
+       quantile_cont(l_extendedprice, 0.5) AS p50,
+       quantile_cont(l_extendedprice, 0.75) AS p75
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+)
+def percentiles(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_extendedprice, 0.25)").alias("p25"),
+            F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+            F.expr("percentile(l_extendedprice, 0.75)").alias("p75"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --------------------------------------------------------------------------
+# Approximate distinct — the sketch the reference can't offer. HLL
+# internals differ across engines, so the oracle checks the EXACT
+# distinct twin and the approximate answer is validated by pytest
+# against a relative-error bound instead.
+# --------------------------------------------------------------------------
+
+
+@query("approx_distinct", oracle=None)
+def approx_distinct(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+    )

@@ -426,3 +426,64 @@ def concat_union(spark, sf_dir):
 def coalesce_count(spark, sf_dir):
     li = Dataset(load_table(spark, sf_dir, "lineitem"))
     return li.coalesce(5, shuffle=True).reduce(F.count("*").alias("n")).df
+
+
+# --------------------------------------------------------------------------
+# Set operations — extensions the reference lacks (SURVEY.md §2.4),
+# free on Spark: INTERSECT / EXCEPT with SQL bag semantics.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "set_intersect",
+    oracle="""
+SELECT p_partkey AS partkey FROM part
+INTERSECT
+SELECT l_partkey AS partkey FROM lineitem
+""",
+)
+def set_intersect(spark, sf_dir):
+    part = Dataset(load_table(spark, sf_dir, "part"))
+    li = Dataset(load_table(spark, sf_dir, "lineitem"))
+    return part.map(partkey=F.col("p_partkey")).df.intersect(
+        li.map(partkey=F.col("l_partkey")).df
+    )
+
+
+@query(
+    "set_except",
+    oracle="""
+SELECT p_partkey AS partkey FROM part
+EXCEPT
+SELECT l_partkey AS partkey FROM lineitem
+""",
+)
+def set_except(spark, sf_dir):
+    part = Dataset(load_table(spark, sf_dir, "part"))
+    li = Dataset(load_table(spark, sf_dir, "lineitem"))
+    return part.map(partkey=F.col("p_partkey")).df.exceptAll(
+        li.map(partkey=F.col("l_partkey")).df.distinct()
+    )
+
+
+# --------------------------------------------------------------------------
+# Distinct aggregation.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "count_distinct",
+    oracle="""
+SELECT COUNT(DISTINCT l_partkey) AS n_parts,
+       COUNT(DISTINCT l_suppkey) AS n_supps,
+       COUNT(DISTINCT l_orderkey) AS n_orders
+FROM lineitem
+""",
+)
+def count_distinct(spark, sf_dir):
+    li = Dataset(load_table(spark, sf_dir, "lineitem"))
+    return li.reduce(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    ).df

@@ -181,3 +181,28 @@ def test_top_k(spark, sf_dir):
     assert len(top) == 5
     mx = li.reduce(F.max("l_extendedprice").alias("m")).df.collect()[0].m
     assert top[0].l_extendedprice == mx
+
+
+def test_apply_side_effects_distributed(spark, sf_dir):
+    """Reference #4: side-effect-only iteration, no output partition.
+    Observable effect: a Spark accumulator counts every record."""
+    li = _li(spark, sf_dir)
+    acc = spark.sparkContext.accumulator(0)
+
+    def bump(row):
+        acc.add(1)
+
+    li.apply(bump)
+    assert acc.value == 6000
+
+
+def test_approx_distinct_error_bound(spark, sf_dir):
+    """approx_count_distinct at rsd=2% must land within 10% of truth."""
+    li = _li(spark, sf_dir)
+    from pyspark.sql import functions as F2
+
+    row = li.df.agg(
+        F2.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx"),
+        F2.countDistinct("l_orderkey").alias("exact"),
+    ).collect()[0]
+    assert abs(row.approx - row.exact) / row.exact < 0.10

@@ -1,0 +1,104 @@
+"""Physical-plan quality gates: the 100 TB-scale properties the
+operators rely on must be visible in the plan, not assumed —
+regressions here mean a scan reads too much, a join stops
+broadcasting, or an agg loses its map-side combine.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from shmr_spark.queries import load_all
+
+
+def _plan(spark, sf_dir, name: str, mode: str = "formatted") -> str:
+    df = load_all()[name].fn(spark, sf_dir)
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    return df._jdf.queryExecution().explainString(jmode)
+
+
+def _tree(plan: str) -> str:
+    """The operator-tree section of a formatted plan (each node also
+    reappears in the detail section — count nodes here only)."""
+    return plan.split("\n\n")[0]
+
+
+def _final_plan(spark, sf_dir, name: str) -> str:
+    """Execute the query so AQE finalizes, then return the executed
+    plan string (codegen span markers *(n) only appear post-run)."""
+    df = load_all()[name].fn(spark, sf_dir)
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_map_project_prunes_columns(spark, sf_dir):
+    """A 3-column projection must read 4 source columns, not 11."""
+    plan = _plan(spark, sf_dir, "map_project")
+    assert "ReadSchema" in plan
+    read = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" in read and "l_extendedprice" in read
+    assert "l_shipdate" not in read and "l_returnflag" not in read
+
+
+def test_filter_orders_pushes_predicates(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "filter_orders")
+    pushed = plan.split("PushedFilters:")[1].splitlines()[0]
+    assert "GreaterThan(o_totalprice" in pushed
+    assert "EqualTo(o_orderstatus,O)" in pushed
+
+
+def test_q1_filter_pushdown_and_partial_agg(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "reduce_by_key_q1")
+    # shipdate predicate reaches the scan
+    assert "l_shipdate" in plan.split("PushedFilters:")[1].splitlines()[0]
+    # partial (map-side) + final aggregation pair
+    assert "partial_sum" in plan
+    assert _tree(plan).count("HashAggregate") == 2
+    # stays inside whole-stage codegen (markers appear once AQE ran)
+    assert "*(" in _final_plan(spark, sf_dir, "reduce_by_key_q1")
+
+
+def test_three_way_join_broadcasts_dims(spark, sf_dir):
+    """orders and customer are small enough to broadcast at test SF —
+    the fact table must not shuffle before the join."""
+    plan = _plan(spark, sf_dir, "join_three_way")
+    assert _tree(plan).count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    """Global top-k must plan as TakeOrdered (per-partition heap +
+    merge), never a full sort of the aggregate output."""
+    plan = _plan(spark, sf_dir, "topk_global")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_similarity_topk_take_ordered_and_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "similarity_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_distinct_first_single_shuffle(spark, sf_dir):
+    """Window-based first-occurrence dedup needs exactly one exchange
+    (partition by key), not one for the window plus one for a join."""
+    plan = _plan(spark, sf_dir, "distinct_first")
+    assert _tree(plan).count("Exchange") == 1
+    assert "Arguments: hashpartitioning" in plan
+
+
+def test_flat_map_generate_no_shuffle(spark, sf_dir):
+    """explode is narrow: token streaming must not shuffle at all."""
+    plan = _plan(spark, sf_dir, "flat_map_tokens")
+    assert "Generate" in _tree(plan)
+    assert "explode" in plan
+    assert "Exchange" not in _tree(plan)
+
+
+@pytest.mark.parametrize("name", ["dedup_minhash", "dedup_simhash"])
+def test_neardup_no_python_udf_in_plan(spark, sf_dir, name):
+    """The dedup pipelines must stay JVM-side: no BatchEvalPython /
+    ArrowEvalPython nodes (Python UDFs) anywhere in the plan."""
+    plan = _plan(spark, sf_dir, name)
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
