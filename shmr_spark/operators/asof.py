@@ -1,0 +1,89 @@
+"""As-of join — an operator Spark lacks natively (guide: "Common OLAP
+patterns"), composed from existing DataFrame ops per the preference
+order (no applyInPandas needed).
+
+Technique: tag and union both sides on aligned schemas, then one
+window per key ordered by (ts, side, tiebreak) carries the most
+recent right-side payload forward (last_value ignoreNulls); left rows
+then read their as-of match from the carried columns. ONE shuffle
+total (the window's hashpartitioning on the key) — versus the naive
+inequality-join which Spark plans as a nested-loop. Scales: the
+window state is one row of right payload per partition stream, and
+skewed keys can pre-split by time range.
+
+Semantics: for each left row, the latest right row with
+right_ts < left_ts (strict; ``inclusive=True`` for <=), per key;
+unmatched left rows keep NULL right columns (left-join shape) —
+matching DuckDB's ``ASOF LEFT JOIN ... ON l.ts > r.ts``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str] | None = None,
+    suffix: str = "_asof",
+    inclusive: bool = False,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """As-of join left→right on key `on`, time columns left_ts/right_ts.
+
+    right_cols: right payload columns to carry (default: all except
+    key+ts). tiebreak: right column ordering ties at equal right_ts
+    (latest wins); required for determinism if right_ts can repeat
+    within a key."""
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in (on, right_ts)]
+
+    # side ordering at equal ts decides inclusivity: rights sort before
+    # lefts (side 0 < 1) ⇒ a right at ts == left_ts is visible ⇒ <=.
+    left_side, right_side = (1, 0) if inclusive else (0, 1)
+
+    lt = left.select(
+        F.col(on).alias("__k"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(left_side).alias("__side"),
+        F.lit(None).cast("long").alias("__tb"),
+        F.struct(*left.columns).alias("__left"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_cols],
+    )
+    tb = (
+        F.col(tiebreak).cast("long")
+        if tiebreak is not None
+        else F.monotonically_increasing_id()
+    )
+    rt = right.select(
+        F.col(on).alias("__k"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(right_side).alias("__side"),
+        tb.alias("__tb"),
+        F.lit(None).cast(lt.schema["__left"].dataType).alias("__left"),
+        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+    )
+
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__ts", "__side", F.col("__tb").asc_nulls_last())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = lt.unionByName(rt).select(
+        "__side",
+        "__left",
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__c_{c}")
+            for c in right_cols
+        ],
+    )
+    is_left = F.col("__side") == left_side
+    return carried.filter(is_left).select(
+        *[F.col(f"__left.{c}").alias(c) for c in left.columns],
+        *[F.col(f"__c_{c}").alias(f"{c}{suffix}") for c in right_cols],
+    )

@@ -1,0 +1,66 @@
+"""Skew-resistant aggregation: two-phase salted groupBy.
+
+At 100 TB a handful of hot keys (one language, one event_type) can
+pin a whole aggregation on one reducer. AQE's skew-join handling does
+not cover aggregations, so the classic fix is manual: scatter each
+key across S salt buckets, partially aggregate (keys+salt), then
+merge partials per key. Both shuffles move pre-aggregated rows —
+the first is S-way wider but each reducer handles |keys|·S/P groups
+of bounded size.
+
+Algebraic aggregates only (sum/count/min/max + derived avg): each
+declares its partial and merge forms below.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from shmr_spark.functions.numeric import DEC
+
+# spec name → (partial_expr(col), merge_expr(partial_col))
+_ALGEBRAIC = {
+    "sum": (lambda c: F.sum(c), lambda p: F.sum(p)),
+    "dsum": (
+        lambda c: F.sum(F.col(c).cast(DEC)),
+        lambda p: F.sum(p).cast("double"),
+    ),
+    "count": (lambda c: F.count(c), lambda p: F.sum(p)),
+    "min": (lambda c: F.min(c), lambda p: F.min(p)),
+    "max": (lambda c: F.max(c), lambda p: F.max(p)),
+}
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, tuple[str, str]],
+    num_salts: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation immune to key skew.
+
+    aggs: output_name → (spec, column), spec in {sum, dsum, count,
+    min, max}. Result is row-identical to a direct
+    df.groupBy(keys).agg(...) — asserted by the test suite and the
+    salted_agg oracle query.
+    """
+    for name, (spec, _) in aggs.items():
+        if spec not in _ALGEBRAIC:
+            raise ValueError(f"{name}: non-algebraic spec {spec!r} cannot be salted")
+
+    salted = df.withColumn(
+        "__salt", F.pmod(F.xxhash64(*[F.col(k) for k in df.columns]), F.lit(num_salts))
+    )
+    partial = salted.groupBy(*keys, "__salt").agg(
+        *[
+            _ALGEBRAIC[spec][0](col).alias(f"__p_{name}")
+            for name, (spec, col) in aggs.items()
+        ]
+    )
+    return partial.groupBy(*keys).agg(
+        *[
+            _ALGEBRAIC[spec][1](f"__p_{name}").alias(name)
+            for name, (spec, _) in aggs.items()
+        ]
+    )

@@ -51,5 +51,6 @@ def load_all() -> dict[str, QuerySpec]:
     from shmr_spark.queries import analytics  # noqa: F401
     from shmr_spark.queries import text  # noqa: F401
     from shmr_spark.queries import vectors  # noqa: F401
+    from shmr_spark.queries import advanced  # noqa: F401
 
     return REGISTRY

@@ -1,0 +1,114 @@
+"""Advanced operators: as-of join, semi-structured JSON extraction,
+skew-salted aggregation — each oracle-checked against DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from shmr_spark.catalog import load_table
+from shmr_spark.functions.numeric import dsum, sql_dsum
+from shmr_spark.operators import asof_join, salted_agg
+from shmr_spark.queries import query
+
+# --------------------------------------------------------------------------
+# As-of join: each event ⟶ the user's most recent PRIOR event (strict).
+# DuckDB has a native ASOF JOIN — the perfect oracle for our
+# union+window composition (one shuffle, no inequality nested-loop).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "asof_join_prev",
+    oracle="""
+SELECT e.event_id,
+       e.user_id,
+       CAST(floor(epoch(e.ts)) AS BIGINT) AS ts_epoch,
+       p.event_id AS event_id_asof,
+       p.value AS value_asof
+FROM events e
+ASOF LEFT JOIN events p
+  ON e.user_id = p.user_id AND e.ts > p.ts
+""",
+)
+def asof_join_prev(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.select("event_id", "user_id", "ts")
+    right = ev.select("user_id", "ts", "event_id", "value")
+    joined = asof_join(
+        left,
+        right,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["event_id", "value"],
+        inclusive=False,
+        tiebreak="event_id",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("long").alias("ts_epoch"),
+        "event_id_asof",
+        "value_asof",
+    )
+
+
+# --------------------------------------------------------------------------
+# Semi-structured: JSON props column → typed fields (the FIXTURES.md
+# from_json target).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "json_extract_props",
+    oracle=f"""
+SELECT event_type,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       COUNT(*) AS n
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+)
+def json_extract_props(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.sum(k).cast("long").alias("sum_k"), F.count("*").alias("n"))
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# Skew-salted aggregation — must be row-identical to the direct
+# groupBy, which is exactly what the oracle asserts.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "salted_agg_revenue",
+    oracle=f"""
+SELECT l_returnflag,
+       {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+       COUNT(l_orderkey) AS n,
+       MIN(l_quantity) AS min_qty,
+       MAX(l_quantity) AS max_qty
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+)
+def salted_agg_revenue(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "__rev", (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("double")
+    )
+    out = salted_agg(
+        li,
+        keys=["l_returnflag"],
+        aggs={
+            "revenue": ("dsum", "__rev"),
+            "n": ("count", "l_orderkey"),
+            "min_qty": ("min", "l_quantity"),
+            "max_qty": ("max", "l_quantity"),
+        },
+        num_salts=8,
+    )
+    return out.orderBy("l_returnflag")

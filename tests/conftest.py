@@ -21,8 +21,18 @@ SF_DIR = os.environ.get("SHMR_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
 @pytest.fixture(scope="session")
-def spark():
-    s = get_spark(app_name="shmr_spark_tests", shuffle_partitions=8)
+def spark(tmp_path_factory):
+    # Bucketed-table tests use saveAsTable: keep the warehouse and the
+    # Derby metastore out of the repo tree.
+    wh = tmp_path_factory.mktemp("warehouse")
+    s = get_spark(
+        app_name="shmr_spark_tests",
+        shuffle_partitions=8,
+        extra_conf={
+            "spark.sql.warehouse.dir": str(wh),
+            "spark.driver.extraJavaOptions": f"-Dderby.system.home={wh}",
+        },
+    )
     yield s
 
 

@@ -1,0 +1,87 @@
+"""asof_join + salted_agg operator tests against independently
+computed ground truth."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from shmr_spark.catalog import load_table
+from shmr_spark.operators import asof_join, salted_agg
+
+
+def test_asof_join_matches_window_truth(spark, sf_dir):
+    """Strict as-of self-join ≡ lag() over (user_id, ts) when right
+    timestamps are unique per key."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    got = asof_join(
+        ev.select("event_id", "user_id", "ts"),
+        ev.select("user_id", "ts", "value"),
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["value"],
+        tiebreak=None,
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts")
+    truth = ev.withColumn("prev_value", F.lag("value").over(w)).select(
+        "event_id", "prev_value"
+    )
+    joined = got.select("event_id", "value_asof").join(truth, "event_id")
+    mismatches = joined.filter(
+        ~(
+            (F.col("value_asof") == F.col("prev_value"))
+            | (F.col("value_asof").isNull() & F.col("prev_value").isNull())
+        )
+    ).count()
+    assert mismatches == 0
+
+
+def test_asof_inclusive_matches_self(spark, sf_dir):
+    """Inclusive as-of (<=) against itself matches every row to its own
+    timestamp (latest right at ts <= ts is the row itself)."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    got = asof_join(
+        ev,
+        ev.select("user_id", "ts", F.col("event_id").alias("rid")),
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["rid"],
+        inclusive=True,
+        tiebreak="rid",
+    )
+    assert got.filter(F.col("rid_asof") != F.col("event_id")).count() == 0
+
+
+def test_salted_agg_equals_direct(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    salted = salted_agg(
+        li,
+        keys=["l_returnflag", "l_linestatus"],
+        aggs={
+            "n": ("count", "l_orderkey"),
+            "sq": ("sum", "l_quantity"),
+            "mn": ("min", "l_extendedprice"),
+            "mx": ("max", "l_extendedprice"),
+        },
+        num_salts=16,
+    )
+    direct = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("l_orderkey").alias("n"),
+        F.sum("l_quantity").alias("sq"),
+        F.min("l_extendedprice").alias("mn"),
+        F.max("l_extendedprice").alias("mx"),
+    )
+    s = {tuple(r) for r in salted.collect()}
+    d = {tuple(r) for r in direct.collect()}
+    assert s == d
+
+
+def test_salted_agg_rejects_non_algebraic(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="non-algebraic"):
+        salted_agg(li, ["l_returnflag"], {"m": ("median", "l_quantity")})
