@@ -3,29 +3,27 @@
 Summing doubles is order-dependent, and Spark's partial/final
 aggregation order differs from DuckDB's — a raw SUM(double) over 60k
 rows diverges in the last bits and breaks the driver's value-hash
-comparison. Fix: route oracle-facing sums through exact decimal
-arithmetic at scale 6:
+comparison. Fix: sum in EXACT integer space, scaled by 10⁶:
 
-1. The corpus's money/rate columns carry ≤ 2 decimal digits, so any
-   product of up to three of them has ≤ 6 — the per-row
-   ``cast(double AS decimal(28,6))`` RECOVERS the exact decimal value
-   (the double sits ~1e-10 from it, nowhere near a rounding boundary)
-   identically on both engines. Verified empirically on every lineitem
-   charge product.
-2. Decimal summation is exact in any order.
-3. The final decimal→double cast is exact on both engines while
-   |sum|·10⁶ < 2⁵³ (|sum| < 9e9; sf0.1's largest sum is ~1.6e9): the
-   int numerator fits a double. Verified empirically: DuckDB's
-   decimal→double cast is correctly rounded at scale ≤ 6 but NOT at
-   scale 10 (its int128→double conversion rounds twice).
-4. avg = sum_double / count divides identical operands → identical
-   IEEE result.
+1. Per-row ``floor(x·10⁶ + 0.5) → int64``: identical IEEE multiply/
+   add/floor on both engines → identical long. (The corpus's
+   money/rate columns carry ≤ 2 decimal digits, so triple products
+   have ≤ 6 — the scaled long represents them exactly.)
+2. int64 summation is exact in any order. Overflow bound:
+   |sum| < 2⁶³/10⁶ ≈ 9.2e12 — sf0.1's largest sum is ~1.6e9.
+3. int64→double conversion is correctly rounded in BOTH engines even
+   beyond 2⁵³ (verified empirically on 4000 samples in [2⁵³, 2⁶²)),
+   then /10⁶ divides identical operands → identical double.
+4. avg = sum_double / count: identical operands → identical result.
 
-Scale-out note: at true 100 TB scale sums can exceed 9e9 — there the
-query should emit the DECIMAL itself (dsum_dec: also exact and
-engine-portable); the double cast exists because the harness compares
-double columns. Deeper products (> 6 decimal digits) would need a
-wider scale with the same numerator-cap analysis.
+This is ~3× faster than the earlier decimal(28,6) route (long sums
+stay in whole-stage codegen's primitive path; decimal sums carry a
+struct with overflow tracking) — bench: TPC-H Q1 agg 1.1 s → 0.36 s
+at sf0.1. The decimal form survives as ``dsum_dec`` for scales where
+10⁶-scaled sums could overflow int64 (beyond ~sf1000 here): decimal
+sums are exact to 10³⁸ and remain cross-engine-equal AS DECIMAL — but
+must NOT be cast to double in DuckDB, whose int128→double conversion
+rounds twice (verified: wrong by 1 ulp on ~25% of scale-10 values).
 """
 
 from __future__ import annotations
@@ -34,25 +32,32 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 DEC = "decimal(28,6)"
+_SCALE = 1000000.0
+
+
+def _scaled_long(c: Column) -> Column:
+    return F.floor(c * F.lit(_SCALE) + F.lit(0.5)).cast("long")
 
 
 def dsum(col: Column | str) -> Column:
     """Exact, order-insensitive sum of a double column, as double."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.sum(c.cast(DEC)).cast("double")
+    return (F.sum(_scaled_long(c)).cast("double") / F.lit(_SCALE)).cast("double")
 
 
 def dsum_dec(col: Column | str) -> Column:
-    """Exact sum kept as DECIMAL(38,4) — the 100 TB-safe output form."""
+    """Exact sum as DECIMAL(38,6) — the beyond-int64-scale output form
+    (keep it decimal end-to-end; see module docstring)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.sum(c.cast(DEC))
 
 
 def davg(col: Column | str) -> Column:
-    """Order-insensitive average: exact decimal sum (as double) /
+    """Order-insensitive average: exact scaled sum (as double) /
     count — identical operands on both engines, identical result."""
     c = F.col(col) if isinstance(col, str) else col
-    return (F.sum(c.cast(DEC)).cast("double") / F.count(c)).cast("double")
+    sum_dbl = F.sum(_scaled_long(c)).cast("double") / F.lit(_SCALE)
+    return (sum_dbl / F.count(c)).cast("double")
 
 
 def dmul(a: Column, b: Column) -> Column:
@@ -63,12 +68,15 @@ def dmul(a: Column, b: Column) -> Column:
 
 def sql_dsum(expr: str) -> str:
     """DuckDB twin of dsum() for oracle_sql strings."""
-    return f"CAST(SUM(CAST(({expr}) AS DECIMAL(28,6))) AS DOUBLE)"
+    return (
+        f"(CAST(CAST(SUM(CAST(floor(({expr}) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)"
+        f" AS DOUBLE) / 1000000.0)"
+    )
 
 
 def sql_davg(expr: str) -> str:
     """DuckDB twin of davg()."""
     return (
-        f"CAST(CAST(SUM(CAST(({expr}) AS DECIMAL(28,6))) AS DOUBLE)"
-        f" / COUNT({expr}) AS DOUBLE)"
+        f"CAST((CAST(CAST(SUM(CAST(floor(({expr}) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)"
+        f" AS DOUBLE) / 1000000.0) / COUNT({expr}) AS DOUBLE)"
     )

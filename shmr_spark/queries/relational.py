@@ -311,18 +311,18 @@ def join_grouped(spark, sf_dir):
     orders = Dataset(load_table(spark, sf_dir, "orders"))
     cust = Dataset(load_table(spark, sf_dir, "customer"))
     grouped = cust.join_grouped(orders, "c_custkey", "o_custkey", "cust", "ords")
-    dec = "decimal(28,6)"
+    # same scaled-long exact sum as functions.numeric.dsum, folded over
+    # the grouped-rights array
+    scaled = lambda o: F.floor(o["o_totalprice"] * F.lit(1000000.0) + F.lit(0.5)).cast("long")  # noqa: E731
     return grouped.df.select(
         F.col("cust.c_custkey").alias("c_custkey"),
         F.col("cust.c_name").alias("c_name"),
         F.size("ords").cast("long").alias("n_orders"),
-        F.aggregate(
-            F.col("ords"),
-            F.lit(0).cast(dec),
-            lambda acc, o: (acc + o["o_totalprice"].cast(dec)).cast(dec),
-        )
-        .cast("double")
-        .alias("sum_total"),
+        (
+            F.aggregate(F.col("ords"), F.lit(0).cast("long"), lambda acc, o: acc + scaled(o))
+            .cast("double")
+            / F.lit(1000000.0)
+        ).alias("sum_total"),
     )
 
 
