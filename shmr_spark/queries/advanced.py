@@ -112,3 +112,33 @@ def salted_agg_revenue(spark, sf_dir):
         num_salts=8,
     )
     return out.orderBy("l_returnflag")
+
+
+# --------------------------------------------------------------------------
+# Multimodal pipeline through the driver gate: text bytes stand in for
+# media content (no media libs in the container); the mapInPandas
+# decode/featurize plumbing runs for real and its SQL-expressible
+# outputs (byte length, content sha256) are oracle-checked. The
+# feature vectors are validated in tests/test_multimodal.py.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "multimodal_featurize",
+    oracle="""
+SELECT doc_id AS media_id,
+       CAST(length(text) AS BIGINT) AS n_bytes,
+       sha256(text) AS sha256
+FROM documents
+""",
+)
+def multimodal_featurize(spark, sf_dir):
+    from shmr_spark.multimodal import decode_and_featurize
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("content"),
+    )
+    feats = decode_and_featurize(media, dim=16)
+    return feats.select("media_id", "n_bytes", "sha256")
