@@ -482,6 +482,9 @@ def main(argv: list[str] | None = None, spark=None) -> None:
     args = build_parser().parse_args(argv)
     fn, params = _COMMANDS[args.command]
     spark = spark or get_spark(app_name="shmr_spark_cli")
+    from shmr_spark.pyship import ensure_package_shipped
+
+    ensure_package_shipped(spark)
     io = PartitionIO(spark, args.infile, args.deser_fn, args.ser_fn, args.skip_nrows)
     kwargs = {}
     for pname, _, _ in params:

@@ -127,7 +127,7 @@ def salted_agg_revenue(spark, sf_dir):
     "multimodal_featurize",
     oracle="""
 SELECT doc_id AS media_id,
-       CAST(length(text) AS BIGINT) AS n_bytes,
+       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
        sha256(text) AS sha256
 FROM documents
 """,
