@@ -142,3 +142,92 @@ def multimodal_featurize(spark, sf_dir):
     )
     feats = decode_and_featurize(media, dim=16)
     return feats.select("media_id", "n_bytes", "sha256")
+
+
+# --------------------------------------------------------------------------
+# Deterministic sampling: exact stratified sample is SQL-expressible;
+# the hash-based train/test split is rows-only (xxhash64 has no DuckDB
+# twin) with invariants pinned in tests/test_sampling.py.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "stratified_sample",
+    oracle="""
+SELECT l_returnflag, l_orderkey, l_linenumber FROM (
+  SELECT l_returnflag, l_orderkey, l_linenumber,
+         row_number() OVER (PARTITION BY l_returnflag
+                            ORDER BY l_orderkey, l_linenumber) AS rn,
+         COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM lineitem
+) WHERE rn <= CAST(ceil(n * 0.05) AS BIGINT)
+""",
+)
+def stratified_sample(spark, sf_dir):
+    from shmr_spark.operators.sampling import stratified_sample_exact
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_orderkey", "l_linenumber"
+    )
+    return stratified_sample_exact(
+        li, ["l_returnflag"], 0.05, ["l_orderkey", "l_linenumber"]
+    )
+
+
+@query("train_test_split", oracle=None)
+def train_test_split_q(spark, sf_dir):
+    from shmr_spark.operators.sampling import train_test_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    train, test = train_test_split(docs, "doc_id", test_fraction=0.2)
+    return (
+        train.select(F.lit("train").alias("split"), "doc_id")
+        .unionByName(test.select(F.lit("test").alias("split"), "doc_id"))
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Unpivot (melt) — wide → long, the inverse of pivot_agg.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "unpivot_melt",
+    oracle="""
+SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+UNION ALL
+SELECT p_partkey, 'retail' AS metric, p_retailprice AS value FROM part
+""",
+)
+def unpivot_melt(spark, sf_dir):
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("size"),
+        F.col("p_retailprice").alias("retail"),
+    ).unpivot("p_partkey", ["size", "retail"], "metric", "value")
+
+
+# --------------------------------------------------------------------------
+# Histogram — fixed-width binning, identical bucket arithmetic on both
+# engines (floor of identical double ops).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "histogram",
+    oracle="""
+SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bin, COUNT(*) AS n
+FROM orders GROUP BY 1 ORDER BY 1
+""",
+)
+def histogram(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.floor(F.col("o_totalprice") / F.lit(50000.0)).cast("long").alias("bin")
+        )
+        .agg(F.count("*").alias("n"))
+        .orderBy("bin")
+    )

@@ -21,18 +21,17 @@ from shmr_spark.queries import query
 # --------------------------------------------------------------------------
 
 
-@query(
-    "window_tumbling",
-    oracle=f"""
+_TUMBLING_ORACLE = f"""
 SELECT CAST(epoch(time_bucket(INTERVAL 1 HOUR, ts)) AS BIGINT) AS window_start,
        event_type,
        COUNT(*) AS n,
        {sql_dsum('value')} AS sum_value
 FROM events
 GROUP BY 1, 2
-""",
-    headline=True,
-)
+"""
+
+
+@query("window_tumbling", oracle=_TUMBLING_ORACLE, headline=True)
 def window_tumbling(spark, sf_dir):
     ev = Dataset(load_table(spark, sf_dir, "events"))
     return (
@@ -257,4 +256,33 @@ def approx_distinct(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     return li.agg(
         F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Structured Streaming through the correctness gate: the stream runs
+# to completion on a file source and must hash-match the BATCH oracle
+# — stream ≡ batch is the defining property of a correct streaming
+# aggregation, and here the driver checks it, not just the test suite.
+# --------------------------------------------------------------------------
+
+
+@query("streaming_tumbling", oracle=_TUMBLING_ORACLE)
+def streaming_tumbling(spark, sf_dir):
+    import os
+    import shutil
+    import tempfile
+
+    from shmr_spark.streaming import (
+        read_events_stream,
+        run_stream_to_memory,
+        tumbling_window_stream,
+    )
+
+    d = tempfile.mkdtemp(prefix="shmr_stream_gate_")
+    shutil.copy(os.path.join(sf_dir, "events.parquet"), d)
+    return run_stream_to_memory(
+        tumbling_window_stream(read_events_stream(spark, d)),
+        "streaming_tumbling_gate",
+        output_mode="complete",
     )
