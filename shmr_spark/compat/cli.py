@@ -353,15 +353,6 @@ def op_coalesce(
         rpp = max(1, math.ceil(total / n))
     else:
         raise ValueError("need records_per_partition or num_partitions")
-    routed = (
-        lines.map(lambda li: (min(li[1] // rpp, n - 1), li))
-        .partitionBy(n, lambda b: b)
-        .map(lambda kv: kv[1])
-        .map(lambda li: (li[1], li[0]))
-        .sortByKey()  # stable order within chunks
-        .map(lambda kv: kv[1])
-    )
-    # reuse split writer: chunks land as part files in chunk order
     tmp = tempfile.mkdtemp(prefix="shmr_spark_coalesce_")
     target = os.path.join(tmp, "d")
     lines.map(lambda li: (min(li[1] // rpp, n - 1), li[0])).partitionBy(

@@ -43,6 +43,28 @@ def bpe_token_estimate(col: Column | str) -> Column:
     return F.ceil(F.length(_c(col)) / F.lit(4)).cast("long")
 
 
+# Explicit ASCII classes, not \w: Java (Spark) and RE2 (DuckDB) agree
+# on these exactly; \w/\s unicode semantics differ between engines.
+_BPE_RE = r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]"
+
+
+def tokens_re(col: Column | str) -> Column:
+    """BPE-style pre-tokenization (word runs + individual punctuation),
+    the GPT-2 pre-tokenizer shape. idx=0 = whole match (Spark defaults
+    to capture group 1 and errors on group-less patterns)."""
+    return F.regexp_extract_all(_c(col), F.lit(_BPE_RE), 0)
+
+
+def token_count_re(col: Column | str) -> Column:
+    return F.size(tokens_re(col)).cast("long")
+
+
+def sql_token_count_re(expr: str) -> str:
+    return (
+        f"CAST(len(regexp_extract_all({expr}, '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]')) AS BIGINT)"
+    )
+
+
 def marker_count(col: Column | str, markers: tuple[str, ...]) -> Column:
     """How many whitespace tokens of `col` are in `markers` — the
     language-ID vote. Array lambda, no explode, no shuffle."""

@@ -24,7 +24,9 @@ from shmr_spark.functions.text import (
     sql_marker_count,
     sql_quality_score,
     sql_token_count,
+    sql_token_count_re,
     token_count,
+    token_count_re,
     LANG_MARKERS,
 )
 from shmr_spark.queries import query
@@ -69,6 +71,7 @@ def text_stats(spark, sf_dir):
     oracle=f"""
 SELECT doc_id,
        {sql_token_count('text')} AS n_tokens,
+       {sql_token_count_re('text')} AS n_tokens_re,
        CAST(length(text) AS BIGINT) AS n_chars_calc,
        CAST(ceil(length(text) / 4) AS BIGINT) AS n_bpe_est
 FROM documents
@@ -79,6 +82,7 @@ def token_count_q(spark, sf_dir):
     return docs.map(
         doc_id=F.col("doc_id"),
         n_tokens=token_count("text"),
+        n_tokens_re=token_count_re("text"),
         n_chars_calc=F.length("text").cast("long"),
         n_bpe_est=bpe_token_estimate("text"),
     ).df

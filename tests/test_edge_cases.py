@@ -1,0 +1,89 @@
+"""Edge-case behavior: empty inputs, all-null groups, single rows —
+the shapes that break naive operator implementations."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from shmr_spark.catalog import load_table
+from shmr_spark.dataset import Dataset
+from shmr_spark.dedup import minhash_near_duplicates
+from shmr_spark.functions.numeric import davg, dsum
+from shmr_spark.functions.text import token_count, token_count_re
+from shmr_spark.operators import asof_join, salted_agg
+
+
+def _empty_li(spark, sf_dir):
+    return Dataset(load_table(spark, sf_dir, "lineitem")).filter(F.lit(False))
+
+
+def test_agg_on_empty(spark, sf_dir):
+    row = (
+        _empty_li(spark, sf_dir)
+        .reduce(
+            dsum("l_quantity").alias("s"),
+            davg("l_quantity").alias("a"),
+            F.count("*").alias("n"),
+        )
+        .df.collect()[0]
+    )
+    assert row.n == 0
+    assert row.s is None  # SQL SUM of empty = NULL, matching DuckDB
+    assert row.a is None
+
+
+def test_groupby_on_empty_yields_no_rows(spark, sf_dir):
+    out = _empty_li(spark, sf_dir).reduce_by_key(
+        ["l_returnflag"], F.count("*").alias("n")
+    )
+    assert out.df.collect() == []
+
+
+def test_distinct_first_single_row_group(spark, sf_dir):
+    li = Dataset(load_table(spark, sf_dir, "lineitem")).head(1)
+    out = li.distinct_first(["l_partkey"], ["l_orderkey"])
+    assert out.count() == 1
+
+
+def test_minhash_on_empty_and_tiny(spark):
+    df = spark.createDataFrame(
+        [(1, "one two"), (2, "x")], "doc_id long, text string"
+    )
+    # shorter than the shingle size: must not crash; no pairs expected
+    assert minhash_near_duplicates(df, threshold=0.5).collect() == []
+    empty = df.filter(F.lit(False))
+    assert minhash_near_duplicates(empty, threshold=0.5).collect() == []
+
+
+def test_asof_empty_left(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.select("event_id", "user_id", "ts").filter(F.lit(False))
+    out = asof_join(
+        left, ev.select("user_id", "ts", "value"), on="user_id",
+        left_ts="ts", right_ts="ts", right_cols=["value"],
+    )
+    assert out.collect() == []
+
+
+def test_salted_agg_empty(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").filter(F.lit(False))
+    out = salted_agg(li, ["l_returnflag"], {"n": ("count", "l_orderkey")})
+    assert out.collect() == []
+
+
+def test_token_counts_on_degenerate_text(spark):
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "a"), (4, None)], "doc_id long, text string"
+    )
+    rows = {
+        r.doc_id: (r.ws, r.re)
+        for r in df.select(
+            "doc_id",
+            token_count("text").alias("ws"),
+            token_count_re("text").alias("re"),
+        ).collect()
+    }
+    assert rows[1] == (1, 0)  # split("", " ") -> [""] (reference-consistent)
+    assert rows[2] == (4, 0)  # "   " -> 4 empty fields, 0 regex tokens
+    assert rows[3] == (1, 1)
+    assert rows[4][0] is None and rows[4][1] is None  # null propagates
