@@ -1,0 +1,90 @@
+"""Duplicate clustering: connected components over near-dup pairs.
+
+Pair detection (MinHash/SimHash/embedding LSH) yields edges; keeping
+one document per duplicate CLUSTER requires the transitive closure —
+a~b, b~c ⇒ {a,b,c} — i.e. connected components, the canonical
+iterative-DataFrame algorithm (not SQL-expressible; the driver gate
+records it rows-only, tests pin known topologies).
+
+Algorithm: iterative min-label propagation. Every node starts labeled
+with itself; each round every node adopts the minimum label in its
+neighborhood (via a join along edges); stop when no label changes.
+Converges in O(diameter) rounds. Scale hygiene:
+
+- edges are symmetrized once; each round is one join + one agg —
+  both shuffle on the node id, so a cluster-by-cluster skew is spread
+  over hash partitions, not one reducer;
+- ``localCheckpoint`` each round cuts the lineage chain that would
+  otherwise grow the plan exponentially and overwhelm the optimizer —
+  THE classic iterative-Spark failure mode;
+- the driver-side loop runs one tiny count per round (the
+  convergence check), not the data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """(node, component) for every node appearing in ``pairs``;
+    component = min node id in the connected component."""
+    edges = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.v == labels.node)
+            .groupBy("u")
+            .agg(F.min("comp").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.u, "left")
+            .select(
+                "node",
+                F.least(F.col("comp"), F.coalesce("nmin", F.col("comp"))).alias("comp"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_keep_cluster_representative(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Drop every document whose near-dup cluster has a lower-id
+    member: the end-to-end near-dup dedup (pairs → components → keep
+    min per component). Documents in no pair survive untouched."""
+    comps = connected_components(pairs, src, dst)
+    losers = comps.filter(F.col("node") != F.col("comp")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")

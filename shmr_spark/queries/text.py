@@ -236,3 +236,96 @@ def ngram_jaccard(spark, sf_dir):
     inter = F.size(F.array_intersect("gs_a", "gs_b")).cast("double")
     union = F.size(F.array_distinct(F.concat("gs_a", "gs_b"))).cast("double")
     return pairs.select("doc_a", "doc_b", (inter / union).alias("jaccard"))
+
+
+# --------------------------------------------------------------------------
+# Train/test contamination: test-split documents whose bag-of-words
+# fingerprint (sorted distinct token set) appears in the train split.
+# The split here is the SQL-expressible doc_id % 5 variant so the
+# whole pipeline is oracle-checked end-to-end.
+# --------------------------------------------------------------------------
+
+_BOW_FP_SQL = "md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))"
+
+
+def _bow_fp_spark():
+    return F.md5(
+        F.array_join(F.array_sort(F.array_distinct(F.split(F.col("text"), " "))), " ")
+    )
+
+
+@query(
+    "contamination_check",
+    oracle=f"""
+SELECT t.doc_id AS test_doc, MIN(tr.doc_id) AS train_match, COUNT(*) AS n_matches
+FROM (SELECT doc_id, {_BOW_FP_SQL} AS fp FROM documents WHERE doc_id % 5 = 0) t
+JOIN (SELECT doc_id, {_BOW_FP_SQL} AS fp FROM documents WHERE doc_id % 5 <> 0) tr
+  USING (fp)
+GROUP BY t.doc_id
+""",
+)
+def contamination_check(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    with_fp = docs.select("doc_id", _bow_fp_spark().alias("fp"))
+    test = with_fp.filter(F.col("doc_id") % 5 == 0).select(
+        F.col("doc_id").alias("test_doc"), "fp"
+    )
+    train = with_fp.filter(F.col("doc_id") % 5 != 0).select(
+        F.col("doc_id").alias("train_doc"), "fp"
+    )
+    return (
+        test.join(train, "fp")
+        .groupBy("test_doc")
+        .agg(
+            F.min("train_doc").alias("train_match"),
+            F.count("*").alias("n_matches"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Text cleaning: redaction + normalization (explicit ASCII regexes so
+# Java and RE2 agree; 'g' flag in DuckDB for replace-all parity).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "clean_text",
+    oracle=r"""
+SELECT doc_id,
+       md5(trim(regexp_replace(regexp_replace(lower(text), '[0-9]+', '<num>', 'g'),
+                               ' +', ' ', 'g'))) AS clean_fp,
+       CAST(length(regexp_replace(lower(text), '[0-9]+', '<num>', 'g')) AS BIGINT)
+         AS clean_len
+FROM documents
+""",
+)
+def clean_text(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    lowered = F.lower(F.col("text"))
+    redacted = F.regexp_replace(lowered, "[0-9]+", "<num>")
+    collapsed = F.trim(F.regexp_replace(redacted, " +", " "))
+    return docs.select(
+        "doc_id",
+        F.md5(collapsed).alias("clean_fp"),
+        F.length(redacted).cast("long").alias("clean_len"),
+    )
+
+
+# --------------------------------------------------------------------------
+# End-to-end near-dup corpus dedup: MinHash pairs → connected
+# components → keep the min-id representative per cluster. Iterative
+# (label propagation) ⇒ not SQL-expressible ⇒ rows-only gate;
+# topology correctness is pinned in tests/test_clusters.py.
+# --------------------------------------------------------------------------
+
+
+@query("dedup_corpus_neardup", oracle=None)
+def dedup_corpus_neardup(spark, sf_dir):
+    from shmr_spark.dedup import minhash_near_duplicates
+    from shmr_spark.dedup.clusters import dedup_keep_cluster_representative
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_near_duplicates(docs, threshold=0.5)
+    survivors = dedup_keep_cluster_representative(docs, pairs)
+    return survivors.select("doc_id").orderBy("doc_id")
