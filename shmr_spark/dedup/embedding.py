@@ -57,7 +57,7 @@ def embedding_near_duplicates(
         F.col(id_col).alias("__id"),
         F.col(vec_col).alias("__v"),
         lsh_bucket(vec_col, planes).alias("__bucket"),
-    )
+    ).localCheckpoint(eager=False)  # bucket dots reused by both join sides
     a = bucketed.alias("a")
     b = bucketed.alias("b")
     sim = F.round(cosine_similarity(F.col("a.__v"), F.col("b.__v")), 6)

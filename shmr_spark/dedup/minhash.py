@@ -32,31 +32,55 @@ from pyspark.sql import functions as F
 def shingle_ngrams(text: Column | str, n: int = 3) -> Column:
     """Distinct token n-gram shingles of a text column, as
     array<string>. Documents shorter than n tokens yield their full
-    token sequence as one shingle."""
+    token sequence as one shingle.
+
+    Built as a zip_with chain over shifted copies of the token array —
+    O(tokens) work. (The naive transform(sequence)+slice formulation
+    re-slices per position = O(tokens²) interpreted work; measured 7×
+    slower at sf0.1.) zip_with pads the shorter side with nulls;
+    null-propagating concat + array_compact drops the tail stubs."""
     c = F.col(text) if isinstance(text, str) else text
     toks = F.split(c, " ")
-    joined = F.array_join(F.slice(toks, 1, F.lit(n)), " ")
-    make = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
-        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    grams = toks
+    for i in range(1, n):
+        shifted = F.slice(toks, i + 1, 2_000_000_000)
+        grams = F.zip_with(
+            grams, shifted, lambda a, b: F.concat(a, F.lit(" "), b)
+        )
+    grams = F.array_compact(grams)
+    joined = F.array_join(toks, " ")
+    return F.array_distinct(
+        F.when(F.size(toks) >= n, grams).otherwise(F.array(joined))
     )
-    return F.array_distinct(F.when(F.size(toks) >= n, make).otherwise(F.array(joined)))
 
 
-def _seeded_hash(i: int):
+# Universal-hash family mod the Mersenne prime 2^31-1: each shingle is
+# string-hashed ONCE (the expensive op), then the k "hash functions"
+# are cheap linear transforms h_i = (a_i·h + b_i) mod p of that base —
+# the textbook MinHash construction. Products stay < 2^62, so ANSI
+# long arithmetic cannot overflow. Constants are fixed-seed.
+_P = 2147483647
+_rng = __import__("random").Random(42)
+_AB = [(_rng.randrange(1, _P), _rng.randrange(_P)) for _ in range(256)]
+
+
+def _linear(i: int):
     # Single-parameter lambda on purpose: a two-parameter lambda would
-    # make F.transform pass the ARRAY INDEX as the second argument,
-    # silently replacing the seed (all hash functions collapse to one).
-    return lambda s: F.xxhash64(s, F.lit(i))
+    # make F.transform pass the ARRAY INDEX as the second argument.
+    a, b = _AB[i]
+    return lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_P))
 
 
 def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
     """MinHash signature (array<long>, length num_hashes): hash i is
-    min over shingles of xxhash64(shingle, i). Pure expression —
-    no explode, no shuffle, no UDF."""
+    min over shingles of (a_i·xxhash64(shingle) + b_i) mod p. Pure
+    expression — no explode, no shuffle, no UDF."""
+    if num_hashes > len(_AB):
+        raise ValueError(f"num_hashes > {len(_AB)} not supported")
+    base = F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_P)))
     return F.array(
         *(
-            F.array_min(F.transform(shingles, _seeded_hash(i)))
+            F.array_min(F.transform(base, _linear(i)))
             for i in range(num_hashes)
         )
     )
@@ -76,20 +100,28 @@ def lsh_candidates(
     band hash — uniformly distributed, skew-free) and the final
     distinct."""
     r = F.floor(F.size(sig_col) / bands).cast("int")
-    banded = df.select(
-        F.col(id_col).alias("__id"),
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.array_join(F.slice(F.col(sig_col), b * r + 1, r), ",")
-                    ).alias("bh"),
-                ),
-            )
-        ).alias("bb"),
-    ).select("__id", "bb.band", "bb.bh")
+    banded = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(bands - 1)),
+                    lambda b: F.struct(
+                        b.alias("band"),
+                        F.xxhash64(
+                            F.array_join(F.slice(F.col(sig_col), b * r + 1, r), ",")
+                        ).alias("bh"),
+                    ),
+                )
+            ).alias("bb"),
+        )
+        .select("__id", "bb.band", "bb.bh")
+        # materialize: the self-join below would otherwise recompute
+        # the full signature expression for BOTH sides (measured 2×
+        # the whole signature cost); the banded table is tiny
+        # (bands rows × ~20 bytes per doc)
+        .localCheckpoint(eager=False)
+    )
     left = banded.alias("a")
     right = banded.alias("b")
     return (
@@ -120,7 +152,7 @@ def minhash_near_duplicates(
     sh = df.select(
         F.col(id_col).alias("__id"),
         shingle_ngrams(text_col, shingle_size).alias("__sh"),
-    )
+    ).localCheckpoint(eager=False)  # reused by signatures AND both verify sides
     sigs = sh.select("__id", minhash_signature(F.col("__sh"), num_hashes).alias("sig"))
     cands = lsh_candidates(sigs, "__id", "sig", bands)
     a = sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a"))

@@ -67,7 +67,7 @@ def simhash_near_duplicates(
     chunk, so blocking finds every qualifying pair."""
     sigs = df.select(
         F.col(id_col).alias("__id"), simhash64(text_col).alias("sig")
-    )
+    ).localCheckpoint(eager=False)  # the chunk self-join reuses both sides
     chunked = sigs.select(
         "__id",
         "sig",

@@ -57,9 +57,17 @@ def cosine_topk_lsh(
     dim: int = 64,
     n_planes: int = 6,
     seed: int = 42,
+    multiprobe_hamming: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: scan only vectors sharing the probe's
-    sign-LSH bucket (expected N/2^n_planes of the corpus)."""
+    """Approximate top-k: scan only vectors whose sign-LSH bucket is
+    within `multiprobe_hamming` bits of the probe's bucket.
+
+    Multi-probe rationale: a true neighbor differs from the probe on a
+    few hyperplane signs with probability ∝ the angle — probing the
+    Hamming-1 neighborhood (n_planes+1 buckets, still only
+    (p+1)/2^p of the corpus) recovers most of the recall that exact
+    bucket match loses. The neighborhood test is one
+    ``bit_count(a^b) <= h`` predicate, no bucket enumeration."""
     planes = hyperplanes(dim, n_planes, seed)
     bucketed = df.select(
         F.col(id_col), F.col(vec_col), lsh_bucket(vec_col, planes).alias("__bucket")
@@ -69,10 +77,13 @@ def cosine_topk_lsh(
         .select(F.col(vec_col).alias("__probe"), F.col("__bucket").alias("__pbucket"))
     )
     sim = F.round(cosine_similarity(F.col(vec_col), F.col("__probe")), 6)
+    near = F.bit_count(
+        F.col("__bucket").bitwiseXOR(F.col("__pbucket"))
+    ) <= multiprobe_hamming
     return (
         bucketed.filter(F.col(id_col) != probe_id)
         .crossJoin(F.broadcast(probe))
-        .filter(F.col("__bucket") == F.col("__pbucket"))
+        .filter(near)
         .select(F.col(id_col), sim.alias("sim"))
         .orderBy(F.desc("sim"), F.asc(id_col))
         .limit(k)

@@ -108,3 +108,19 @@ def test_ivf_topk_recall(spark, sf_dir):
         r.vec_id for r in cosine_topk_ivf(emb, 0, k=5, n_cells=8, n_probe=8).collect()
     ]
     assert full_scan == exact
+
+
+def test_lsh_multiprobe_recall_monotone(spark, sf_dir):
+    """Widening the multi-probe Hamming radius can only add candidates:
+    recall vs exact top-k must be non-decreasing in the radius."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {r.vec_id for r in cosine_topk_bruteforce(emb, 0, k=10).collect()}
+    recalls = []
+    for h in (0, 1, 2):
+        got = {
+            r.vec_id
+            for r in cosine_topk_lsh(emb, 0, k=10, multiprobe_hamming=h).collect()
+        }
+        recalls.append(len(exact & got))
+    assert recalls == sorted(recalls)
+    assert recalls[-1] >= recalls[0]
