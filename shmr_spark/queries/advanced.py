@@ -20,6 +20,7 @@ from shmr_spark.queries import query
 
 @query(
     "asof_join_prev",
+    headline=True,
     oracle="""
 SELECT e.event_id,
        e.user_id,

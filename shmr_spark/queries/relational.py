@@ -487,3 +487,48 @@ def count_distinct(spark, sf_dir):
         F.countDistinct("l_suppkey").alias("n_supps"),
         F.countDistinct("l_orderkey").alias("n_orders"),
     ).df
+
+
+# --------------------------------------------------------------------------
+# SQL API surface: the same engine driven through spark.sql over
+# registered views — a TPC-H Q5-shaped 5-table join (region ⋈ nation ⋈
+# customer ⋈ orders ⋈ lineitem). Catalyst plans it identically to the
+# DataFrame form; the dims chain into broadcasts over the lineitem scan.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "sql_q5_region_revenue",
+    oracle=f"""
+SELECT n.n_name,
+       {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+       COUNT(*) AS n_items
+FROM region r
+JOIN nation n ON n.n_regionkey = r.r_regionkey
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE r.r_name = 'ASIA'
+GROUP BY n.n_name
+ORDER BY revenue DESC, n.n_name
+""",
+    headline=True,
+)
+def sql_q5_region_revenue(spark, sf_dir):
+    from shmr_spark.catalog import register_views
+    from shmr_spark.functions.numeric import sql_dsum as _d
+
+    register_views(spark, sf_dir)
+    return spark.sql(f"""
+        SELECT n.n_name,
+               {_d('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+               COUNT(*) AS n_items
+        FROM region r
+        JOIN nation n ON n.n_regionkey = r.r_regionkey
+        JOIN customer c ON c.c_nationkey = n.n_nationkey
+        JOIN orders o ON o.o_custkey = c.c_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE r.r_name = 'ASIA'
+        GROUP BY n.n_name
+        ORDER BY revenue DESC, n.n_name
+    """)

@@ -174,6 +174,7 @@ def fingerprint_winnow(spark, sf_dir):
 
 @query(
     "dedup_exact",
+    headline=True,
     oracle=r"""
 SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
        MIN(doc_id) AS keep_id,
