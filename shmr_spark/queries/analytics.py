@@ -286,3 +286,70 @@ def streaming_tumbling(spark, sf_dir):
         "streaming_tumbling_gate",
         output_mode="complete",
     )
+
+
+# --------------------------------------------------------------------------
+# Window-function showcase: lag/lead/rank/ntile over a deterministic
+# order — the full analytic-function surface in one oracled query.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "window_functions",
+    oracle="""
+SELECT o_orderkey,
+       lag(o_totalprice) OVER w AS prev_price,
+       lead(o_totalprice) OVER w AS next_price,
+       rank() OVER w AS rnk,
+       ntile(4) OVER w AS quartile,
+       CAST(SUM(CAST(floor(o_totalprice * 1000000.0 + 0.5) AS BIGINT))
+            OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS running_scaled
+FROM orders
+WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+""",
+)
+def window_functions(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    running = (
+        Window.partitionBy("o_orderstatus")
+        .orderBy("o_totalprice", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    scaled = F.floor(F.col("o_totalprice") * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+    return orders.select(
+        "o_orderkey",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.rank().over(w).alias("rnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.sum(scaled).over(running).cast("long").alias("running_scaled"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Time-series trend: monthly revenue via date_trunc (ntz, TZ-free on
+# both engines).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "monthly_trend",
+    oracle=f"""
+SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+       COUNT(*) AS n_orders,
+       {sql_dsum('o_totalprice')} AS revenue
+FROM orders GROUP BY 1 ORDER BY 1
+""",
+)
+def monthly_trend(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.date_trunc("month", "o_orderdate").cast("date").alias("month")
+        )
+        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice").alias("revenue"))
+        .orderBy("month")
+    )

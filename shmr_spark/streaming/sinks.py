@@ -1,0 +1,47 @@
+"""Streaming sinks beyond the memory/test harness.
+
+``stream_to_parquet`` — append-mode parquet file sink with
+checkpointing: exactly-once per micro-batch via the file-sink commit
+log; survives restarts (the checkpoint dir carries source offsets).
+
+``stream_foreach_batch`` — the escape hatch for sinks Spark lacks
+(JDBC upserts, dedup-before-write): each micro-batch arrives as a
+normal DataFrame with an epoch id; the callback can run arbitrary
+batch logic. Idempotence across retries is the callback's contract —
+key it on epoch_id.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import StreamingQuery
+
+
+def stream_to_parquet(
+    sdf: DataFrame, out_dir: str, checkpoint_dir: str
+) -> StreamingQuery:
+    """Append-only parquet sink (aggregations need a watermark so
+    append mode can finalize windows)."""
+    return (
+        sdf.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def stream_foreach_batch(
+    sdf: DataFrame,
+    fn: Callable[[DataFrame, int], None],
+    checkpoint_dir: str,
+    output_mode: str = "update",
+) -> StreamingQuery:
+    return (
+        sdf.writeStream.outputMode(output_mode)
+        .foreachBatch(fn)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

@@ -65,3 +65,47 @@ def test_sessionize_stream_final_state_equals_batch(spark, sf_dir, events_dir):
 def test_watermark_present_in_plan(spark, events_dir):
     sdf = tumbling_window_stream(read_events_stream(spark, events_dir), watermark="2 hours")
     assert "EventTimeWatermark" in sdf._jdf.queryExecution().analyzed().toString()
+
+
+def test_stream_to_parquet_sink(spark, sf_dir, events_dir, tmp_path):
+    """File sink with watermark: windows finalize in append mode and
+    the written parquet equals the batch aggregation for closed
+    windows (every window closes here — bounded input + final flush)."""
+    from shmr_spark.streaming.sinks import stream_to_parquet
+
+    out = str(tmp_path / "agg_out")
+    ckpt = str(tmp_path / "ckpt")
+    sdf = tumbling_window_stream(
+        read_events_stream(spark, events_dir), watermark="1 minute"
+    )
+    q = stream_to_parquet(sdf, out, ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    written = spark.read.parquet(out)
+    batch = load_all()["window_tumbling"].fn(spark, sf_dir)
+    w = {tuple(r) for r in written.collect()}
+    b = {tuple(r) for r in batch.collect()}
+    # append mode only emits windows the watermark has closed; with a
+    # bounded file source every window except the last closes
+    assert w.issubset(b)
+    assert len(w) >= len(b) - len({r[1] for r in b})  # at most one open window per type
+
+
+def test_stream_foreach_batch_collects_epochs(spark, events_dir, tmp_path):
+    from shmr_spark.streaming.sinks import stream_foreach_batch
+
+    seen: list[tuple[int, int]] = []
+
+    def sink(df, epoch_id):
+        seen.append((epoch_id, df.count()))
+
+    sdf = sessionize_stream(read_events_stream(spark, events_dir))
+    q = stream_foreach_batch(sdf, sink, str(tmp_path / "ckpt2"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert seen and all(n >= 0 for _, n in seen)
+    assert [e for e, _ in seen] == sorted({e for e, _ in seen})  # one call per epoch
