@@ -254,3 +254,21 @@ class Dataset:
             .filter(F.col("__rn") <= k)
             .drop("__rn")
         )
+
+    # -- reshaping / upsert ----------------------------------------------
+
+    def pivot(self, key: str, pivot_col: str, values: list, agg: Column) -> "Dataset":
+        """Wide-form: one column per pivot value (values listed
+        explicitly — an unbounded pivot needs a pre-pass at scale)."""
+        return self._wrap(self.df.groupBy(key).pivot(pivot_col, values).agg(agg))
+
+    def unpivot(self, ids, value_cols: list[str], var_name: str = "metric", value_name: str = "value") -> "Dataset":
+        """Long-form (melt): one row per (id, value column)."""
+        return self._wrap(self.df.unpivot(ids, value_cols, var_name, value_name))
+
+    def merge_upsert(self, updates: "Dataset", keys: list[str]) -> "Dataset":
+        """MERGE INTO emulation (operators/merge.py): updates win on
+        key match, new keys insert, the rest pass through."""
+        from shmr_spark.operators.merge import merge_upsert
+
+        return self._wrap(merge_upsert(self.df, updates.df, keys))

@@ -232,3 +232,57 @@ def histogram(spark, sf_dir):
         .agg(F.count("*").alias("n"))
         .orderBy("bin")
     )
+
+
+# --------------------------------------------------------------------------
+# MERGE INTO emulation: updates (10% price bump for every 100th order,
+# plus two brand-new orders) upserted into orders. The oracle builds
+# the same result relationally.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "merge_upsert",
+    oracle="""
+WITH updates AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CAST(o_totalprice * 1.1 AS DOUBLE) AS o_totalprice,
+         CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 100 = 0
+  UNION ALL
+  SELECT * FROM (VALUES
+    (900000001, 1, 'O', CAST(100.0 AS DOUBLE), DATE '2001-01-01', 'NEW'),
+    (900000002, 2, 'O', CAST(200.0 AS DOUBLE), DATE '2001-01-02', 'NEW'))
+)
+SELECT * FROM updates
+UNION ALL
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+       CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority
+FROM orders
+WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates)
+""",
+)
+def merge_upsert_q(spark, sf_dir):
+    from shmr_spark.operators.merge import merge_upsert
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.to_date("o_orderdate").alias("o_orderdate"),
+        "o_orderpriority",
+    )
+    bumped = orders.filter(F.col("o_orderkey") % 100 == 0).withColumn(
+        "o_totalprice", (F.col("o_totalprice") * 1.1).cast("double")
+    )
+    new_rows = spark.createDataFrame(
+        [
+            (900000001, 1, "O", 100.0, "2001-01-01", "NEW"),
+            (900000002, 2, "O", 200.0, "2001-01-02", "NEW"),
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).withColumn("o_orderdate", F.to_date("o_orderdate"))
+    updates = bumped.unionByName(new_rows)
+    return merge_upsert(orders, updates, ["o_orderkey"])

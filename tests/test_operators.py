@@ -85,3 +85,26 @@ def test_salted_agg_rejects_non_algebraic(spark, sf_dir):
 
     with _pt.raises(ValueError, match="non-algebraic"):
         salted_agg(li, ["l_returnflag"], {"m": ("median", "l_quantity")})
+
+
+def test_merge_upsert_semantics(spark, sf_dir):
+    from shmr_spark.operators.merge import merge_upsert
+
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "k long, v string, x double"
+    )
+    updates = spark.createDataFrame(
+        [(2, "B", 99.0), (4, "d", 40.0)], "k long, v string, x double"
+    )
+    got = {r.k: (r.v, r.x) for r in merge_upsert(target, updates, ["k"]).collect()}
+    assert got == {1: ("a", 10.0), 2: ("B", 99.0), 3: ("c", 30.0), 4: ("d", 40.0)}
+
+
+def test_merge_upsert_idempotent(spark):
+    from shmr_spark.operators.merge import merge_upsert
+
+    target = spark.createDataFrame([(1, "a")], "k long, v string")
+    updates = spark.createDataFrame([(1, "A")], "k long, v string")
+    once = merge_upsert(target, updates, ["k"])
+    twice = merge_upsert(once, updates, ["k"])
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
