@@ -74,7 +74,10 @@ def _linear(i: int):
 def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
     """MinHash signature (array<long>, length num_hashes): hash i is
     min over shingles of (a_i·xxhash64(shingle) + b_i) mod p. Pure
-    expression — no explode, no shuffle, no UDF."""
+    expression — no explode, no shuffle, no UDF. Note: higher-order
+    function lambdas are interpreted, not codegen'd — for bulk
+    signature computation prefer minhash_signatures_df (explode +
+    codegen'd min aggregates; same values)."""
     if num_hashes > len(_AB):
         raise ValueError(f"num_hashes > {len(_AB)} not supported")
     base = F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_P)))
@@ -83,6 +86,34 @@ def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
             F.array_min(F.transform(base, _linear(i)))
             for i in range(num_hashes)
         )
+    )
+
+
+def minhash_signatures_df(
+    sh_df: DataFrame,
+    id_col: str = "__id",
+    shingles_col: str = "__sh",
+    num_hashes: int = 64,
+) -> DataFrame:
+    """Bulk (id, sig) signatures via explode → codegen'd min
+    aggregates — identical values to minhash_signature but the hot
+    loop is whole-stage-codegen'd primitive ops instead of interpreted
+    array lambdas (~2× faster at sf0.1). Costs one shuffle on the id;
+    rows whose shingle array is empty/null vanish (none are produced
+    by shingle_ngrams)."""
+    if num_hashes > len(_AB):
+        raise ValueError(f"num_hashes > {len(_AB)} not supported")
+    ex = sh_df.select(
+        F.col(id_col), F.explode(shingles_col).alias("__s")
+    ).withColumn("__h", F.pmod(F.xxhash64("__s"), F.lit(_P)))
+    mins = ex.groupBy(id_col).agg(
+        *(
+            F.min(F.pmod(F.col("__h") * F.lit(a) + F.lit(b), F.lit(_P))).alias(f"__m{i}")
+            for i, (a, b) in enumerate(_AB[:num_hashes])
+        )
+    )
+    return mins.select(
+        id_col, F.array(*(F.col(f"__m{i}") for i in range(num_hashes))).alias("sig")
     )
 
 
@@ -153,7 +184,7 @@ def minhash_near_duplicates(
         F.col(id_col).alias("__id"),
         shingle_ngrams(text_col, shingle_size).alias("__sh"),
     ).localCheckpoint(eager=False)  # reused by signatures AND both verify sides
-    sigs = sh.select("__id", minhash_signature(F.col("__sh"), num_hashes).alias("sig"))
+    sigs = minhash_signatures_df(sh, "__id", "__sh", num_hashes)
     cands = lsh_candidates(sigs, "__id", "sig", bands)
     a = sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a"))
     b = sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b"))
