@@ -286,3 +286,40 @@ def merge_upsert_q(spark, sf_dir):
     ).withColumn("o_orderdate", F.to_date("o_orderdate"))
     updates = bumped.unionByName(new_rows)
     return merge_upsert(orders, updates, ["o_orderkey"])
+
+
+# --------------------------------------------------------------------------
+# Data profiling: one-pass per-column stats, unpivoted to long form.
+# Oracled on an int/string table (double→string rendering differs
+# between engines, so the oracle table avoids float columns; the
+# operator itself takes any schema).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "profile_columns",
+    oracle="""
+SELECT 'n_nationkey' AS "column", COUNT(*) AS n,
+       CAST(SUM(CASE WHEN n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       COUNT(DISTINCT n_nationkey) AS n_distinct,
+       MIN(CAST(n_nationkey AS VARCHAR)) AS min_str,
+       MAX(CAST(n_nationkey AS VARCHAR)) AS max_str
+FROM nation
+UNION ALL
+SELECT 'n_name', COUNT(*),
+       CAST(SUM(CASE WHEN n_name IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       COUNT(DISTINCT n_name), MIN(n_name), MAX(n_name)
+FROM nation
+UNION ALL
+SELECT 'n_regionkey', COUNT(*),
+       CAST(SUM(CASE WHEN n_regionkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       COUNT(DISTINCT n_regionkey),
+       MIN(CAST(n_regionkey AS VARCHAR)), MAX(CAST(n_regionkey AS VARCHAR))
+FROM nation
+""",
+)
+def profile_columns_q(spark, sf_dir):
+    from shmr_spark.operators.profile import profile_columns
+
+    nation = load_table(spark, sf_dir, "nation")
+    return profile_columns(nation)

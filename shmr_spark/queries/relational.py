@@ -515,10 +515,12 @@ ORDER BY revenue DESC, n.n_name
     headline=True,
 )
 def sql_q5_region_revenue(spark, sf_dir):
-    from shmr_spark.catalog import register_views
     from shmr_spark.functions.numeric import sql_dsum as _d
 
-    register_views(spark, sf_dir)
+    # register only the tables this query touches (a full
+    # register_views pays 10 parquet footer reads per invocation)
+    for t in ("region", "nation", "customer", "orders", "lineitem"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(f"""
         SELECT n.n_name,
                {_d('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,

@@ -123,3 +123,42 @@ def dedup_simhash(spark, sf_dir):
 def dedup_embedding_lsh(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     return embedding_near_duplicates(emb, threshold=0.95, n_planes=8)
+
+
+# --------------------------------------------------------------------------
+# Batch kNN join: top-k neighbors for every probe in one job. Exact
+# tier oracled via a DuckDB window over the cross join; LSH tier
+# rows-only (bucket expansion not SQL-expressible).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "knn_join_exact",
+    oracle=f"""
+SELECT probe_id, neighbor_id, sim, rn FROM (
+  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+         {_SQL_COS.format(a='c.embedding', b='p.embedding')} AS sim,
+         row_number() OVER (
+           PARTITION BY p.vec_id
+           ORDER BY {_SQL_COS.format(a='c.embedding', b='p.embedding')} DESC,
+                    c.vec_id) AS rn
+  FROM embeddings p JOIN embeddings c ON c.vec_id <> p.vec_id
+  WHERE p.vec_id % 100 = 0
+) WHERE rn <= 5
+""",
+)
+def knn_join_exact_q(spark, sf_dir):
+    from shmr_spark.similarity.knn import knn_join_exact
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") % 100 == 0)
+    return knn_join_exact(probes, emb, k=5)
+
+
+@query("knn_join_lsh", oracle=None)
+def knn_join_lsh_q(spark, sf_dir):
+    from shmr_spark.similarity.knn import knn_join_lsh
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") % 100 == 0)
+    return knn_join_lsh(probes, emb, k=5, radius=1)

@@ -1,0 +1,108 @@
+"""Batch kNN join: top-k corpus neighbors for EVERY probe — the bulk
+shape a training pipeline actually runs (dedup sweeps, retrieval eval),
+versus the single-probe search in similarity/search.py.
+
+- knn_join_exact: broadcast the probe set, crossJoin the (distributed)
+  corpus, window top-k per probe. Work O(|probes|·|corpus|·d) but
+  embarrassingly parallel over corpus partitions; right while probes
+  fit in a broadcast (~millions of rows).
+- knn_join_lsh: both sides sign-LSH-bucketed; each probe EXPANDS to
+  its Hamming ≤ radius neighbor bucket ids, then a plain EQUI-join on
+  the bucket id feeds the same window top-k. The multi-probe expansion
+  keeps it an equi-join (shuffle-hash/sort-merge, broadcast-able) —
+  no inequality predicate, so Catalyst never falls back to a
+  nested-loop. Candidates ≈ |corpus|·(Σ C(p,≤r))/2^p per probe.
+"""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from shmr_spark.dedup.embedding import hyperplanes, lsh_bucket
+from shmr_spark.functions.vectors import cosine_similarity
+
+
+def _topk_per_probe(pairs: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("probe_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("probe_id", "neighbor_id", "sim", F.col("rn").cast("long").alias("rn"))
+    )
+
+
+def knn_join_exact(
+    probes: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    probe_id: str = "vec_id",
+    probe_vec: str = "embedding",
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors per probe (self-matches by id excluded)."""
+    p = probes.select(
+        F.col(probe_id).alias("probe_id"), F.col(probe_vec).alias("__pv")
+    )
+    c = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec).alias("__cv")
+    )
+    sim = F.round(cosine_similarity(F.col("__cv"), F.col("__pv")), 6)
+    pairs = (
+        c.crossJoin(F.broadcast(p))
+        .filter(F.col("neighbor_id") != F.col("probe_id"))
+        .select("probe_id", "neighbor_id", sim.alias("sim"))
+    )
+    return _topk_per_probe(pairs, k)
+
+
+def _neighbor_buckets(bucket, n_planes: int, radius: int):
+    """Column expr: array of bucket ids within Hamming `radius`."""
+    ids = [bucket]
+    for r in range(1, radius + 1):
+        for bits in combinations(range(n_planes), r):
+            mask = 0
+            for b in bits:
+                mask |= 1 << b
+            ids.append(bucket.bitwiseXOR(F.lit(mask)))
+    return F.array(*ids)
+
+
+def knn_join_lsh(
+    probes: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    probe_id: str = "vec_id",
+    probe_vec: str = "embedding",
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 8,
+    radius: int = 1,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate kNN join: candidates from an equi-join on expanded
+    LSH buckets, verified with exact cosine, window top-k."""
+    planes = hyperplanes(dim, n_planes, seed)
+    c = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"),
+        F.col(corpus_vec).alias("__cv"),
+        lsh_bucket(corpus_vec, planes).alias("__bucket"),
+    )
+    p = probes.select(
+        F.col(probe_id).alias("probe_id"),
+        F.col(probe_vec).alias("__pv"),
+        F.explode(
+            _neighbor_buckets(lsh_bucket(probe_vec, planes), n_planes, radius)
+        ).alias("__bucket"),
+    )
+    sim = F.round(cosine_similarity(F.col("__cv"), F.col("__pv")), 6)
+    pairs = (
+        c.join(F.broadcast(p), "__bucket")
+        .filter(F.col("neighbor_id") != F.col("probe_id"))
+        .select("probe_id", "neighbor_id", sim.alias("sim"))
+    )
+    return _topk_per_probe(pairs, k)

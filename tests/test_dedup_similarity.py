@@ -124,3 +124,36 @@ def test_lsh_multiprobe_recall_monotone(spark, sf_dir):
         recalls.append(len(exact & got))
     assert recalls == sorted(recalls)
     assert recalls[-1] >= recalls[0]
+
+
+def test_knn_join_exact_matches_single_probe(spark, sf_dir):
+    """Batch kNN for one probe ≡ the single-probe brute-force search."""
+    from shmr_spark.similarity.knn import knn_join_exact
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe = emb.filter(F.col("vec_id") == 0)
+    batch = [
+        (r.neighbor_id, r.sim)
+        for r in knn_join_exact(probe, emb, k=10).orderBy("rn").collect()
+    ]
+    single = [(r.vec_id, r.sim) for r in cosine_topk_bruteforce(emb, 0, k=10).collect()]
+    assert batch == single
+
+
+def test_knn_join_lsh_subset_of_exact_candidates(spark, sf_dir):
+    """Every LSH result must carry the true cosine (verified against
+    the exact join) and per-probe result sets are <= k."""
+    from shmr_spark.similarity.knn import knn_join_exact, knn_join_lsh
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") % 250 == 0)
+    exact_sims = {
+        (r.probe_id, r.neighbor_id): r.sim
+        for r in knn_join_exact(probes, emb, k=10_000).collect()
+    }
+    lsh = knn_join_lsh(probes, emb, k=5, radius=1).collect()
+    per_probe: dict[int, int] = {}
+    for r in lsh:
+        per_probe[r.probe_id] = per_probe.get(r.probe_id, 0) + 1
+        assert exact_sims[(r.probe_id, r.neighbor_id)] == r.sim
+    assert all(n <= 5 for n in per_probe.values())

@@ -108,3 +108,17 @@ def test_merge_upsert_idempotent(spark):
     once = merge_upsert(target, updates, ["k"])
     twice = merge_upsert(once, updates, ["k"])
     assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+def test_profile_columns_stats(spark, sf_dir):
+    from shmr_spark.operators.profile import profile_columns
+
+    cust = load_table(spark, sf_dir, "customer")
+    prof = {r.column: r for r in profile_columns(cust).collect()}
+    assert set(prof) == set(cust.columns)
+    n = cust.count()
+    for c, r in prof.items():
+        assert r.n == n
+        assert r.n_null == 0
+        assert 1 <= r.n_distinct <= n
+    assert prof["c_custkey"].n_distinct == n  # key column is unique
