@@ -330,3 +330,98 @@ def dedup_corpus_neardup(spark, sf_dir):
     pairs = minhash_near_duplicates(docs, threshold=0.5)
     survivors = dedup_keep_cluster_representative(docs, pairs)
     return survivors.select("doc_id").orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Document chunking: overlapping token windows (LLM context packing).
+# DuckDB twin uses 1-based inclusive list slicing; Spark uses
+# (start, length) slices — same windows.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "chunk_documents",
+    oracle="""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+SELECT doc_id,
+       CAST((u.s - 1) / 24 AS INT) AS chunk_idx,
+       array_to_string(toks[u.s : u.s + 31], ' ') AS chunk_text,
+       CAST(len(toks[u.s : u.s + 31]) AS BIGINT) AS n_chunk_tokens
+FROM t, unnest(generate_series(1, greatest(len(toks) - 8, 1), 24)) AS u(s)
+""",
+)
+def chunk_documents_q(spark, sf_dir):
+    from shmr_spark.functions.chunking import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_size=32, overlap=8)
+
+
+# --------------------------------------------------------------------------
+# Repetition ratio — the Gopher-style duplicate-n-gram quality signal.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "repetition_ratio",
+    oracle="""
+WITH g AS (
+  SELECT doc_id,
+         CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+           list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
+                          i -> string_split(text, ' ')[i] || ' ' ||
+                               string_split(text, ' ')[i+1] || ' ' ||
+                               string_split(text, ' ')[i+2])
+         ELSE [text] END AS grams
+  FROM documents
+)
+SELECT doc_id,
+       CAST(1.0 AS DOUBLE)
+         - CAST(len(list_distinct(grams)) AS DOUBLE) / CAST(len(grams) AS DOUBLE)
+         AS dup_trigram_frac
+FROM g
+""",
+)
+def repetition_ratio(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    grams = toks
+    for i in range(1, 3):
+        grams = F.zip_with(
+            grams,
+            F.slice(toks, i + 1, 2_000_000_000),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    grams = F.when(F.size(toks) >= 3, F.array_compact(grams)).otherwise(
+        F.array(F.col("text"))
+    )
+    frac = F.lit(1.0).cast("double") - (
+        F.size(F.array_distinct(grams)).cast("double") / F.size(grams).cast("double")
+    )
+    return docs.select("doc_id", frac.alias("dup_trigram_frac"))
+
+
+# --------------------------------------------------------------------------
+# Corpus token frequencies (Zipf head): explode → count → top-k.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "token_frequencies",
+    oracle="""
+SELECT token, COUNT(*) AS n FROM (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+) GROUP BY token
+QUALIFY row_number() OVER (ORDER BY COUNT(*) DESC, token) <= 20
+ORDER BY COUNT(*) DESC, token
+""",
+)
+def token_frequencies(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(20)
+    )

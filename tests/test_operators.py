@@ -122,3 +122,36 @@ def test_profile_columns_stats(spark, sf_dir):
         assert r.n_null == 0
         assert 1 <= r.n_distinct <= n
     assert prof["c_custkey"].n_distinct == n  # key column is unique
+
+
+def test_chunk_documents_coverage(spark, sf_dir):
+    """Every token appears in >= 1 chunk; consecutive chunks overlap by
+    exactly `overlap` tokens (except the trailing partial)."""
+    from shmr_spark.functions.chunking import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    out = chunk_documents(docs, chunk_size=10, overlap=3)
+    rows = sorted(
+        ((r.doc_id, r.chunk_idx, r.chunk_text) for r in out.collect())
+    )
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    from collections import defaultdict
+
+    per_doc = defaultdict(list)
+    for doc_id, idx, chunk in rows:
+        per_doc[doc_id].append((idx, chunk.split(" ")))
+    for doc_id, chunks in per_doc.items():
+        toks = texts[doc_id].split(" ")
+        chunks.sort()
+        # reconstruction: stride-7 windows of size 10 cover all tokens
+        rebuilt = []
+        for idx, c in chunks:
+            start = idx * 7
+            assert c == toks[start : start + 10]
+            rebuilt.extend(c if not rebuilt else c[3:])
+        assert rebuilt == toks
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        chunk_documents(docs, chunk_size=5, overlap=5)
