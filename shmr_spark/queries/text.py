@@ -425,3 +425,19 @@ def token_frequencies(spark, sf_dir):
         .orderBy(F.desc("n"), F.asc("token"))
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# TF-IDF: top terms per probe document. Rows-only (ln() is
+# libm-dependent across engines); the arithmetic is cross-checked in
+# tests/test_text_ops.py against a pure-Python computation.
+# --------------------------------------------------------------------------
+
+
+@query("tfidf_top_terms", oracle=None)
+def tfidf_top_terms(spark, sf_dir):
+    from shmr_spark.functions.tfidf import tfidf
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = tfidf(docs, top_k=5)
+    return out.filter(F.col("doc_id") < 50).orderBy("doc_id", F.desc("tfidf"), "term")
