@@ -355,3 +355,58 @@ def monthly_trend(spark, sf_dir):
         .agg(F.count("*").alias("n_orders"), dsum("o_totalprice").alias("revenue"))
         .orderBy("month")
     )
+
+
+# --------------------------------------------------------------------------
+# Correlation/covariance — deterministically, from exact component
+# sums: corr = (n·Σxy − Σx·Σy) / sqrt((n·Σx² − Σx²)(n·Σy² − Σy²)).
+# Each Σ goes through the scaled-int64 path (exact, order-free), the
+# final arithmetic runs on identical doubles in both engines. A plain
+# F.corr vs DuckDB corr() would drift in the last bits.
+# --------------------------------------------------------------------------
+
+
+def _sql_corr_from_sums(x: str, y: str) -> str:
+    def s(expr, scale):
+        return (
+            f"CAST(CAST(SUM(CAST(floor(({expr}) * {scale} + 0.5) AS BIGINT)) AS BIGINT)"
+            f" AS DOUBLE) / {scale}"
+        )
+
+    # quantity ~ 1e1 (scale 1e6 fine); price ~ 1e5; xy ~ 1e6, y² ~ 1e10
+    # → scale 1e4 keeps |sum·scale| < 2^63 with wide margin at sf0.1
+    sx, sy = s(x, "1000000.0"), s(y, "10000.0")
+    sxy, sxx, syy = s(f"({x}) * ({y})", "10000.0"), s(f"({x}) * ({x})", "10000.0"), s(f"({y}) * ({y})", "100.0")
+    n = "CAST(COUNT(*) AS DOUBLE)"
+    return (
+        f"CAST(({n} * ({sxy}) - ({sx}) * ({sy})) / "
+        f"sqrt(({n} * ({sxx}) - ({sx}) * ({sx})) * ({n} * ({syy}) - ({sy}) * ({sy}))) AS DOUBLE)"
+    )
+
+
+@query(
+    "correlation",
+    oracle=f"""
+SELECT l_returnflag,
+       {_sql_corr_from_sums('l_quantity', 'l_extendedprice')} AS corr_qty_price
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+)
+def correlation(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def s(col, scale):
+        return F.sum(
+            F.floor(col * F.lit(scale) + F.lit(0.5)).cast("long")
+        ).cast("double") / F.lit(scale)
+
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    sx, sy = s(x, 1000000.0), s(y, 10000.0)
+    sxy, sxx, syy = s(x * y, 10000.0), s(x * x, 10000.0), s(y * y, 100.0)
+    n = F.count("*").cast("double")
+    corr = (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    return (
+        li.groupBy("l_returnflag")
+        .agg(corr.cast("double").alias("corr_qty_price"))
+        .orderBy("l_returnflag")
+    )

@@ -441,3 +441,16 @@ def tfidf_top_terms(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     out = tfidf(docs, top_k=5)
     return out.filter(F.col("doc_id") < 50).orderBy("doc_id", F.desc("tfidf"), "term")
+
+
+@query("bm25_top_terms", oracle=None)
+def bm25_top_terms(spark, sf_dir):
+    """BM25 salient terms per probe document (rows-only: ln())."""
+    from shmr_spark.functions.bm25 import bm25
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        bm25(docs, top_k=5)
+        .filter(F.col("doc_id") < 50)
+        .orderBy("doc_id", F.desc("bm25"), "term")
+    )

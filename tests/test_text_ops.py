@@ -54,3 +54,37 @@ def test_csv_malformed_modes(spark, tmp_path):
     rows = dropped.collect()
     assert len(rows) == 3
     assert all(r.name != "bad" for r in rows)
+
+
+def test_bm25_matches_python(spark, sf_dir):
+    from shmr_spark.functions.bm25 import bm25
+
+    docs = load_table(spark, sf_dir, "documents").limit(25).select("doc_id", "text")
+    rows = {r.doc_id: r.text.split(" ") for r in docs.collect()}
+    n = len(rows)
+    avgdl = sum(len(t) for t in rows.values()) / n
+    dfreq = Counter()
+    for toks in rows.values():
+        for t in set(toks):
+            dfreq[t] += 1
+    k1, b = 1.2, 0.75
+    got = bm25(docs).collect()
+    for r in got:
+        toks = rows[r.doc_id]
+        tf = toks.count(r.term)
+        idf = math.log(1 + (n - dfreq[r.term] + 0.5) / (dfreq[r.term] + 0.5))
+        want = idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(toks) / avgdl))
+        assert abs(r.bm25 - want) < 1e-9
+
+
+def test_glob_multifile_parquet_read(spark, sf_dir, tmp_path):
+    """Glob inputs over a multi-file dataset — the reference's
+    ListPartition model on the parquet path."""
+    src = load_table(spark, sf_dir, "customer")
+    base = tmp_path / "multi"
+    for i in range(4):
+        src.filter(F.col("c_custkey") % 4 == i).write.mode("overwrite").parquet(
+            str(base / f"part={i}")
+        )
+    back = spark.read.parquet(str(base / "part=*"))
+    assert back.count() == src.count()
