@@ -410,3 +410,28 @@ def correlation(spark, sf_dir):
         .agg(corr.cast("double").alias("corr_qty_price"))
         .orderBy("l_returnflag")
     )
+
+
+# --------------------------------------------------------------------------
+# Quantile outlier filter: rows above the exact p99 — percentile
+# computed once, broadcast back as a 1-row join (no driver action).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "outlier_filter",
+    oracle="""
+WITH cut AS (SELECT quantile_cont(o_totalprice, 0.99) AS p99 FROM orders)
+SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, cut.p99
+FROM orders o, cut
+WHERE o.o_totalprice > cut.p99
+""",
+)
+def outlier_filter(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    cut = orders.agg(F.expr("percentile(o_totalprice, 0.99)").alias("p99"))
+    return (
+        orders.crossJoin(F.broadcast(cut))
+        .filter(F.col("o_totalprice") > F.col("p99"))
+        .select("o_orderkey", "o_custkey", "o_totalprice", "p99")
+    )

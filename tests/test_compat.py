@@ -107,3 +107,29 @@ def test_distinct_records_per_partition(spark, sf_dir):
 
     worst = max(out.df.rdd.mapPartitions(max_key_count).collect())
     assert worst <= 1
+
+
+def test_sql_udf_registry(spark, sf_dir):
+    """Helper fns callable from spark.sql — and the FNV hash matches
+    the Python implementation exactly (worker == driver)."""
+    from shmr_spark.compat.funcs import str2hashnumber
+    from shmr_spark.compat.udf_registry import register_helpers
+
+    register_helpers(spark)
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("cust_udf_t")
+    rows = spark.sql(
+        "SELECT c_name, shmr_str2hashnumber(c_name) AS h FROM cust_udf_t LIMIT 20"
+    ).collect()
+    for r in rows:
+        # SQL LongType is signed 64-bit; python fn returns unsigned
+        assert r.h % (2**64) == str2hashnumber(r.c_name) % (2**64)
+
+
+def test_global_sort_is_globally_sorted(spark, sf_dir):
+    """orderBy = range partitioning + local sort: partition i's rows
+    all precede partition i+1's (checked via partition-ordered
+    iteration)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_extendedprice")
+    s = li.orderBy("l_extendedprice")
+    vals = [r.l_extendedprice for r in s.toLocalIterator()]
+    assert vals == sorted(vals)
