@@ -44,9 +44,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        return df.withColumn(
-            "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
-        )
+        # `ts div 1000` is exact int64 division — `floor(ts / 1000)`
+        # would round-trip through double and lose micros above 2^53 ns
+        # (~1971). `div` truncates toward zero, which matches DuckDB's
+        # nanos→micros truncation for post-epoch data.
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     return spark.read.parquet(path)
 
 

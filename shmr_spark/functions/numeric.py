@@ -67,16 +67,21 @@ def dmul(a: Column, b: Column) -> Column:
 
 
 def sql_dsum(expr: str) -> str:
-    """DuckDB twin of dsum() for oracle_sql strings."""
+    """DuckDB twin of dsum() for oracle_sql strings.
+
+    The operand is cast to DOUBLE first: DuckDB types the literal
+    ``1000000.0`` as DECIMAL, and FLOAT * DECIMAL stays FLOAT — a
+    float32 product that rounds differently from Spark's
+    float→double promotion. The cast is a no-op for DOUBLE columns."""
     return (
-        f"(CAST(CAST(SUM(CAST(floor(({expr}) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)"
-        f" AS DOUBLE) / 1000000.0)"
+        f"(CAST(CAST(SUM(CAST(floor(CAST(({expr}) AS DOUBLE) * 1000000.0 + 0.5)"
+        f" AS BIGINT)) AS BIGINT) AS DOUBLE) / 1000000.0)"
     )
 
 
 def sql_davg(expr: str) -> str:
-    """DuckDB twin of davg()."""
+    """DuckDB twin of davg() (same DOUBLE-cast rule as sql_dsum)."""
     return (
-        f"CAST((CAST(CAST(SUM(CAST(floor(({expr}) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)"
-        f" AS DOUBLE) / 1000000.0) / COUNT({expr}) AS DOUBLE)"
+        f"CAST((CAST(CAST(SUM(CAST(floor(CAST(({expr}) AS DOUBLE) * 1000000.0 + 0.5)"
+        f" AS BIGINT)) AS BIGINT) AS DOUBLE) / 1000000.0) / COUNT({expr}) AS DOUBLE)"
     )

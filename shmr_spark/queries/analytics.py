@@ -435,3 +435,33 @@ def outlier_filter(spark, sf_dir):
         .filter(F.col("o_totalprice") > F.col("p99"))
         .select("o_orderkey", "o_custkey", "o_totalprice", "p99")
     )
+
+
+# --------------------------------------------------------------------------
+# Interval (range) self-join on events: pairs of events by the same
+# user within a 5-minute window — binned equi-join + residual filter,
+# never a per-key cross product (operators/interval.py).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "interval_join_events",
+    oracle="""
+SELECT a.user_id, COUNT(*) AS n_pairs,
+       MAX(ABS(epoch_us(b.ts) - epoch_us(a.ts))) AS max_gap_us
+FROM events a JOIN events b
+  ON a.user_id = b.user_id AND a.event_id < b.event_id
+ AND ABS(epoch_us(b.ts) - epoch_us(a.ts)) <= 300000000
+GROUP BY a.user_id
+""",
+)
+def interval_join_events(spark, sf_dir):
+    from shmr_spark.operators.interval import interval_self_join
+
+    ev = load_table(spark, sf_dir, "events")
+    pairs = interval_self_join(
+        ev, key_col="user_id", ts_col="ts", id_col="event_id", tolerance_us=300_000_000
+    )
+    return pairs.groupBy("user_id").agg(
+        F.count("*").alias("n_pairs"), F.max("gap_us").alias("max_gap_us")
+    )

@@ -534,3 +534,89 @@ def sql_q5_region_revenue(spark, sf_dir):
         GROUP BY n.n_name
         ORDER BY revenue DESC, n.n_name
     """)
+
+
+# --------------------------------------------------------------------------
+# TPC-H-shaped headline queries beyond Q1/Q5: Q6 (pure scan + filter +
+# agg — measures pushdown and codegen throughput, zero shuffle beyond
+# the final 1-row agg) and Q3 (3-table join + agg + top-k).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q6_promo_revenue",
+    oracle=f"""
+SELECT {sql_dsum('l_extendedprice * l_discount')} AS revenue, COUNT(*) AS n
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+    headline=True,
+)
+def q6_promo_revenue(spark, sf_dir):
+    li = Dataset(load_table(spark, sf_dir, "lineitem"))
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .reduce(
+            dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+            F.count("*").alias("n"),
+        )
+        .df
+    )
+
+
+@query(
+    "q3_top_orders",
+    oracle=f"""
+SELECT l_orderkey, {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+       CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '2000-03-15 00:00:00'
+  AND l_shipdate  > TIMESTAMP '2000-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+""",
+    headline=True,
+)
+def q3_top_orders(spark, sf_dir):
+    """Shipping-backlog top-10: the dimension filters cut customer to
+    ~1/5 and orders by date before the joins (pushdown), customer side
+    broadcasts, and the final top-k is TakeOrderedAndProject — no
+    global sort materialization."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("2000-03-15 00:00:00")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("2000-03-15 00:00:00")
+    )
+    return (
+        li.join(
+            orders, li.l_orderkey == orders.o_orderkey
+        )
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.to_date("o_orderdate").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )

@@ -19,6 +19,7 @@ from shmr_spark.dedup import (
     minhash_near_duplicates,
     simhash_near_duplicates,
 )
+from shmr_spark.functions.numeric import davg, sql_davg
 from shmr_spark.functions.vectors import cosine_similarity
 from shmr_spark.queries import query
 from shmr_spark.similarity import cosine_topk_ivf, cosine_topk_lsh
@@ -107,6 +108,15 @@ def similarity_ivf_topk(spark, sf_dir):
     return cosine_topk_ivf(emb, probe_id=0, k=10)
 
 
+@query("similarity_ivf_kmeans_topk", oracle=None)
+def similarity_ivf_kmeans_topk(spark, sf_dir):
+    """IVF with Lloyd-refined centroids (spherical k-means): the scale
+    path for ANN — cells are rebalanced so each probe scans a small,
+    relevant fraction of the corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk_ivf(emb, probe_id=0, k=10, kmeans_iters=3)
+
+
 @query("dedup_minhash", oracle=None)
 def dedup_minhash(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
@@ -162,3 +172,29 @@ def knn_join_lsh_q(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") % 100 == 0)
     return knn_join_lsh(probes, emb, k=5, radius=1)
+
+
+# --------------------------------------------------------------------------
+# Per-label centroids in long form (label, pos, centroid_val): the
+# embedding-analytics primitive behind class prototypes, cluster
+# quality checks, and IVF seeding. Long form keeps the oracle purely
+# relational (DuckDB 1-based list indexing vs a range table) and the
+# exact-decimal average keeps the hash stable across engines.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "label_centroids",
+    oracle=f"""
+SELECT label, pos, {sql_davg('embedding[pos]')} AS centroid_val, COUNT(*) AS n
+FROM embeddings, range(1, 65) t(pos)
+GROUP BY label, pos
+""",
+)
+def label_centroids(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos0", "val"))
+        .groupBy("label", (F.col("pos0") + 1).cast("long").alias("pos"))
+        .agg(davg("val").alias("centroid_val"), F.count("*").alias("n"))
+    )

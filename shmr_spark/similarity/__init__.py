@@ -2,6 +2,7 @@ from shmr_spark.similarity.search import (
     cosine_topk_bruteforce,
     cosine_topk_lsh,
     ivf_assign,
+    kmeans_centroids,
     cosine_topk_ivf,
 )
 
@@ -9,5 +10,6 @@ __all__ = [
     "cosine_topk_bruteforce",
     "cosine_topk_lsh",
     "ivf_assign",
+    "kmeans_centroids",
     "cosine_topk_ivf",
 ]

@@ -90,20 +90,29 @@ def cosine_topk_lsh(
     )
 
 
-def ivf_assign(
-    df: DataFrame,
-    n_cells: int = 16,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> tuple[DataFrame, DataFrame]:
-    """Assign every vector to its nearest centroid cell.
+def _assign_cells(
+    df: DataFrame, centroids: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """Tag every vector with the __cell of its most-cosine-similar
+    centroid: broadcast join + per-id argmax window (one narrow pass
+    over the corpus — the centroid table is tiny)."""
+    sim = cosine_similarity(F.col(vec_col), F.col("__cvec"))
+    w = Window.partitionBy(id_col).orderBy(F.desc("__csim"), F.asc("__cell"))
+    return (
+        df.crossJoin(F.broadcast(centroids))
+        .withColumn("__csim", sim)
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .drop("__csim", "__rk", "__cvec")
+    )
 
-    Centroids = the corpus vectors with the n_cells smallest ids
-    (deterministic seeding). Returns (assigned_df with __cell column,
-    centroids_df). The centroid table is tiny and broadcast; the
-    assignment is one narrow pass (argmax over n_cells cosines via a
-    broadcast join + window)."""
-    centroids = (
+
+def _seed_centroids(
+    df: DataFrame, n_cells: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """Deterministic seeds: the corpus vectors with the n_cells
+    smallest ids."""
+    return (
         df.orderBy(id_col)
         .limit(n_cells)
         .select(
@@ -111,16 +120,70 @@ def ivf_assign(
             F.col(vec_col).alias("__cvec"),
         )
     )
-    sim = cosine_similarity(F.col(vec_col), F.col("__cvec"))
-    w = Window.partitionBy(id_col).orderBy(F.desc("__csim"), F.asc("__cell"))
-    assigned = (
-        df.crossJoin(F.broadcast(centroids))
-        .withColumn("__csim", sim)
-        .withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") == 1)
-        .drop("__csim", "__rk", "__cvec")
-    )
-    return assigned, centroids
+
+
+def kmeans_centroids(
+    df: DataFrame,
+    n_cells: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Spherical k-means (Lloyd) refinement of the seeded centroids.
+
+    Each iteration: distributed nearest-centroid assignment over the
+    full corpus, then the new centroid = element-wise mean of its cell
+    (posexplode → groupBy(cell, pos) avg — a plain shuffle agg). Only
+    the k×dim centroid floats cross to the driver per iteration (the
+    same design as MLlib's KMeans), which also truncates lineage —
+    no checkpointing needed for the iterative loop. Cosine ranking is
+    direction-only, so the un-normalized mean is a valid spherical
+    centroid. Empty cells keep their previous centroid.
+    """
+    spark = df.sparkSession
+    schema = f"__cell INT, __cvec {df.schema[vec_col].dataType.simpleString()}"
+    current = {
+        r["__cell"]: r["__cvec"]
+        for r in _seed_centroids(df, n_cells, id_col, vec_col).collect()
+    }
+    for _ in range(iters):
+        cdf = spark.createDataFrame(sorted(current.items()), schema)
+        means = (
+            _assign_cells(df, cdf, id_col, vec_col)
+            .select("__cell", F.posexplode(vec_col).alias("__pos", "__val"))
+            .groupBy("__cell", "__pos")
+            .agg(F.avg("__val").alias("__m"))
+            .groupBy("__cell")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("__pos", "__m"))
+                ).alias("__pairs")
+            )
+            .select("__cell", F.col("__pairs.__m").alias("__cvec"))
+            .collect()
+        )
+        for r in means:
+            current[r["__cell"]] = [float(v) for v in r["__cvec"]]
+    return spark.createDataFrame(sorted(current.items()), schema)
+
+
+def ivf_assign(
+    df: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    kmeans_iters: int = 0,
+) -> tuple[DataFrame, DataFrame]:
+    """Assign every vector to its nearest centroid cell.
+
+    Centroids = deterministic seeds (smallest-id vectors), optionally
+    refined by `kmeans_iters` Lloyd rounds. Returns (assigned_df with
+    __cell column, centroids_df)."""
+    if kmeans_iters > 0:
+        centroids = kmeans_centroids(df, n_cells, kmeans_iters, id_col, vec_col)
+    else:
+        centroids = _seed_centroids(df, n_cells, id_col, vec_col)
+    return _assign_cells(df, centroids, id_col, vec_col), centroids
 
 
 def cosine_topk_ivf(
@@ -131,10 +194,13 @@ def cosine_topk_ivf(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    kmeans_iters: int = 0,
 ) -> DataFrame:
     """IVF search: rank centroids by similarity to the probe, scan the
-    n_probe best cells only."""
-    assigned, centroids = ivf_assign(df, n_cells, id_col, vec_col)
+    n_probe best cells only. `kmeans_iters` > 0 refines the cells with
+    Lloyd rounds first (better-balanced cells → better recall per
+    probed fraction)."""
+    assigned, centroids = ivf_assign(df, n_cells, id_col, vec_col, kmeans_iters)
     probe = _probe_df(df, id_col, vec_col, probe_id)
     probe_cells = (
         centroids.crossJoin(F.broadcast(probe))

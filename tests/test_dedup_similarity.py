@@ -157,3 +157,55 @@ def test_knn_join_lsh_subset_of_exact_candidates(spark, sf_dir):
         per_probe[r.probe_id] = per_probe.get(r.probe_id, 0) + 1
         assert exact_sims[(r.probe_id, r.neighbor_id)] == r.sim
     assert all(n <= 5 for n in per_probe.values())
+
+
+def test_ivf_kmeans_full_probe_exact(spark, sf_dir):
+    """k-means-refined IVF with n_probe=n_cells still partitions the
+    corpus (cells are disjoint + exhaustive), so full probe ≡ exact."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = [r.vec_id for r in cosine_topk_bruteforce(emb, 0, k=5).collect()]
+    got = [
+        r.vec_id
+        for r in cosine_topk_ivf(
+            emb, 0, k=5, n_cells=8, n_probe=8, kmeans_iters=2
+        ).collect()
+    ]
+    assert got == exact
+
+
+def test_kmeans_centroids_deterministic_and_partitioning(spark, sf_dir):
+    """Lloyd refinement is deterministic (fixed seeds, exact agg
+    shapes) and the resulting assignment covers every vector exactly
+    once."""
+    from shmr_spark.similarity.search import ivf_assign, kmeans_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    c1 = {r["__cell"]: r["__cvec"] for r in kmeans_centroids(emb, 8, iters=2).collect()}
+    c2 = {r["__cell"]: r["__cvec"] for r in kmeans_centroids(emb, 8, iters=2).collect()}
+    assert c1 == c2
+    assert len(c1) == 8
+    assigned, _ = ivf_assign(emb, 8, kmeans_iters=2)
+    assert assigned.count() == emb.count()
+    assert assigned.select("vec_id").distinct().count() == emb.count()
+
+
+def test_kmeans_tightens_cells(spark, sf_dir):
+    """Refined centroids fit the corpus at least as well as the raw
+    seeds: mean cosine of each vector to its assigned centroid must
+    not decrease (Lloyd monotonicity, up to assignment ties)."""
+    from pyspark.sql import functions as F
+
+    from shmr_spark.functions.vectors import cosine_similarity
+    from shmr_spark.similarity.search import _assign_cells, _seed_centroids, kmeans_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def mean_sim(centroids):
+        sim = cosine_similarity(F.col("embedding"), F.col("__cvec"))
+        a = _assign_cells(emb, centroids, "vec_id", "embedding")
+        joined = a.join(centroids, "__cell").select(sim.alias("s"))
+        return joined.agg(F.avg("s")).first()[0]
+
+    seeded = mean_sim(_seed_centroids(emb, 8, "vec_id", "embedding"))
+    refined = mean_sim(kmeans_centroids(emb, 8, iters=3))
+    assert refined >= seeded - 1e-9

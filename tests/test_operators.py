@@ -155,3 +155,46 @@ def test_chunk_documents_coverage(spark, sf_dir):
 
     with _pt.raises(ValueError):
         chunk_documents(docs, chunk_size=5, overlap=5)
+
+
+def test_interval_self_join_matches_bruteforce(spark, sf_dir):
+    """Binned interval join ≡ the naive cross-product predicate join,
+    pair for pair (including gaps that straddle bin boundaries)."""
+    from pyspark.sql import functions as F
+
+    from shmr_spark.catalog import load_table
+    from shmr_spark.operators.interval import interval_self_join
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    tol = 300_000_000
+    fast = interval_self_join(ev, "user_id", "ts", "event_id", tol)
+    a = ev.select(
+        F.col("user_id"), F.col("event_id").alias("ida"), F.unix_micros("ts").alias("ua")
+    )
+    b = ev.select(
+        F.col("user_id").alias("ub_key"),
+        F.col("event_id").alias("idb"),
+        F.unix_micros("ts").alias("ub"),
+    )
+    naive = (
+        a.join(b, (a.user_id == b.ub_key) & (F.col("ida") < F.col("idb")))
+        .filter(F.abs(F.col("ub") - F.col("ua")) <= tol)
+        .select("ida", "idb")
+    )
+    fast_pairs = {(r.event_id_a, r.event_id_b) for r in fast.collect()}
+    naive_pairs = {(r.ida, r.idb) for r in naive.collect()}
+    assert fast_pairs == naive_pairs
+    assert fast_pairs  # non-degenerate fixture
+
+
+def test_interval_join_gap_bounds(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from shmr_spark.catalog import load_table
+    from shmr_spark.operators.interval import interval_self_join
+
+    ev = load_table(spark, sf_dir, "events")
+    tol = 120_000_000
+    out = interval_self_join(ev, "user_id", "ts", "event_id", tol)
+    mx = out.agg(F.max("gap_us"), F.min("gap_us")).first()
+    assert mx[0] <= tol and mx[1] >= 0
