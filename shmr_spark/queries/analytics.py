@@ -12,6 +12,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from shmr_spark.catalog import load_table
+from shmr_spark.functions.zorder import sql_zorder_key
 from shmr_spark.dataset import Dataset
 from shmr_spark.functions.numeric import dsum, sql_dsum
 from shmr_spark.queries import query
@@ -464,4 +465,60 @@ def interval_join_events(spark, sf_dir):
     )
     return pairs.groupBy("user_id").agg(
         F.count("*").alias("n_pairs"), F.max("gap_us").alias("max_gap_us")
+    )
+
+
+# --------------------------------------------------------------------------
+# Approximate percentiles: the 100 TB path. Exact percentile() needs a
+# full sort/collect per group; approx_percentile is a mergeable
+# partial-aggregable sketch (Greenwald-Khanna) — one pass, bounded
+# memory, map-side combinable. Rows-only gate (DuckDB can't replicate
+# Spark's sketch); the pytest bound-check pins it to the exact values.
+# --------------------------------------------------------------------------
+
+
+@query("approx_percentiles", oracle=None)
+def approx_percentiles(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    acc = 10_000  # rank error <= n/acc
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                f"approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75, 0.99), {acc})"
+            ).alias("qs"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            "l_returnflag",
+            F.col("qs")[0].alias("p25"),
+            F.col("qs")[1].alias("p50"),
+            F.col("qs")[2].alias("p75"),
+            F.col("qs")[3].alias("p99"),
+            "n",
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --------------------------------------------------------------------------
+# Z-order layout key (functions/zorder.py) — oracled bit-for-bit.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "zorder_keys",
+    oracle=f"""
+SELECT l_orderkey, l_linenumber, {sql_zorder_key('l_partkey', 'l_suppkey')} AS zkey
+FROM lineitem
+""",
+)
+def zorder_keys(spark, sf_dir):
+    from shmr_spark.functions.zorder import zorder_key
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        zorder_key("l_partkey", "l_suppkey").alias("zkey"),
     )

@@ -454,3 +454,28 @@ def bm25_top_terms(spark, sf_dir):
         .filter(F.col("doc_id") < 50)
         .orderBy("doc_id", F.desc("bm25"), "term")
     )
+
+
+# --------------------------------------------------------------------------
+# Heavy hitters: exact frequent tokens via per-partition Misra-Gries
+# sketch + candidate recount (operators/heavy_hitters.py). The sketch
+# bounds memory; the output is exact, so the gate is a plain
+# GROUP BY ... HAVING oracle.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "heavy_hitters_tokens",
+    oracle="""
+WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+SELECT token, COUNT(*) AS n FROM tok
+GROUP BY token
+HAVING COUNT(*) > 0.002 * (SELECT COUNT(*) FROM tok)
+""",
+)
+def heavy_hitters_tokens(spark, sf_dir):
+    from shmr_spark.operators.heavy_hitters import heavy_hitters
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("token"))
+    return heavy_hitters(toks, "token", phi=0.002)

@@ -198,3 +198,73 @@ def test_interval_join_gap_bounds(spark, sf_dir):
     out = interval_self_join(ev, "user_id", "ts", "event_id", tol)
     mx = out.agg(F.max("gap_us"), F.min("gap_us")).first()
     assert mx[0] <= tol and mx[1] >= 0
+
+
+def test_approx_percentiles_within_rank_error(spark, sf_dir):
+    """approx_percentile's Greenwald-Khanna guarantee: the returned
+    value's true rank is within n/accuracy of the target rank."""
+    from pyspark.sql import functions as F
+
+    from shmr_spark.catalog import load_table
+    from shmr_spark.queries import load_all
+
+    approx = {
+        r.l_returnflag: r
+        for r in load_all()["approx_percentiles"].fn(spark, sf_dir).collect()
+    }
+    li = load_table(spark, sf_dir, "lineitem")
+    for flag, row in approx.items():
+        vals = sorted(
+            x.l_extendedprice
+            for x in li.filter(F.col("l_returnflag") == flag).collect()
+        )
+        n = len(vals)
+        assert n == row.n
+        for p, got in ((0.25, row.p25), (0.5, row.p50), (0.75, row.p75), (0.99, row.p99)):
+            rank = sum(1 for v in vals if v <= got)
+            assert abs(rank - p * n) <= max(1.0, n / 10_000 + 1)
+
+
+def test_heavy_hitters_exact_vs_groupby(spark, sf_dir):
+    """Sketch+recount ≡ the exact full groupBy answer, including under
+    a deliberately tiny sketch capacity (phi large enough to stress
+    eviction on every partition)."""
+    from pyspark.sql import functions as F
+
+    from shmr_spark.catalog import load_table
+    from shmr_spark.operators.heavy_hitters import heavy_hitters
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("token"))
+    total = toks.count()
+    for phi in (0.002, 0.01):
+        got = {(r.token, r.n) for r in heavy_hitters(toks, "token", phi).collect()}
+        exact = {
+            (r.token, r.n)
+            for r in toks.groupBy("token")
+            .agg(F.count("*").alias("n"))
+            .filter(F.col("n") > phi * total)
+            .collect()
+        }
+        assert got == exact
+        assert got  # non-degenerate
+
+
+def test_heavy_hitters_skewed_synthetic(spark):
+    """90%-one-key skew, many partitions, capacity 2: the dominant key
+    must survive eviction churn in every partition."""
+    from pyspark.sql import functions as F
+
+    from shmr_spark.operators.heavy_hitters import heavy_hitters
+
+    df = (
+        spark.range(10_000)
+        .repartition(16)
+        .select(
+            F.when(F.col("id") % 10 < 9, F.lit("hot"))
+            .otherwise(F.concat(F.lit("cold_"), F.col("id")))
+            .alias("k")
+        )
+    )
+    got = {r.k: r.n for r in heavy_hitters(df, "k", phi=0.5).collect()}
+    assert got == {"hot": 9000}
