@@ -36,3 +36,28 @@ def cosine_similarity(a: Column | str, b: Column | str) -> Column:
     collapses the three aggregates into one projection.
     """
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def quantize_int8(a: Column | str) -> Column:
+    """Per-vector scalar quantization to uint8 codes [0, 255]:
+    code_i = round((x_i - min) / (max - min) * 255). 4× storage cut
+    for ANN candidate generation (rerank on the full-precision
+    column). Pure Column math (transform + aggregate — JVM-side).
+    Constant vectors (max == min) map to code 0."""
+    v = _c(a)
+    lo = F.array_min(v).cast("double")
+    hi = F.array_max(v).cast("double")
+    rng = F.when(hi > lo, hi - lo).otherwise(F.lit(1.0))
+    return F.transform(
+        v,
+        lambda x: F.floor((x.cast("double") - lo) / rng * 255.0 + 0.5).cast("int"),
+    )
+
+
+def dequantize_int8(codes: Column | str, lo: Column, hi: Column) -> Column:
+    """Inverse of quantize_int8 given the stored per-vector (lo, hi):
+    x_i ≈ lo + code_i / 255 * (hi - lo)."""
+    rng = F.when(hi > lo, hi - lo).otherwise(F.lit(1.0))
+    return F.transform(
+        _c(codes), lambda c: (lo + c.cast("double") / 255.0 * rng).cast("double")
+    )

@@ -64,3 +64,34 @@ def salted_agg(
             for name, (spec, _) in aggs.items()
         ]
     )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    num_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-immune equi-join for a small side that is too large to
+    broadcast: salt the big side's key with a uniform bucket id and
+    replicate the small side across all buckets (explode of a
+    `sequence` — a bounded num_salts× fan-out of the SMALL side only).
+    The shuffle key becomes (on, salt), spreading each hot key over
+    num_salts reducers. Row-identical to big.join(small, on, how) for
+    inner/left joins (asserted in tests + oracle).
+
+    This is the manual fallback for engines/stages AQE skew-join
+    doesn't cover (e.g. when the skewed side feeds an agg in the same
+    stage); with AQE on, plain joins usually suffice.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    salted_big = big.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(num_salts)),
+    )
+    replicated = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(num_salts - 1)))
+    )
+    return salted_big.join(replicated, [on, "__salt"], how).drop("__salt")

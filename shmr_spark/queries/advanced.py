@@ -323,3 +323,33 @@ def profile_columns_q(spark, sf_dir):
 
     nation = load_table(spark, sf_dir, "nation")
     return profile_columns(nation)
+
+
+# --------------------------------------------------------------------------
+# Salted join (operators/skew.py): hot-key-proof equi-join, verified
+# row-identical to the plain join by the oracle.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "salted_join_revenue",
+    oracle=f"""
+SELECT s_nationkey, {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+       COUNT(*) AS n
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_nationkey
+""",
+)
+def salted_join_revenue(spark, sf_dir):
+    from shmr_spark.functions.numeric import dsum
+    from shmr_spark.operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("s_suppkey"), "l_extendedprice", "l_discount"
+    )
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    joined = salted_join(li, sup, on="s_suppkey", num_salts=8)
+    return joined.groupBy("s_nationkey").agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        F.count("*").alias("n"),
+    )

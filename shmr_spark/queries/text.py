@@ -479,3 +479,69 @@ def heavy_hitters_tokens(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(F.explode(F.split("text", " ")).alias("token"))
     return heavy_hitters(toks, "token", phi=0.002)
+
+
+# --------------------------------------------------------------------------
+# Per-language length-band quality filter: keep documents inside their
+# language's [p5, p95] n_chars band — the standard "drop truncated and
+# concatenated junk" pass of a corpus pipeline. The percentile table
+# is tiny (one row per language) and broadcast back.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "quality_length_band",
+    oracle="""
+WITH cut AS (
+  SELECT lang, quantile_cont(n_chars, 0.05) AS p5,
+         quantile_cont(n_chars, 0.95) AS p95
+  FROM documents GROUP BY lang
+)
+SELECT d.doc_id, d.lang, d.n_chars
+FROM documents d JOIN cut ON d.lang = cut.lang
+WHERE d.n_chars >= cut.p5 AND d.n_chars <= cut.p95
+""",
+)
+def quality_length_band(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    cut = docs.groupBy("lang").agg(
+        F.expr("percentile(n_chars, 0.05)").alias("p5"),
+        F.expr("percentile(n_chars, 0.95)").alias("p95"),
+    )
+    return (
+        docs.join(F.broadcast(cut), "lang")
+        .filter((F.col("n_chars") >= F.col("p5")) & (F.col("n_chars") <= F.col("p95")))
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
+# --------------------------------------------------------------------------
+# Deterministic global shuffle → training shards. A multiplicative
+# (Knuth) hash gives a reproducible pseudo-random permutation with no
+# driver state: shard = hash % n, intra-shard order = hash rank. At
+# scale this is repartition(shard) + sortWithinPartitions — one
+# shuffle, stable across runs and engines (pure int64 arithmetic).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "shuffle_shards",
+    oracle="""
+SELECT doc_id, shard, rn FROM (
+  SELECT doc_id, key % 8 AS shard,
+         row_number() OVER (PARTITION BY key % 8 ORDER BY key, doc_id) AS rn
+  FROM (SELECT doc_id, (doc_id * 2654435761) % 4294967296 AS key FROM documents)
+)
+""",
+)
+def shuffle_shards(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    key = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+    w = Window.partitionBy("shard").orderBy("key", "doc_id")
+    return (
+        docs.select("doc_id", key.alias("key"), (key % 8).alias("shard"))
+        .withColumn("rn", F.row_number().over(w))
+        .select("doc_id", "shard", "rn")
+    )

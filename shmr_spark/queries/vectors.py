@@ -198,3 +198,42 @@ def label_centroids(spark, sf_dir):
         .groupBy("label", (F.col("pos0") + 1).cast("long").alias("pos"))
         .agg(davg("val").alias("centroid_val"), F.count("*").alias("n"))
     )
+
+
+# --------------------------------------------------------------------------
+# int8 scalar quantization (functions/vectors.py): 4× smaller
+# candidate-generation copy of the corpus. Long-form output keeps the
+# oracle purely relational (per-element codes via DuckDB list ops).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "quantize_embeddings",
+    oracle="""
+SELECT vec_id, pos, code FROM (
+  SELECT vec_id, t.pos AS pos,
+         CAST(floor((CAST(embedding[t.pos] AS DOUBLE) - lo) / rng * 255.0 + 0.5)
+              AS INT) AS code
+  FROM (
+    SELECT vec_id, embedding,
+           CAST(list_min(embedding) AS DOUBLE) AS lo,
+           CASE WHEN CAST(list_max(embedding) AS DOUBLE)
+                     > CAST(list_min(embedding) AS DOUBLE)
+                THEN CAST(list_max(embedding) AS DOUBLE)
+                     - CAST(list_min(embedding) AS DOUBLE)
+                ELSE 1.0 END AS rng
+    FROM embeddings
+  ), range(1, 65) t(pos)
+)
+WHERE vec_id < 100
+""",
+)
+def quantize_embeddings(spark, sf_dir):
+    from shmr_spark.functions.vectors import quantize_int8
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    return (
+        emb.select("vec_id", quantize_int8("embedding").alias("codes"))
+        .select("vec_id", F.posexplode("codes").alias("pos0", "code"))
+        .select("vec_id", (F.col("pos0") + 1).cast("long").alias("pos"), "code")
+    )

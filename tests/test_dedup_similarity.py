@@ -209,3 +209,52 @@ def test_kmeans_tightens_cells(spark, sf_dir):
     seeded = mean_sim(_seed_centroids(emb, 8, "vec_id", "embedding"))
     refined = mean_sim(kmeans_centroids(emb, 8, iters=3))
     assert refined >= seeded - 1e-9
+
+
+def test_quantize_int8_roundtrip_error_bound(spark, sf_dir):
+    """Dequantized vectors are within half a quantization step
+    ((hi-lo)/255/2) of the originals elementwise, and cosine vs the
+    original stays > 0.99 — codes preserve geometry well enough for
+    candidate generation."""
+    from pyspark.sql import functions as F
+
+    from shmr_spark.functions.vectors import (
+        cosine_similarity,
+        dequantize_int8,
+        quantize_int8,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(200)
+    lo = F.array_min("embedding").cast("double")
+    hi = F.array_max("embedding").cast("double")
+    q = emb.select(
+        "vec_id",
+        F.col("embedding"),
+        lo.alias("lo"),
+        hi.alias("hi"),
+        quantize_int8("embedding").alias("codes"),
+    )
+    r = q.select(
+        "vec_id",
+        F.aggregate(
+            F.zip_with(
+                dequantize_int8("codes", F.col("lo"), F.col("hi")),
+                F.col("embedding").cast("array<double>"),
+                lambda d, o: F.abs(d - o),
+            ),
+            F.lit(0.0),
+            lambda acc, x: F.greatest(acc, x),
+        ).alias("max_err"),
+        ((F.col("hi") - F.col("lo")) / 255.0 / 2.0 + 1e-9).alias("half_step"),
+        cosine_similarity(
+            dequantize_int8("codes", F.col("lo"), F.col("hi")), "embedding"
+        ).alias("cos"),
+    )
+    bad = r.filter(
+        (F.col("max_err") > F.col("half_step")) | (F.col("cos") < 0.99)
+    ).count()
+    assert bad == 0
+    codes = q.select(F.explode("codes").alias("c")).agg(
+        F.min("c"), F.max("c")
+    ).first()
+    assert codes[0] >= 0 and codes[1] <= 255

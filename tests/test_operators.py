@@ -268,3 +268,28 @@ def test_heavy_hitters_skewed_synthetic(spark):
     )
     got = {r.k: r.n for r in heavy_hitters(df, "k", phi=0.5).collect()}
     assert got == {"hot": 9000}
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    """salted_join must be row-identical to the plain equi-join for
+    inner and left, including unmatched left rows (left) under skew
+    (lineitem keys are naturally non-uniform across suppliers)."""
+    from pyspark.sql import functions as F
+
+    from shmr_spark.catalog import load_table
+    from shmr_spark.operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("k"), "l_orderkey", "l_linenumber"
+    )
+    sup = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("k"), "s_nationkey"
+    ).filter(F.col("k") % 3 == 0)  # leave unmatched left rows
+
+    for how in ("inner", "left"):
+        fast = salted_join(li, sup, on="k", num_salts=4, how=how)
+        plain = li.join(sup, "k", how)
+        sel = ["k", "l_orderkey", "l_linenumber", "s_nationkey"]
+        a = {tuple(r) for r in fast.select(*sel).collect()}
+        b = {tuple(r) for r in plain.select(*sel).collect()}
+        assert a == b and a
