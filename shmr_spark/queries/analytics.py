@@ -522,3 +522,42 @@ def zorder_keys(spark, sf_dir):
         "l_linenumber",
         zorder_key("l_partkey", "l_suppkey").alias("zkey"),
     )
+
+
+# --------------------------------------------------------------------------
+# Stream-stream interval join through the gate: watermarked self-join
+# of the events stream, hash-matched against the BATCH oracle — same
+# stream ≡ batch property as streaming_tumbling.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "streaming_interval_join",
+    oracle="""
+SELECT a.user_id, a.event_id AS event_id_a, b.event_id AS event_id_b,
+       epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+FROM events a JOIN events b
+  ON a.user_id = b.user_id AND b.ts > a.ts
+ AND b.ts <= a.ts + INTERVAL 5 MINUTE
+""",
+)
+def streaming_interval_join(spark, sf_dir):
+    import os
+    import shutil
+    import tempfile
+
+    from shmr_spark.streaming import (
+        interval_join_stream,
+        read_events_stream,
+        run_stream_to_memory,
+    )
+
+    d = tempfile.mkdtemp(prefix="shmr_stream_ij_")
+    shutil.copy(os.path.join(sf_dir, "events.parquet"), d)
+    return run_stream_to_memory(
+        interval_join_stream(
+            read_events_stream(spark, d), read_events_stream(spark, d)
+        ),
+        "streaming_interval_join_gate",
+        output_mode="append",
+    )

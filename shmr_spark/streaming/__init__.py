@@ -6,6 +6,7 @@ from shmr_spark.streaming.windows import (
     run_stream_to_memory,
 )
 from shmr_spark.streaming.stateful import sessionize_stream
+from shmr_spark.streaming.joins import interval_join_stream
 
 __all__ = [
     "EVENTS_RAW_SCHEMA",
@@ -14,4 +15,5 @@ __all__ = [
     "sliding_window_stream",
     "run_stream_to_memory",
     "sessionize_stream",
+    "interval_join_stream",
 ]

@@ -41,9 +41,9 @@ def read_events_stream(spark: SparkSession, source_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(source_dir)
     )
-    return raw.withColumn(
-        "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
-    )
+    # exact int64 division — floor(ts/1000) would lose micros through
+    # double above 2^53 ns (see catalog.load_table)
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
 
 
 def tumbling_window_stream(

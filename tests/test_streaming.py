@@ -109,3 +109,43 @@ def test_stream_foreach_batch_collects_epochs(spark, events_dir, tmp_path):
         q.stop()
     assert seen and all(n >= 0 for _, n in seen)
     assert [e for e, _ in seen] == sorted({e for e, _ in seen})  # one call per epoch
+
+
+def test_stream_interval_join_equals_batch(spark, sf_dir, tmp_path):
+    """Watermarked stream-stream self-join emits exactly the batch
+    interval-join pairs (one-directional window)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from shmr_spark.catalog import load_table
+    from shmr_spark.streaming import (
+        interval_join_stream,
+        read_events_stream,
+        run_stream_to_memory,
+    )
+
+    d = tmp_path / "ev"
+    d.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", d)
+    got = run_stream_to_memory(
+        interval_join_stream(
+            read_events_stream(spark, str(d)), read_events_stream(spark, str(d))
+        ),
+        "t_stream_ij",
+        output_mode="append",
+    )
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.select("user_id", F.col("event_id").alias("ea"), F.unix_micros("ts").alias("ua"))
+    b = ev.select(
+        F.col("user_id").alias("ub_key"), F.col("event_id").alias("eb"),
+        F.unix_micros("ts").alias("ub"),
+    )
+    batch = (
+        a.join(b, (a.user_id == b.ub_key))
+        .filter((F.col("ub") > F.col("ua")) & (F.col("ub") - F.col("ua") <= 300_000_000))
+        .select("ea", "eb")
+    )
+    assert {(r.event_id_a, r.event_id_b) for r in got.collect()} == {
+        (r.ea, r.eb) for r in batch.collect()
+    }
