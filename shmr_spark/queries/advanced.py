@@ -353,3 +353,76 @@ def salted_join_revenue(spark, sf_dir):
         dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
         F.count("*").alias("n"),
     )
+
+
+# --------------------------------------------------------------------------
+# Declarative data-quality audit (operators/validate.py): N rules,
+# one scan.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "validate_orders",
+    oracle="""
+SELECT 'price_positive' AS rule,
+       SUM(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END) AS n_violations,
+       COUNT(*) AS n_rows
+FROM orders
+UNION ALL
+SELECT 'status_known',
+       SUM(CASE WHEN o_orderstatus IN ('O', 'F', 'P') THEN 0 ELSE 1 END),
+       COUNT(*)
+FROM orders
+UNION ALL
+SELECT 'date_in_range',
+       SUM(CASE WHEN o_orderdate >= TIMESTAMP '1990-01-01 00:00:00'
+                 AND o_orderdate < TIMESTAMP '2010-01-01 00:00:00'
+                THEN 0 ELSE 1 END),
+       COUNT(*)
+FROM orders
+""",
+)
+def validate_orders(spark, sf_dir):
+    from shmr_spark.operators.validate import validate
+
+    orders = load_table(spark, sf_dir, "orders")
+    return validate(
+        orders,
+        {
+            "price_positive": F.col("o_totalprice") > 0,
+            "status_known": F.col("o_orderstatus").isin("O", "F", "P"),
+            "date_in_range": (F.col("o_orderdate") >= F.lit("1990-01-01 00:00:00"))
+            & (F.col("o_orderdate") < F.lit("2010-01-01 00:00:00")),
+        },
+    )
+
+
+# --------------------------------------------------------------------------
+# GROUPING SETS — the general form behind rollup/cube, via the SQL
+# API on both engines; grouping() flags disambiguate the NULL rows.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "grouping_sets_agg",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       {sql_dsum('l_quantity')} AS sum_qty, COUNT(*) AS n,
+       CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+       CAST(GROUPING(l_linestatus) AS INT) AS g_ls
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+""",
+)
+def grouping_sets_agg(spark, sf_dir):
+    from shmr_spark.functions.numeric import sql_dsum as _d
+
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(f"""
+        SELECT l_returnflag, l_linestatus,
+               {_d('l_quantity')} AS sum_qty, COUNT(*) AS n,
+               CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+               CAST(GROUPING(l_linestatus) AS INT) AS g_ls
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """)

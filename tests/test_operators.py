@@ -293,3 +293,27 @@ def test_salted_join_equals_plain_join(spark, sf_dir):
         a = {tuple(r) for r in fast.select(*sel).collect()}
         b = {tuple(r) for r in plain.select(*sel).collect()}
         assert a == b and a
+
+
+def test_validate_counts_planted_violations(spark):
+    """validate() counts exactly the planted bad rows, treats NULL
+    predicate results as violations, and audits all rules in one scan
+    (single aggregate — no per-rule jobs)."""
+    from pyspark.sql import functions as F
+
+    from shmr_spark.operators.validate import validate
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, -5.0), (3, None), (4, 2.0)], "id INT, v DOUBLE"
+    )
+    out = {
+        r.rule: (r.n_violations, r.n_rows)
+        for r in validate(
+            df,
+            {
+                "v_positive": F.col("v") > 0,
+                "id_odd": F.col("id") % 2 == 1,
+            },
+        ).collect()
+    }
+    assert out == {"v_positive": (2, 4), "id_odd": (2, 4)}
