@@ -426,3 +426,45 @@ def grouping_sets_agg(spark, sf_dir):
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
     """)
+
+
+# --------------------------------------------------------------------------
+# Grouped custom aggregation via applyInPandas — the Arrow grouped-map
+# escape hatch for aggregates Catalyst can't express (here: median
+# absolute deviation). One shuffle on the group key; each group is a
+# pandas DataFrame in the worker. Oracled: numpy's interpolated median
+# ≡ DuckDB quantile_cont(0.5) on identical doubles.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "grouped_mad",
+    oracle="""
+SELECT l_returnflag,
+       median(abs(l_extendedprice - m)) AS mad,
+       COUNT(*) AS n
+FROM (
+  SELECT l_returnflag, l_extendedprice,
+         median(l_extendedprice) OVER (PARTITION BY l_returnflag) AS m
+  FROM lineitem
+)
+GROUP BY l_returnflag
+""",
+)
+def grouped_mad(spark, sf_dir):
+    import pandas as pd
+
+    def mad(pdf: pd.DataFrame) -> pd.DataFrame:
+        med = pdf["l_extendedprice"].median()
+        return pd.DataFrame(
+            {
+                "l_returnflag": [pdf["l_returnflag"].iloc[0]],
+                "mad": [(pdf["l_extendedprice"] - med).abs().median()],
+                "n": [len(pdf)],
+            }
+        )
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    return li.groupBy("l_returnflag").applyInPandas(
+        mad, schema="l_returnflag string, mad double, n long"
+    )

@@ -1,5 +1,6 @@
 from shmr_spark.sources.readers import (
     read_parquet,
+    read_parquet_evolved,
     read_ndjson,
     read_csv,
     read_text,
@@ -13,6 +14,7 @@ from shmr_spark.sources.writers import (
 
 __all__ = [
     "read_parquet",
+    "read_parquet_evolved",
     "read_ndjson",
     "read_csv",
     "read_text",

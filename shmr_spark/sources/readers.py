@@ -25,6 +25,14 @@ def read_parquet(spark: SparkSession, path: str) -> Dataset:
     return Dataset(spark.read.parquet(path))
 
 
+def read_parquet_evolved(spark: SparkSession, path: str) -> Dataset:
+    """Schema-evolution read: union the schemas of every file
+    (mergeSchema), so a dataset written across code versions — columns
+    added over time — reads as one relation with NULLs where a file
+    predates a column. Footer-only merge; no data pass."""
+    return Dataset(spark.read.option("mergeSchema", "true").parquet(path))
+
+
 def read_ndjson(
     spark: SparkSession, path: str, schema: StructType | str | None = None
 ) -> Dataset:

@@ -143,3 +143,28 @@ def test_zorder_layout_prunes_on_both_columns(spark, sf_dir, tmp_path):
     # under half the files, and the worst dimension beats single's y.
     assert zx <= zn * 0.5 and zy <= zn * 0.5
     assert max(zx, zy) < sy
+
+
+def test_schema_evolution_merge_read(spark, sf_dir, tmp_path):
+    """Files written before a column existed read back as NULL in the
+    merged relation; files written after carry the values — the
+    standard additive-evolution contract of a long-lived corpus."""
+    from pyspark.sql import functions as F
+
+    from shmr_spark.catalog import load_table
+    from shmr_spark.sources import read_parquet_evolved
+
+    docs = load_table(spark, sf_dir, "documents")
+    v1 = docs.filter(F.col("doc_id") < 50).select("doc_id", "text")
+    v2 = (
+        docs.filter((F.col("doc_id") >= 50) & (F.col("doc_id") < 100))
+        .select("doc_id", "text", "lang")
+    )
+    v1.write.parquet(str(tmp_path / "corpus" / "batch=v1"))
+    v2.write.parquet(str(tmp_path / "corpus" / "batch=v2"))
+
+    merged = read_parquet_evolved(spark, str(tmp_path / "corpus")).df
+    assert set(merged.columns) >= {"doc_id", "text", "lang"}
+    assert merged.count() == 100
+    assert merged.filter(F.col("lang").isNull()).count() == 50
+    assert merged.filter((F.col("doc_id") >= 50) & F.col("lang").isNotNull()).count() == 50
