@@ -468,3 +468,75 @@ def grouped_mad(spark, sf_dir):
     return li.groupBy("l_returnflag").applyInPandas(
         mad, schema="l_returnflag string, mad double, n long"
     )
+
+
+# --------------------------------------------------------------------------
+# Cogroup via applyInPandas: both sides grouped on the key, each
+# group-pair handed to pandas — the general two-input custom operator
+# (reconciliation, per-key merges Catalyst can't express). One shuffle
+# per side. Oracled against the relational equivalent.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "cogroup_reconcile",
+    oracle=f"""
+WITH o AS (
+  SELECT o_custkey AS custkey, COUNT(*) AS n_orders,
+         {sql_dsum('o_totalprice')} AS sum_orders
+  FROM orders GROUP BY o_custkey
+),
+l AS (
+  SELECT o_custkey AS custkey, COUNT(*) AS n_items,
+         {sql_dsum('l_extendedprice')} AS sum_items
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY o_custkey
+)
+SELECT COALESCE(o.custkey, l.custkey) AS custkey,
+       COALESCE(n_orders, 0) AS n_orders,
+       COALESCE(sum_orders, 0.0) AS sum_orders,
+       COALESCE(n_items, 0) AS n_items,
+       COALESCE(sum_items, 0.0) AS sum_items
+FROM o FULL OUTER JOIN l ON o.custkey = l.custkey
+""",
+)
+def cogroup_reconcile(spark, sf_dir):
+    import pandas as pd
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_totalprice"
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(
+            load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(F.col("o_custkey").alias("custkey"), "l_extendedprice")
+    )
+
+    def reconcile(key, odf: pd.DataFrame, ldf: pd.DataFrame) -> pd.DataFrame:
+        def dsum_py(s):
+            import math
+
+            return float(sum(int(math.floor(v * 1e6 + 0.5)) for v in s)) / 1e6
+
+        return pd.DataFrame(
+            {
+                "custkey": [key[0]],
+                "n_orders": [len(odf)],
+                "sum_orders": [dsum_py(odf["o_totalprice"])],
+                "n_items": [len(ldf)],
+                "sum_items": [dsum_py(ldf["l_extendedprice"])],
+            }
+        )
+
+    return (
+        orders.groupBy("custkey")
+        .cogroup(li.groupBy("custkey"))
+        .applyInPandas(
+            reconcile,
+            schema="custkey long, n_orders long, sum_orders double,"
+            " n_items long, sum_items double",
+        )
+    )

@@ -561,3 +561,127 @@ def streaming_interval_join(spark, sf_dir):
         "streaming_interval_join_gate",
         output_mode="append",
     )
+
+
+# --------------------------------------------------------------------------
+# Funnel analysis: users who reached each ordered stage (A, then B
+# after A, then C after B) — min-timestamp-per-stage comparisons, one
+# shuffle on user_id, no self-joins.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "funnel_stages",
+    oracle="""
+WITH stage AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+         MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy
+  FROM events GROUP BY user_id
+)
+SELECT COUNT(*) AS n_users,
+       SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS stage_view,
+       SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view THEN 1 ELSE 0 END)
+         AS stage_click,
+       SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view AND t_buy > t_click
+                THEN 1 ELSE 0 END) AS stage_purchase
+FROM stage
+""",
+)
+def funnel_stages(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+
+    def first_ts(t):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    stage = ev.groupBy("user_id").agg(
+        first_ts("view").alias("t_view"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_buy"),
+    )
+    reached_view = F.col("t_view").isNotNull()
+    reached_click = reached_view & (F.col("t_click") > F.col("t_view"))
+    reached_buy = reached_click & (F.col("t_buy") > F.col("t_click"))
+    one = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
+    return stage.agg(
+        F.count("*").alias("n_users"),
+        one(reached_view).alias("stage_view"),
+        one(reached_click).alias("stage_click"),
+        one(reached_buy).alias("stage_purchase"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Trailing time-window aggregate per key: RANGE BETWEEN over event
+# time — the "last hour of activity per user at each event" feature
+# generator. One shuffle (window on user_id).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "rolling_user_window",
+    oracle=f"""
+SELECT event_id, user_id,
+       CAST(SUM(CAST(floor(CAST(value AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))
+            OVER w AS BIGINT) AS rolling_scaled,
+       COUNT(*) OVER w AS n_in_window
+FROM (SELECT event_id, user_id, value, epoch_us(ts) AS us FROM events)
+WINDOW w AS (PARTITION BY user_id ORDER BY us
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+""",
+)
+def rolling_user_window(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value", F.unix_micros("ts").alias("us")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    scaled = F.floor(F.col("value").cast("double") * 1000000.0 + 0.5).cast("long")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(scaled).over(w).cast("long").alias("rolling_scaled"),
+        F.count("*").over(w).alias("n_in_window"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Event-type transition matrix (1st-order Markov counts): lag window
+# per user, then a global count per (prev, next) pair.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "event_transitions",
+    oracle="""
+SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+FROM (
+  SELECT event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+)
+WHERE prev_type IS NOT NULL
+GROUP BY prev_type, next_type
+""",
+)
+def event_transitions(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.col("event_type").alias("next_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count("*").alias("n"))
+    )
