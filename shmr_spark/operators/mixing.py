@@ -1,0 +1,53 @@
+"""Weighted dataset mixing — the training-mix composer.
+
+A 100 TB training run draws from many corpora at tuned rates ("70%
+web, 20% code, 10% books"). The scalable, reproducible way is a
+deterministic per-row coin: a multiplicative hash of the row id maps
+to [0, 1), and a row survives iff hash < rate. No RNG state, no
+sampling shuffle, stable under reruns and appends (a row's fate
+depends only on its id), and each source is filtered at the scan —
+the union never materializes rejected rows.
+
+The hash is pure int64 arithmetic (Knuth multiplicative), so the
+oracle expresses it exactly in SQL.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_KNUTH = 2654435761
+_MOD = 4294967296  # 2^32
+
+
+def survival_hash(id_col: Column | str, salt: int = 0) -> Column:
+    """Deterministic uniform-ish draw in [0, 2^32) from a row id."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return ((c.cast("long") + F.lit(salt)) * F.lit(_KNUTH)) % F.lit(_MOD)
+
+
+def sql_survival_hash(expr: str, salt: int = 0) -> str:
+    """DuckDB twin of survival_hash."""
+    return f"(((CAST(({expr}) AS BIGINT) + {salt}) * {_KNUTH}) % {_MOD})"
+
+
+def mix_sources(
+    sources: dict[str, tuple[DataFrame, float]],
+    id_col: str,
+    salt: int = 0,
+) -> DataFrame:
+    """Union of each source sampled at its rate.
+
+    sources: name → (df, rate in [0, 1]). Adds a `mix_source` column.
+    Rates are per-source sampling fractions (they need not sum to 1 —
+    relative corpus sizes already set the mix proportions)."""
+    parts = []
+    for name, (df, rate) in sources.items():
+        if not 0.0 <= rate <= 1.0:
+            raise ValueError(f"{name}: rate {rate} outside [0, 1]")
+        keep = survival_hash(id_col, salt) < int(rate * _MOD)
+        parts.append(df.filter(keep).withColumn("mix_source", F.lit(name)))
+    return reduce(lambda a, b: a.unionByName(b), parts)

@@ -545,3 +545,40 @@ def shuffle_shards(spark, sf_dir):
         .withColumn("rn", F.row_number().over(w))
         .select("doc_id", "shard", "rn")
     )
+
+
+# --------------------------------------------------------------------------
+# Weighted training mix (operators/mixing.py): deterministic
+# hash-gated sampling of each source, union'd — reproducible and
+# append-stable, oracled exactly (pure int64 arithmetic).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "mix_training_sources",
+    oracle="""
+SELECT doc_id, mix_source FROM (
+  SELECT doc_id, 'head' AS mix_source,
+         ((doc_id * 2654435761) % 4294967296) AS h
+  FROM documents WHERE substr(source, 4) IN ('0','1','2','3','4','5','6','7','8','9')
+  UNION ALL
+  SELECT doc_id, 'tail',
+         ((doc_id * 2654435761) % 4294967296)
+  FROM documents WHERE substr(source, 4) NOT IN ('0','1','2','3','4','5','6','7','8','9')
+)
+WHERE (mix_source = 'head' AND h < CAST(0.7 * 4294967296 AS BIGINT))
+   OR (mix_source = 'tail' AND h < CAST(0.3 * 4294967296 AS BIGINT))
+""",
+)
+def mix_training_sources(spark, sf_dir):
+    from shmr_spark.operators.mixing import mix_sources
+
+    docs = load_table(spark, sf_dir, "documents")
+    mixed = mix_sources(
+        {
+            "head": (docs.filter(F.length("source") == 4), 0.7),
+            "tail": (docs.filter(F.length("source") > 4), 0.3),
+        },
+        id_col="doc_id",
+    )
+    return mixed.select("doc_id", "mix_source")

@@ -317,3 +317,24 @@ def test_validate_counts_planted_violations(spark):
         ).collect()
     }
     assert out == {"v_positive": (2, 4), "id_odd": (2, 4)}
+
+
+def test_mix_sources_deterministic_and_append_stable(spark, sf_dir):
+    """Mixing rates hold approximately; a row's fate is a pure function
+    of its id (append-stable: mixing a superset never flips survivors);
+    reruns are identical."""
+    from pyspark.sql import functions as F
+
+    from shmr_spark.catalog import load_table
+    from shmr_spark.operators.mixing import mix_sources
+
+    docs = load_table(spark, sf_dir, "documents")
+    half = docs.filter(F.col("doc_id") < 250)
+    m_full = mix_sources({"all": (docs, 0.5)}, id_col="doc_id")
+    m_half = mix_sources({"all": (half, 0.5)}, id_col="doc_id")
+    full_ids = {r.doc_id for r in m_full.select("doc_id").collect()}
+    half_ids = {r.doc_id for r in m_half.select("doc_id").collect()}
+    assert half_ids == {i for i in full_ids if i < 250}  # append-stable
+    assert full_ids == {r.doc_id for r in m_full.select("doc_id").collect()}
+    n = docs.count()
+    assert 0.35 * n <= len(full_ids) <= 0.65 * n  # rate in the ballpark

@@ -168,3 +168,27 @@ def test_schema_evolution_merge_read(spark, sf_dir, tmp_path):
     assert merged.count() == 100
     assert merged.filter(F.col("lang").isNull()).count() == 50
     assert merged.filter((F.col("doc_id") >= 50) & F.col("lang").isNotNull()).count() == 50
+
+
+def test_dynamic_partition_pruning_on_join(spark, sf_dir, tmp_path):
+    """Joining a partitioned fact table with a filtered dim must plan a
+    DPP subquery: only the dim-selected partitions of the fact are
+    scanned (PartitionFilters: dynamicpruningexpression)."""
+    from pyspark.sql import functions as F
+
+    from shmr_spark.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    fact_dir = str(tmp_path / "fact")
+    li.write.partitionBy("l_returnflag").parquet(fact_dir)
+    fact = spark.read.parquet(fact_dir)
+    dim = spark.createDataFrame(
+        [("A", "keep"), ("N", "drop"), ("R", "drop")], "flag STRING, action STRING"
+    )
+    joined = fact.join(
+        F.broadcast(dim.filter(F.col("action") == "keep")),
+        fact.l_returnflag == F.col("flag"),
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
+    assert joined.count() == li.filter(F.col("l_returnflag") == "A").count()
