@@ -540,3 +540,61 @@ def cogroup_reconcile(spark, sf_dir):
             " n_items long, sum_items double",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# VARIANT (Spark 4 semi-structured type): parse once, extract with
+# variant_get — the open-schema path that replaces per-access JSON
+# string parsing (get_json_object) at scale.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "variant_extract",
+    oracle="""
+SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+FROM events WHERE event_id < 200
+""",
+)
+def variant_extract(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 200)
+    return ev.select(
+        "event_id",
+        F.expr("variant_get(parse_json(props), '$.k', 'long')").alias("k"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Python UDTF (Spark 4): one input row → many output rows with
+# per-row state, via LATERAL — the table-function escape hatch.
+# Arrow-batched like pandas UDFs.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "udtf_sentences",
+    oracle="""
+SELECT doc_id, CAST(generate_subscripts(string_split(text, ' data '), 1) AS INT) AS pos,
+       unnest(string_split(text, ' data ')) AS sentence
+FROM documents WHERE doc_id < 20
+""",
+)
+def udtf_sentences(spark, sf_dir):
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos INT, sentence STRING")
+    class SplitSentences:
+        def eval(self, text: str):
+            for i, s in enumerate(text.split(" data ")):
+                yield i + 1, s
+
+    spark.udtf.register("shmr_split_sentences", SplitSentences)
+    load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 20
+    ).createOrReplaceTempView("docs_udtf_v")
+    return spark.sql(
+        """
+        SELECT doc_id, s.pos, s.sentence
+        FROM docs_udtf_v, LATERAL shmr_split_sentences(text) s
+        """
+    )
