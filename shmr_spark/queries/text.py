@@ -582,3 +582,36 @@ def mix_training_sources(spark, sf_dir):
         id_col="doc_id",
     )
     return mixed.select("doc_id", "mix_source")
+
+
+# --------------------------------------------------------------------------
+# Deterministic k-per-group sample: reservoir semantics without RNG
+# state — rank by the survival hash inside each group, keep k. Stable
+# across runs/engines; one shuffle (the window).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "sample_k_per_group",
+    oracle="""
+SELECT lang, doc_id, rn FROM (
+  SELECT lang, doc_id,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rn
+  FROM documents
+)
+WHERE rn <= 3
+""",
+)
+def sample_k_per_group(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from shmr_spark.operators.mixing import survival_hash
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(survival_hash("doc_id"), "doc_id")
+    return (
+        docs.select("lang", "doc_id", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 3)
+    )
