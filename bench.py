@@ -38,12 +38,16 @@ def main() -> None:
     for name, spec in sorted(headline.items()):
         spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    # min over 2 timed repetitions: one GC pause or CPU-frequency dip
+    # would otherwise dominate a sub-second query's number
     timings: dict[str, float] = {}
-    for name, spec in sorted(headline.items()):
-        t0 = time.perf_counter()
-        df = spec.fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    for _ in range(2):
+        for name, spec in sorted(headline.items()):
+            t0 = time.perf_counter()
+            df = spec.fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            dt = round(time.perf_counter() - t0, 3)
+            timings[name] = min(timings.get(name, dt), dt)
 
     total = round(sum(timings.values()), 3)
     print(
