@@ -615,3 +615,31 @@ def sample_k_per_group(spark, sf_dir):
         docs.select("lang", "doc_id", F.row_number().over(w).alias("rn"))
         .filter(F.col("rn") <= 3)
     )
+
+
+# --------------------------------------------------------------------------
+# Unigram LM quality score: mean log-probability of a document's
+# tokens under the corpus unigram distribution — the classic cheap
+# "gibberish / boilerplate" signal. Two aggregates + one broadcast
+# join; rows-only gate (ln is libm-dependent) with a pure-Python
+# cross-check in tests.
+# --------------------------------------------------------------------------
+
+
+@query("unigram_logprob_score", oracle=None)
+def unigram_logprob_score(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    vocab = toks.groupBy("token").agg(F.count("*").alias("tf"))
+    total = toks.count()
+    scored = (
+        toks.join(F.broadcast(vocab), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.avg(F.log(F.col("tf") / F.lit(float(total)))), 6).alias(
+                "mean_logprob"
+            ),
+            F.count("*").alias("n_tokens"),
+        )
+    )
+    return scored.orderBy("doc_id")

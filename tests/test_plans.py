@@ -127,3 +127,14 @@ def test_q3_broadcast_and_take_ordered(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_interval_join_no_cartesian(spark, sf_dir):
+    """The binned interval join must plan as an equi-join (hash/merge
+    on (key, bin)) — never BroadcastNestedLoopJoin or
+    CartesianProduct, which is what a naive |a.ts-b.ts|<=tol predicate
+    becomes."""
+    plan = _plan(spark, sf_dir, "interval_join_events")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Join" in plan

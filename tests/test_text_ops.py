@@ -88,3 +88,31 @@ def test_glob_multifile_parquet_read(spark, sf_dir, tmp_path):
         )
     back = spark.read.parquet(str(base / "part=*"))
     assert back.count() == src.count()
+
+
+def test_unigram_logprob_matches_python(spark, sf_dir):
+    """Spark's unigram score ≡ a pure-Python computation to 1e-6
+    (pre-round), on a sample of documents."""
+    import math
+    from collections import Counter
+
+    from shmr_spark.catalog import load_table
+    from shmr_spark.queries import load_all
+
+    docs = {
+        r.doc_id: r.text
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    vocab = Counter()
+    for t in docs.values():
+        vocab.update(t.split(" "))
+    total = sum(vocab.values())
+
+    got = {
+        r.doc_id: r.mean_logprob
+        for r in load_all()["unigram_logprob_score"].fn(spark, sf_dir).collect()
+    }
+    for doc_id in list(docs)[:25]:
+        toks = docs[doc_id].split(" ")
+        want = sum(math.log(vocab[t] / total) for t in toks) / len(toks)
+        assert abs(got[doc_id] - want) < 2e-6
