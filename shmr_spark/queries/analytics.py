@@ -685,3 +685,32 @@ def event_transitions(spark, sf_dir):
         .groupBy("prev_type", "next_type")
         .agg(F.count("*").alias("n"))
     )
+
+
+# --------------------------------------------------------------------------
+# Distribution-rank window functions: percent_rank + cume_dist of
+# every order inside its status group (the remaining analytic fns not
+# covered by window_functions).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "percentile_ranks",
+    oracle="""
+SELECT o_orderkey,
+       round(percent_rank() OVER w, 6) AS pr,
+       round(cume_dist() OVER w, 6) AS cd
+FROM orders
+WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+""",
+)
+def percentile_ranks(spark, sf_dir):
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )

@@ -237,3 +237,41 @@ def quantize_embeddings(spark, sf_dir):
         .select("vec_id", F.posexplode("codes").alias("pos0", "code"))
         .select("vec_id", (F.col("pos0") + 1).cast("long").alias("pos"), "code")
     )
+
+
+# --------------------------------------------------------------------------
+# Higher-order array functions as per-vector stats: transform /
+# filter / exists / aggregate, all JVM-side — no UDF, no explode.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "vector_stats",
+    oracle="""
+SELECT vec_id,
+       len(list_filter(embedding, x -> x > 0)) AS n_pos,
+       round(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) ** 2),
+             'sum'), 6) AS sq_norm,
+       round(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 6)
+         AS max_abs,
+       CASE WHEN len(list_filter(embedding, x -> abs(CAST(x AS DOUBLE)) > 0.3)) > 0
+            THEN 1 ELSE 0 END AS has_large
+FROM embeddings WHERE vec_id < 200
+""",
+)
+def vector_stats(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return emb.select(
+        "vec_id",
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_pos"),
+        F.round(
+            F.aggregate(dbl, F.lit(0.0), lambda acc, x: acc + x * x), 6
+        ).alias("sq_norm"),
+        F.round(
+            F.array_max(F.transform(dbl, lambda x: F.abs(x))), 6
+        ).alias("max_abs"),
+        F.when(
+            F.exists(dbl, lambda x: F.abs(x) > 0.3), F.lit(1)
+        ).otherwise(F.lit(0)).alias("has_large"),
+    )
