@@ -598,3 +598,71 @@ def udtf_sentences(spark, sf_dir):
         FROM docs_udtf_v, LATERAL shmr_split_sentences(text) s
         """
     )
+
+
+# --------------------------------------------------------------------------
+# Fuzzy record linkage: blocked levenshtein self-join — block on a
+# name prefix (equi-join, no cross product), verify with edit
+# distance ≤ 1 inside each block. The blocking-key pattern is the
+# scalable shape of entity resolution.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "fuzzy_name_pairs",
+    oracle="""
+SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+       levenshtein(a.c_name, b.c_name) AS dist
+FROM customer a JOIN customer b
+  ON substr(a.c_name, 1, 16) = substr(b.c_name, 1, 16)
+ AND a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 1
+""",
+)
+def fuzzy_name_pairs(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    a = cust.select(
+        F.col("c_custkey").alias("key_a"),
+        F.col("c_name").alias("name_a"),
+        F.substring("c_name", 1, 16).alias("__blk"),
+    )
+    b = cust.select(
+        F.col("c_custkey").alias("key_b"),
+        F.col("c_name").alias("name_b"),
+        F.substring("c_name", 1, 16).alias("__blk"),
+    )
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        a.join(b, "__blk")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .filter(dist <= 1)
+        .select("key_a", "key_b", dist.alias("dist"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Daily-activity bitmaps: one int64 per user, bit d set iff the user
+# was active on day-of-month d — bit_or aggregate; retention/streak
+# analytics read the bitmap with bit ops instead of re-scanning
+# events.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "activity_bitmaps",
+    oracle="""
+SELECT user_id,
+       bit_or(CAST(1 AS BIGINT) << CAST(day(ts) AS INT)) AS days_bitmap,
+       COUNT(DISTINCT day(ts)) AS n_days
+FROM events
+GROUP BY user_id
+""",
+)
+def activity_bitmaps(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    # shiftleft's numBits is int-only in the Python API → SQL expr
+    day_bit = F.expr("shiftleft(CAST(1 AS BIGINT), day(ts))")
+    return ev.groupBy("user_id").agg(
+        F.bit_or(day_bit).alias("days_bitmap"),
+        F.countDistinct(F.dayofmonth("ts")).alias("n_days"),
+    )
