@@ -275,3 +275,13 @@ def vector_stats(spark, sf_dir):
             F.exists(dbl, lambda x: F.abs(x) > 0.3), F.lit(1)
         ).otherwise(F.lit(0)).alias("has_large"),
     )
+
+
+@query("similarity_quantized_rerank", oracle=None)
+def similarity_quantized_rerank(spark, sf_dir):
+    """Coarse int8 scan + exact rerank (rows-only; equality with exact
+    search pinned in tests)."""
+    from shmr_spark.similarity import cosine_topk_quantized_rerank
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk_quantized_rerank(emb, probe_id=0, k=10, rerank=50)

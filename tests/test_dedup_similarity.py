@@ -258,3 +258,17 @@ def test_quantize_int8_roundtrip_error_bound(spark, sf_dir):
         F.min("c"), F.max("c")
     ).first()
     assert codes[0] >= 0 and codes[1] <= 255
+
+
+def test_quantized_rerank_matches_exact(spark, sf_dir):
+    """int8-coarse + exact-rerank returns the exact top-10 on this
+    corpus (rerank=50 ≫ k absorbs quantization error)."""
+    from shmr_spark.similarity import cosine_topk_quantized_rerank
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = [r.vec_id for r in cosine_topk_bruteforce(emb, 0, k=10).collect()]
+    got = [
+        r.vec_id
+        for r in cosine_topk_quantized_rerank(emb, 0, k=10, rerank=50).collect()
+    ]
+    assert got == exact

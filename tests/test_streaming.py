@@ -149,3 +149,31 @@ def test_stream_interval_join_equals_batch(spark, sf_dir, tmp_path):
     assert {(r.event_id_a, r.event_id_b) for r in got.collect()} == {
         (r.ea, r.eb) for r in batch.collect()
     }
+
+
+def test_stream_dedup_within_watermark(spark, sf_dir, tmp_path):
+    """dropDuplicatesWithinWatermark removes replayed events (the
+    at-least-once-source dedup pattern): feeding the same file twice
+    yields each event exactly once."""
+    import shutil
+
+    from shmr_spark.streaming import read_events_stream, run_stream_to_memory
+
+    d = tmp_path / "dup"
+    d.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", d / "a.parquet")
+    shutil.copy(f"{sf_dir}/events.parquet", d / "b.parquet")
+
+    deduped = (
+        read_events_stream(spark, str(d))
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id")
+    )
+    got = run_stream_to_memory(deduped, "t_stream_dedup", output_mode="append")
+    from shmr_spark.catalog import load_table
+
+    n_events = load_table(spark, sf_dir, "events").count()
+    rows = got.collect()
+    assert len(rows) == n_events
+    assert len({r.event_id for r in rows}) == n_events
