@@ -714,3 +714,42 @@ def percentile_ranks(spark, sf_dir):
         F.round(F.percent_rank().over(w), 6).alias("pr"),
         F.round(F.cume_dist().over(w), 6).alias("cd"),
     )
+
+
+# --------------------------------------------------------------------------
+# Cohort retention: users grouped by signup day, counted on each
+# later active day — two aggs and a join, the product-analytics
+# staple.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "cohort_retention",
+    oracle="""
+WITH cohort AS (
+  SELECT user_id, MIN(day(ts)) AS signup_day
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+)
+SELECT signup_day, CAST(day(e.ts) - signup_day AS INT) AS day_offset,
+       COUNT(DISTINCT e.user_id) AS n_active
+FROM events e JOIN cohort c ON e.user_id = c.user_id
+WHERE day(e.ts) >= signup_day
+GROUP BY signup_day, day_offset
+""",
+)
+def cohort_retention(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    cohort = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(F.dayofmonth("ts")).alias("signup_day"))
+    )
+    return (
+        ev.join(F.broadcast(cohort), "user_id")
+        .filter(F.dayofmonth("ts") >= F.col("signup_day"))
+        .groupBy(
+            "signup_day",
+            (F.dayofmonth("ts") - F.col("signup_day")).cast("int").alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )

@@ -643,3 +643,55 @@ def unigram_logprob_score(spark, sf_dir):
         )
     )
     return scored.orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Vocabulary growth (Heaps' law curve): cumulative distinct tokens
+# after each document. COUNT(DISTINCT) OVER a running window doesn't
+# distribute — the scalable rewrite is first-occurrence-per-token
+# (one agg) + a cumulative sum over per-doc debut counts (one
+# window). Both engines express the rewritten form.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "vocab_growth",
+    oracle="""
+WITH debut AS (
+  SELECT MIN(doc_id) AS first_doc FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+  ) GROUP BY token
+),
+per_doc AS (
+  SELECT first_doc AS doc_id, COUNT(*) AS new_tokens
+  FROM debut GROUP BY first_doc
+)
+SELECT d.doc_id,
+       CAST(SUM(COALESCE(p.new_tokens, 0)) OVER
+            (ORDER BY d.doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS vocab_size
+FROM (SELECT DISTINCT doc_id FROM documents) d
+LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+""",
+)
+def vocab_growth(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    per_doc = (
+        toks.groupBy("token")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("new_tokens"))
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        docs.select("doc_id")
+        .distinct()
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.sum(F.coalesce("new_tokens", F.lit(0))).over(w).cast("long").alias("vocab_size"),
+        )
+    )
