@@ -753,3 +753,48 @@ def cohort_retention(spark, sf_dir):
         )
         .agg(F.countDistinct("user_id").alias("n_active"))
     )
+
+
+# --------------------------------------------------------------------------
+# Time-weighted average per user: each reading holds until the next
+# (lead window), weight = holding time. The irregular-sampling
+# aggregate sensors/finance need; exact int64 weights.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "time_weighted_avg",
+    oracle="""
+SELECT user_id,
+       CAST(SUM(CAST(floor(CAST(value AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+                * (dt_us // 1000)) AS BIGINT) AS weighted_scaled,
+       CAST(SUM(dt_us // 1000) AS BIGINT) AS total_ms
+FROM (
+  SELECT user_id, value,
+         lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           - epoch_us(ts) AS dt_us
+  FROM events
+)
+WHERE dt_us IS NOT NULL
+GROUP BY user_id
+""",
+)
+def time_weighted_avg(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    dt = F.lead(us).over(w) - us
+    scaled = F.floor(F.col("value").cast("double") * 1000000.0 + 0.5).cast("long")
+    return (
+        ev.select("user_id", scaled.alias("sv"), dt.alias("dt_us"))
+        .filter(F.col("dt_us").isNotNull())
+        # ms weights keep Σ(scaled·dt) inside int64 (µs would overflow)
+        .withColumn("dt_ms", F.expr("dt_us div 1000"))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.col("sv") * F.col("dt_ms")).cast("long").alias("weighted_scaled"),
+            F.sum("dt_ms").cast("long").alias("total_ms"),
+        )
+    )
