@@ -798,3 +798,75 @@ def time_weighted_avg(spark, sf_dir):
             F.sum("dt_ms").cast("long").alias("total_ms"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Conversion latency: first view → first purchase gap per user —
+# conditional min aggs, then distribution stats over converters.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "conversion_latency",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t_view,
+         MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t_buy
+  FROM events GROUP BY user_id
+)
+SELECT COUNT(*) AS n_converters,
+       CAST(MIN(t_buy - t_view) AS BIGINT) AS min_us,
+       CAST(MAX(t_buy - t_view) AS BIGINT) AS max_us,
+       CAST(SUM(t_buy - t_view) AS BIGINT) AS sum_us
+FROM firsts
+WHERE t_view IS NOT NULL AND t_buy > t_view
+""",
+)
+def conversion_latency(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", us)).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "purchase", us)).alias("t_buy"),
+    )
+    gap = F.col("t_buy") - F.col("t_view")
+    return (
+        firsts.filter(F.col("t_view").isNotNull() & (F.col("t_buy") > F.col("t_view")))
+        .agg(
+            F.count("*").alias("n_converters"),
+            F.min(gap).cast("long").alias("min_us"),
+            F.max(gap).cast("long").alias("max_us"),
+            F.sum(gap).cast("long").alias("sum_us"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Latest state per key via max_by — the "current value" snapshot
+# (CDC/state-table compaction) as one aggregate, no window pass.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "latest_event_state",
+    oracle="""
+SELECT user_id,
+       arg_max(event_type, epoch_us(ts)) AS last_type,
+       arg_max(value, epoch_us(ts)) AS last_value,
+       CAST(MAX(epoch_us(ts)) AS BIGINT) AS last_us
+FROM events
+GROUP BY user_id
+""",
+)
+def latest_event_state(spark, sf_dir):
+    # (user_id, ts) is collision-free in this corpus at µs precision,
+    # so the scalar ordering is deterministic on both engines (DuckDB's
+    # arg_max takes no composite ordering key)
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    return ev.groupBy("user_id").agg(
+        F.max_by("event_type", us).alias("last_type"),
+        F.max_by("value", us).alias("last_value"),
+        F.max(us).cast("long").alias("last_us"),
+    )

@@ -92,3 +92,22 @@ def write_text(
     if compression:
         w = w.option("compression", compression)
     w.text(path)
+
+
+def manifest(spark, path: str):
+    """Dataset manifest from parquet footers: one row per data file
+    with row count and byte size — metadata only, no data scan. The
+    scale analog of the reference's `.meta` sidecars
+    (/root/reference/shmr/partition_writer.py:64-85): counts come from
+    footers Spark already wrote, instead of a bookkeeping file per
+    partition."""
+    import glob as _glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    rows = []
+    for f in sorted(_glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)):
+        md = pq.ParquetFile(f).metadata
+        rows.append((os.path.relpath(f, path), md.num_rows, os.path.getsize(f)))
+    return spark.createDataFrame(rows, "file string, n_rows long, n_bytes long")

@@ -192,3 +192,22 @@ def test_dynamic_partition_pruning_on_join(spark, sf_dir, tmp_path):
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower()
     assert joined.count() == li.filter(F.col("l_returnflag") == "A").count()
+
+
+def test_manifest_counts_match_data(spark, sf_dir, tmp_path):
+    """Footer-derived manifest totals ≡ the actual row count, per file
+    and in aggregate — no data scan needed."""
+    from pyspark.sql import functions as F
+
+    from shmr_spark.catalog import load_table
+    from shmr_spark.sources.writers import manifest
+
+    orders = load_table(spark, sf_dir, "orders")
+    out = str(tmp_path / "m")
+    orders.repartition(4).write.parquet(out)
+    m = manifest(spark, out)
+    rows = m.collect()
+    assert len(rows) >= 4
+    assert sum(r.n_rows for r in rows) == orders.count()
+    assert all(r.n_bytes > 0 for r in rows)
+    assert m.agg(F.sum("n_rows")).first()[0] == orders.count()
