@@ -870,3 +870,86 @@ def latest_event_state(spark, sf_dir):
         F.max_by("value", us).alias("last_value"),
         F.max(us).cast("long").alias("last_us"),
     )
+
+
+# --------------------------------------------------------------------------
+# Gaps-and-islands: longest consecutive-day activity streak per user —
+# day − dense_rank(day) is constant inside an island.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "activity_streaks",
+    oracle="""
+WITH days AS (SELECT DISTINCT user_id, day(ts) AS d FROM events),
+isl AS (
+  SELECT user_id, d,
+         d - dense_rank() OVER (PARTITION BY user_id ORDER BY d) AS island
+  FROM days
+),
+runs AS (
+  SELECT user_id, island, COUNT(*) AS len FROM isl GROUP BY user_id, island
+)
+SELECT user_id, CAST(MAX(len) AS BIGINT) AS longest_streak,
+       CAST(COUNT(*) AS BIGINT) AS n_streaks
+FROM runs GROUP BY user_id
+""",
+)
+def activity_streaks(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select("user_id", F.dayofmonth("ts").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    isl = days.withColumn("island", F.col("d") - F.dense_rank().over(w))
+    runs = isl.groupBy("user_id", "island").agg(F.count("*").alias("len"))
+    return runs.groupBy("user_id").agg(
+        F.max("len").cast("long").alias("longest_streak"),
+        F.count("*").cast("long").alias("n_streaks"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Contribution analysis: each nation's exact share of total revenue —
+# window-sum-over-all ratio (ratio_to_report), shares as exact
+# scaled-int pairs so the hash can't drift.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "revenue_contribution",
+    oracle="""
+WITH per_nation AS (
+  SELECT s_nationkey,
+         CAST(SUM(CAST(floor(CAST(l_extendedprice * (1 - l_discount) AS DOUBLE)
+                             * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS rev_scaled
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+  GROUP BY s_nationkey
+)
+SELECT s_nationkey, rev_scaled,
+       CAST(SUM(rev_scaled) OVER () AS BIGINT) AS total_scaled,
+       round(CAST(rev_scaled AS DOUBLE) / CAST(SUM(rev_scaled) OVER () AS DOUBLE), 9)
+         AS share
+FROM per_nation
+""",
+)
+def revenue_contribution(spark, sf_dir):
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_suppkey", "l_extendedprice", "l_discount")
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("double")
+    scaled = F.floor(rev * 1000000.0 + 0.5).cast("long")
+    per_nation = (
+        li.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_nationkey")
+        .agg(F.sum(scaled).cast("long").alias("rev_scaled"))
+    )
+    w = Window.partitionBy()
+    total = F.sum("rev_scaled").over(w).cast("long")
+    return per_nation.select(
+        "s_nationkey",
+        "rev_scaled",
+        total.alias("total_scaled"),
+        F.round(F.col("rev_scaled").cast("double") / total.cast("double"), 9).alias("share"),
+    )
