@@ -666,3 +666,45 @@ def activity_bitmaps(spark, sf_dir):
         F.bit_or(day_bit).alias("days_bitmap"),
         F.countDistinct(F.dayofmonth("ts")).alias("n_days"),
     )
+
+
+# --------------------------------------------------------------------------
+# Referential-integrity audit: both orphan directions in one result —
+# anti-joins as NOT EXISTS, the FK health check of a star schema.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "referential_integrity",
+    oracle="""
+SELECT 'orders_without_items' AS chk, COUNT(*) AS n
+FROM orders o WHERE NOT EXISTS (
+  SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+UNION ALL
+SELECT 'items_without_order', COUNT(*)
+FROM lineitem l WHERE NOT EXISTS (
+  SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+UNION ALL
+SELECT 'orders_without_customer', COUNT(*)
+FROM orders o WHERE NOT EXISTS (
+  SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+""",
+)
+def referential_integrity(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cust = load_table(spark, sf_dir, "customer")
+
+    def orphans(name, left, right, lk, rk):
+        n = (
+            left.join(right, left[lk] == right[rk], "left_anti")
+            .agg(F.count("*").alias("n"))
+            .select(F.lit(name).alias("chk"), "n")
+        )
+        return n
+
+    return (
+        orphans("orders_without_items", orders, li, "o_orderkey", "l_orderkey")
+        .unionByName(orphans("items_without_order", li, orders, "l_orderkey", "o_orderkey"))
+        .unionByName(orphans("orders_without_customer", orders, cust, "o_custkey", "c_custkey"))
+    )
