@@ -708,3 +708,30 @@ def referential_integrity(spark, sf_dir):
         .unionByName(orphans("items_without_order", li, orders, "l_orderkey", "o_orderkey"))
         .unionByName(orphans("orders_without_customer", orders, cust, "o_custkey", "c_custkey"))
     )
+
+
+# --------------------------------------------------------------------------
+# Boolean / conditional aggregate surface: count_if, bool_and,
+# bool_or, every/some in one audit-style result per group.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "bool_aggregates",
+    oracle="""
+SELECT o_orderstatus,
+       count_if(o_totalprice > 200000) AS n_big,
+       bool_and(o_totalprice > 0) AS all_positive,
+       bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
+       COUNT(*) AS n
+FROM orders GROUP BY o_orderstatus
+""",
+)
+def bool_aggregates(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.count_if(F.col("o_totalprice") > 200000).alias("n_big"),
+        F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+        F.bool_or(F.col("o_orderpriority") == "1-URGENT").alias("any_urgent"),
+        F.count("*").alias("n"),
+    )

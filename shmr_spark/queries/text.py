@@ -695,3 +695,69 @@ def vocab_growth(spark, sf_dir):
             F.sum(F.coalesce("new_tokens", F.lit(0))).over(w).cast("long").alias("vocab_size"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Regex extraction: digit-run counting per doc. Explicit ASCII
+# classes ([0-9]) — Java and RE2 agree there, \\d does not (see
+# BUILD_LOG trap #5).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "numbers_in_text",
+    oracle="""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[0-9]+')) AS INT) AS n_numbers,
+       COALESCE(TRY_CAST(regexp_extract(text, '[0-9]+') AS BIGINT), -1)
+         AS first_number
+FROM documents WHERE doc_id < 100
+""",
+)
+def numbers_in_text(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit("[0-9]+"), 0)).alias("n_numbers"),
+        F.coalesce(
+            F.regexp_extract("text", "[0-9]+", 0).try_cast("long"), F.lit(-1)
+        ).alias("first_number"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Inter-document token overlap: consecutive docs' shared vocabulary —
+# array set ops (array_intersect / array_union) after a
+# self-equi-join on doc_id+1.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "doc_token_overlap",
+    oracle="""
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(len(list_intersect(a.toks, b.toks)) AS INT) AS n_shared,
+       CAST(len(list_distinct(a.toks)) + len(list_distinct(b.toks))
+            - len(list_intersect(a.toks, b.toks)) AS INT) AS n_union
+FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) a
+JOIN (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) b
+  ON b.doc_id = a.doc_id + 1
+WHERE a.doc_id < 100
+""",
+)
+def doc_token_overlap(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    a = docs.filter(F.col("doc_id") < 100).select(
+        F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta")
+    )
+    b = docs.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb"))
+    shared = F.size(F.array_intersect("ta", "tb"))
+    uni = (
+        F.size(F.array_distinct("ta")) + F.size(F.array_distinct("tb")) - shared
+    )
+    return (
+        a.join(b, F.col("doc_b") == F.col("doc_a") + 1)
+        .select("doc_a", "doc_b", shared.alias("n_shared"), uni.alias("n_union"))
+    )
