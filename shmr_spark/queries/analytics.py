@@ -953,3 +953,85 @@ def revenue_contribution(spark, sf_dir):
         total.alias("total_scaled"),
         F.round(F.col("rev_scaled").cast("double") / total.cast("double"), 9).alias("share"),
     )
+
+
+# --------------------------------------------------------------------------
+# Forward fill (LOCF): carry the last non-null observation — here
+# non-'error' readings carried over error events — via last_value
+# IGNORE NULLS over an unbounded-preceding window.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "forward_fill_values",
+    oracle="""
+SELECT event_id, user_id,
+       round(COALESCE(last_value(good_value IGNORE NULLS) OVER w, -1.0), 6)
+         AS filled
+FROM (
+  SELECT event_id, user_id, ts,
+         CASE WHEN event_type <> 'error' THEN value END AS good_value
+  FROM events
+)
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""",
+)
+def forward_fill_values(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    good = F.when(F.col("event_type") != "error", F.col("value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(
+            F.coalesce(F.last(good, ignorenulls=True).over(w), F.lit(-1.0)), 6
+        ).alias("filled"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Calendar spine: dense daily series per event_type with explicit
+# zeros — sequence+explode cross the spine, left join fills gaps.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "daily_spine_counts",
+    oracle="""
+WITH spine AS (
+  SELECT CAST(d.g AS DATE) AS day FROM generate_series(
+    DATE '2024-01-01', DATE '2024-01-30', INTERVAL 1 DAY) d(g)
+),
+types AS (SELECT DISTINCT event_type FROM events),
+actual AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT s.day, t.event_type, COALESCE(a.n, 0) AS n
+FROM spine s CROSS JOIN types t
+LEFT JOIN actual a ON a.day = s.day AND a.event_type = t.event_type
+""",
+)
+def daily_spine_counts(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    spine = spark.sql(
+        "SELECT explode(sequence(DATE '2024-01-01', DATE '2024-01-30',"
+        " interval 1 day)) AS day"
+    )
+    types = ev.select("event_type").distinct()
+    actual = ev.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    return (
+        spine.crossJoin(types)
+        .join(actual, ["day", "event_type"], "left")
+        .select("day", "event_type", F.coalesce("n", F.lit(0)).alias("n"))
+    )
