@@ -735,3 +735,37 @@ def bool_aggregates(spark, sf_dir):
         F.bool_or(F.col("o_orderpriority") == "1-URGENT").alias("any_urgent"),
         F.count("*").alias("n"),
     )
+
+
+# --------------------------------------------------------------------------
+# Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+# match each other — the semantics regular equi-joins silently drop.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "null_safe_join",
+    oracle="""
+WITH keyed AS (
+  SELECT p_partkey, CASE WHEN p_size % 10 = 0 THEN NULL ELSE p_size END AS k
+  FROM part
+)
+SELECT a.p_partkey AS pk_a, b.p_partkey AS pk_b
+FROM keyed a JOIN keyed b
+  ON a.k IS NOT DISTINCT FROM b.k AND a.p_partkey < b.p_partkey
+WHERE a.k IS NULL
+""",
+)
+def null_safe_join(spark, sf_dir):
+    part = load_table(spark, sf_dir, "part")
+    keyed = part.select(
+        "p_partkey",
+        F.when(F.col("p_size") % 10 != 0, F.col("p_size")).alias("k"),
+    )
+    a = keyed.select(F.col("p_partkey").alias("pk_a"), F.col("k").alias("ka"))
+    b = keyed.select(F.col("p_partkey").alias("pk_b"), F.col("k").alias("kb"))
+    return (
+        a.join(b, F.col("ka").eqNullSafe(F.col("kb")) & (F.col("pk_a") < F.col("pk_b")))
+        .filter(F.col("ka").isNull())
+        .select("pk_a", "pk_b")
+    )

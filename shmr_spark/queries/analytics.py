@@ -1035,3 +1035,38 @@ def daily_spine_counts(spark, sf_dir):
         .join(actual, ["day", "event_type"], "left")
         .select("day", "event_type", F.coalesce("n", F.lit(0)).alias("n"))
     )
+
+
+# --------------------------------------------------------------------------
+# Count-based moving aggregate: trailing-5-rows mean per group (ROWS
+# BETWEEN n PRECEDING) — exact scaled sum + explicit divisor.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "moving_average_orders",
+    oracle="""
+SELECT o_orderkey,
+       CAST(SUM(CAST(floor(o_totalprice * 1000000.0 + 0.5) AS BIGINT))
+            OVER w AS BIGINT) AS window_scaled,
+       COUNT(*) OVER w AS window_n
+FROM orders
+WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+""",
+)
+def moving_average_orders(spark, sf_dir):
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_orderstatus")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    scaled = F.floor(F.col("o_totalprice") * 1000000.0 + 0.5).cast("long")
+    return orders.select(
+        "o_orderkey",
+        F.sum(scaled).over(w).cast("long").alias("window_scaled"),
+        F.count("*").over(w).alias("window_n"),
+    )
