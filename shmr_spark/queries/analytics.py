@@ -1070,3 +1070,38 @@ def moving_average_orders(spark, sf_dir):
         F.sum(scaled).over(w).cast("long").alias("window_scaled"),
         F.count("*").over(w).alias("window_n"),
     )
+
+
+# --------------------------------------------------------------------------
+# Decile analysis: ntile(10) bands over order value, then per-band
+# stats — the distribution-summary table behind pricing dashboards.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "order_value_deciles",
+    oracle="""
+SELECT CAST(decile AS INT) AS decile, COUNT(*) AS n,
+       MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+FROM (
+  SELECT o_totalprice,
+         ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+  FROM orders
+)
+GROUP BY decile
+""",
+)
+def order_value_deciles(spark, sf_dir):
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.select("o_totalprice", F.ntile(10).over(w).cast("int").alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+    )
