@@ -246,17 +246,35 @@ def percentiles(spark, sf_dir):
 
 # --------------------------------------------------------------------------
 # Approximate distinct — the sketch the reference can't offer. HLL
-# internals differ across engines, so the oracle checks the EXACT
-# distinct twin and the approximate answer is validated by pytest
-# against a relative-error bound instead.
+# internals differ across engines, so the gate is a TOLERANCE oracle:
+# Spark emits the exact distinct count plus a boolean asserting the
+# HLL estimate landed within 3x the configured rsd; the oracle emits
+# the same exact count and literal TRUE. Rows hash-match iff the
+# sketch actually met its bound — a hard driver-checkable signal for
+# an approximate answer.
 # --------------------------------------------------------------------------
 
 
-@query("approx_distinct", oracle=None)
+@query(
+    "approx_distinct",
+    oracle="""
+SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+       TRUE AS within_bound
+FROM lineitem
+""",
+)
 def approx_distinct(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
+    rsd = 0.02
     return li.agg(
-        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+        F.count_distinct("l_orderkey").alias("exact_orders"),
+        F.approx_count_distinct("l_orderkey", rsd=rsd).alias("approx"),
+    ).select(
+        "exact_orders",
+        (
+            F.abs(F.col("approx") - F.col("exact_orders"))
+            <= F.col("exact_orders") * (3 * rsd)
+        ).alias("within_bound"),
     )
 
 
@@ -472,33 +490,42 @@ def interval_join_events(spark, sf_dir):
 # Approximate percentiles: the 100 TB path. Exact percentile() needs a
 # full sort/collect per group; approx_percentile is a mergeable
 # partial-aggregable sketch (Greenwald-Khanna) — one pass, bounded
-# memory, map-side combinable. Rows-only gate (DuckDB can't replicate
-# Spark's sketch); the pytest bound-check pins it to the exact values.
+# memory, map-side combinable. TOLERANCE oracle: Spark emits the group
+# key, the exact row count, and a boolean asserting every sketch
+# quantile fell inside the exact-value envelope [q-eps, q+eps]
+# (eps = 0.02 rank slack, ~200x the sketch's guaranteed 1/acc rank
+# error); the oracle emits the same key/count and literal TRUE, so the
+# rows hash-match iff the sketch met its bound.
 # --------------------------------------------------------------------------
 
 
-@query("approx_percentiles", oracle=None)
+@query(
+    "approx_percentiles",
+    oracle="""
+SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n, TRUE AS within_bound
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+)
 def approx_percentiles(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     acc = 10_000  # rank error <= n/acc
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.expr(
-                f"approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75, 0.99), {acc})"
-            ).alias("qs"),
-            F.count("*").alias("n"),
-        )
-        .select(
-            "l_returnflag",
-            F.col("qs")[0].alias("p25"),
-            F.col("qs")[1].alias("p50"),
-            F.col("qs")[2].alias("p75"),
-            F.col("qs")[3].alias("p99"),
-            "n",
-        )
-        .orderBy("l_returnflag")
+    qs = [0.25, 0.5, 0.75, 0.99]
+    eps = 0.02
+    lo = [max(q - eps, 0.0) for q in qs]
+    hi = [min(q + eps, 1.0) for q in qs]
+    arr = lambda v: "array(" + ", ".join(str(x) for x in v) + ")"  # noqa: E731
+    agg = li.groupBy("l_returnflag").agg(
+        F.expr(f"approx_percentile(l_extendedprice, {arr(qs)}, {acc})").alias("qa"),
+        F.expr(f"percentile(l_extendedprice, {arr(lo)})").alias("qlo"),
+        F.expr(f"percentile(l_extendedprice, {arr(hi)})").alias("qhi"),
+        F.count("*").alias("n"),
     )
+    ok = F.lit(True)
+    for i in range(len(qs)):
+        ok = ok & (F.col("qa")[i] >= F.col("qlo")[i]) & (F.col("qa")[i] <= F.col("qhi")[i])
+    return agg.select(
+        "l_returnflag", "n", ok.alias("within_bound")
+    ).orderBy("l_returnflag")
 
 
 # --------------------------------------------------------------------------
@@ -580,12 +607,14 @@ WITH stage AS (
          MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy
   FROM events GROUP BY user_id
 )
-SELECT COUNT(*) AS n_users,
-       SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS stage_view,
-       SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view THEN 1 ELSE 0 END)
-         AS stage_click,
-       SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view AND t_buy > t_click
-                THEN 1 ELSE 0 END) AS stage_purchase
+SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS stage_view,
+       CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                     THEN 1 ELSE 0 END) AS BIGINT) AS stage_click,
+       CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                     AND t_buy > t_click THEN 1 ELSE 0 END) AS BIGINT)
+         AS stage_purchase
 FROM stage
 """,
 )
