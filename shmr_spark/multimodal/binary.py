@@ -3,13 +3,18 @@ with typed metadata, processed by Arrow-batched pandas over
 mapInPandas.
 
 The Spark-side plumbing — schemas, partition sizing, UDF signatures,
-batch shapes — is real and tested. The actual media decode is STUBBED:
-this container has no image/audio libraries, so ``_decode_image_real``
-raises NotImplementedError and the pipeline runs a clearly-marked
-deterministic fake (feature vector derived from the byte content's
-hash) so every downstream stage (featurize → dedup → similarity) is
-exercised end-to-end. Swapping in PIL/torchvision is a one-function
-change.
+batch shapes — is real and tested. Decode status by format:
+
+- PNG: REAL — dependency-free stdlib decoder (multimodal/png.py,
+  8-bit gray/RGB/RGBA/palette, all five scanline filters);
+  ``_decode_image_real`` returns actual pixels and the featurizer
+  emits true width/height plus a pixel checksum.
+- JPEG / audio / video: still stubbed (no codecs in this container) —
+  ``_decode_image_real`` raises NotImplementedError for them and the
+  pipeline can fall back to the clearly-marked deterministic fake
+  (feature vector derived from the byte content's hash) so every
+  downstream stage (featurize → dedup → similarity) is exercised
+  end-to-end. Swapping in PIL/torchvision is a one-function change.
 
 Scale design: media bytes dominate row size, so operators here
 (a) never shuffle the binary column — features are extracted first,
@@ -48,7 +53,8 @@ MEDIA_SCHEMA = T.StructType(
 )
 
 IMAGE_FEATURE_SCHEMA = (
-    "media_id long, n_bytes long, sha256 string, feature array<float>"
+    "media_id long, n_bytes long, sha256 string, feature array<float>, "
+    "width int, height int, px_sum long"
 )
 
 
@@ -68,12 +74,31 @@ def attach_media_metadata(df: DataFrame, content_col: str = "content") -> DataFr
 
 
 def _decode_image_real(content: bytes) -> np.ndarray:
-    """The real decode hook. STUB: no imaging libraries in this
-    container — wire PIL.Image.open(BytesIO(content)) here."""
+    """The real decode hook: PNG decodes for real via the stdlib codec
+    in multimodal/png.py; other formats (JPEG etc.) still need an
+    imaging library not present in this container."""
+    from shmr_spark.multimodal.png import is_png, png_decode
+
+    if is_png(content):
+        pixels, _info = png_decode(content)
+        return pixels
     raise NotImplementedError(
-        "media decode requires an imaging library not present in this "
-        "container; the pipeline uses the deterministic fake instead"
+        "non-PNG media decode requires an imaging library not present "
+        "in this container; use the deterministic fake instead"
     )
+
+
+def _featurize_pixels(pixels: np.ndarray, dim: int) -> np.ndarray:
+    """Decoded pixels → fixed-dim feature: luminance flattened
+    row-major, mean-pooled into `dim` bins, normalized to [-1, 1]."""
+    gray = pixels.astype(np.float64).mean(axis=2).ravel()
+    n = len(gray)
+    if n == 0:
+        return np.zeros(dim, dtype=np.float32)
+    idx = (np.arange(n) * dim) // max(n, 1)
+    sums = np.bincount(idx, weights=gray, minlength=dim)
+    counts = np.maximum(np.bincount(idx, minlength=dim), 1)
+    return ((sums / counts - 127.5) / 127.5).astype(np.float32)
 
 
 def _decode_image_fake(content: bytes, dim: int) -> np.ndarray:
@@ -86,35 +111,60 @@ def _decode_image_fake(content: bytes, dim: int) -> np.ndarray:
 
 
 def decode_and_featurize(
-    df: DataFrame, dim: int = 64, use_real_decoder: bool = False
+    df: DataFrame,
+    dim: int = 64,
+    use_real_decoder: bool = False,
+    passthrough: list[str] | None = None,
 ) -> DataFrame:
-    """mapInPandas decode+featurize: binary content → fixed-dim
-    float feature vector + content hash. The binary column does NOT
-    survive into the output — downstream shuffles move 64 floats, not
-    megabytes."""
+    """mapInPandas decode+featurize: binary content → fixed-dim float
+    feature vector + content hash; with the real decoder, also true
+    image width/height and a pixel checksum (sum of all channel
+    bytes). The binary column does NOT survive into the output —
+    downstream shuffles move 64 floats, not megabytes. ``passthrough``
+    names input columns copied verbatim into the output (so callers
+    can keep e.g. a source-document hash without re-joining against
+    the heavy binary relation)."""
+    extra = list(passthrough or [])
+    in_schema = dict(zip(df.schema.names, df.schema.fields))
+    extra_ddl = "".join(
+        f", {c} {in_schema[c].dataType.simpleString()}" for c in extra
+    )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             feats, hashes, sizes = [], [], []
+            widths, heights, sums = [], [], []
             for content in pdf["content"]:
                 b = bytes(content) if content is not None else b""
                 if use_real_decoder:
-                    arr = _decode_image_real(b)  # pragma: no cover - stub
+                    pixels = _decode_image_real(b)
+                    arr = _featurize_pixels(pixels, dim)
+                    h, w, _nch = pixels.shape
+                    widths.append(w)
+                    heights.append(h)
+                    sums.append(int(pixels.astype(np.int64).sum()))
                 else:
                     arr = _decode_image_fake(b, dim)
+                    widths.append(None)
+                    heights.append(None)
+                    sums.append(None)
                 feats.append(arr.tolist())
                 hashes.append(hashlib.sha256(b).hexdigest())
                 sizes.append(len(b))
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "n_bytes": sizes,
-                    "sha256": hashes,
-                    "feature": feats,
-                }
-            )
+            out = {
+                "media_id": pdf["media_id"],
+                "n_bytes": sizes,
+                "sha256": hashes,
+                "feature": feats,
+                "width": pd.array(widths, dtype="Int32"),
+                "height": pd.array(heights, dtype="Int32"),
+                "px_sum": pd.array(sums, dtype="Int64"),
+            }
+            for c in extra:
+                out[c] = pdf[c]
+            yield pd.DataFrame(out)
 
-    return df.mapInPandas(batches, schema=IMAGE_FEATURE_SCHEMA)
+    return df.mapInPandas(batches, schema=IMAGE_FEATURE_SCHEMA + extra_ddl)
 
 
 def sample_frames(

@@ -116,21 +116,39 @@ def salted_agg_revenue(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
-# Multimodal pipeline through the driver gate: text bytes stand in for
-# media content (no media libs in the container); the mapInPandas
-# decode/featurize plumbing runs for real and its SQL-expressible
-# outputs (byte length, content sha256) are oracle-checked. The
-# feature vectors are validated in tests/test_multimodal.py.
+# Multimodal pipeline through the driver gate, REAL decode path: one
+# deterministic PNG is planted per document (gray gradient pixel
+# (doc_id + i) % 256, doc-dependent dims, per-row filter cycling
+# through all five PNG filter types), then decoded by the stdlib PNG
+# codec (multimodal/png.py) inside decode_and_featurize. The oracle
+# recomputes the source-text byte length + sha256 AND the decoded
+# width/height/pixel-checksum in closed form — so a hash match proves
+# the distributed encode→decode round trip, not just the plumbing.
+# Feature vectors are validated in tests/test_multimodal.py.
 # --------------------------------------------------------------------------
 
 
 @query(
     "multimodal_featurize",
     oracle="""
+WITH base AS (
+  SELECT doc_id,
+         text,
+         CAST(doc_id % 29 + 4 AS INT) AS width,
+         CAST(doc_id % 17 + 4 AS INT) AS height,
+         (doc_id % 29 + 4) * (doc_id % 17 + 4) AS n
+  FROM documents
+)
 SELECT doc_id AS media_id,
        CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
-       sha256(text) AS sha256
-FROM documents
+       sha256(text) AS sha256,
+       width, height,
+       CAST( ((doc_id + n) // 256) * 32640
+             + ((doc_id + n) % 256) * ((doc_id + n) % 256 - 1) // 2
+             - ( (doc_id // 256) * 32640
+                 + (doc_id % 256) * (doc_id % 256 - 1) // 2 )
+            AS BIGINT) AS px_sum
+FROM base
 """,
 )
 def multimodal_featurize(spark, sf_dir):
@@ -139,10 +157,43 @@ def multimodal_featurize(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     media = docs.select(
         F.col("doc_id").alias("media_id"),
-        F.encode("text", "UTF-8").alias("content"),
+        F.length(F.encode("text", "UTF-8")).cast("long").alias("n_bytes_text"),
+        F.sha2("text", 256).alias("sha256_text"),
     )
-    feats = decode_and_featurize(media, dim=16)
-    return feats.select("media_id", "n_bytes", "sha256")
+
+    def plant(it):
+        import numpy as np
+        import pandas as pd  # noqa: F401
+
+        from shmr_spark.multimodal.png import png_encode
+
+        for pdf in it:
+            contents = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                w, h = mid % 29 + 4, mid % 17 + 4
+                pix = ((mid + np.arange(w * h)) % 256).astype("uint8").reshape(h, w)
+                contents.append(png_encode(pix, filter_mode="cycle"))
+            yield pdf.assign(content=contents)
+
+    planted = media.mapInPandas(
+        plant,
+        schema="media_id long, n_bytes_text long, sha256_text string, content binary",
+    )
+    feats = decode_and_featurize(
+        planted,
+        dim=16,
+        use_real_decoder=True,
+        passthrough=["n_bytes_text", "sha256_text"],
+    )
+    return feats.select(
+        "media_id",
+        F.col("n_bytes_text").alias("n_bytes"),
+        F.col("sha256_text").alias("sha256"),
+        "width",
+        "height",
+        "px_sum",
+    )
 
 
 # --------------------------------------------------------------------------

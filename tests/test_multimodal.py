@@ -36,7 +36,9 @@ def test_metadata_sniff(spark, media_df):
 def test_decode_and_featurize_shapes(spark, media_df):
     feats = decode_and_featurize(media_df, dim=64)
     rows = feats.collect()
-    assert feats.columns == ["media_id", "n_bytes", "sha256", "feature"]
+    assert feats.columns == [
+        "media_id", "n_bytes", "sha256", "feature", "width", "height", "px_sum",
+    ]
     assert len(rows) == 4
     for r in rows:
         assert len(r.feature) == 64
@@ -48,9 +50,99 @@ def test_decode_and_featurize_shapes(spark, media_df):
     assert "content" not in feats.columns
 
 
-def test_real_decoder_is_marked_stub(spark):
+def test_real_decoder_png_and_stub_boundary():
+    """PNG decodes for real; other formats are still the documented
+    NotImplementedError stub boundary."""
+    import numpy as np
+
+    from shmr_spark.multimodal.png import png_encode
+
+    arr = np.arange(60, dtype=np.uint8).reshape(6, 10)
+    pixels = _decode_image_real(png_encode(arr))
+    assert pixels.shape == (6, 10, 1)
+    assert (pixels[:, :, 0] == arr).all()
     with pytest.raises(NotImplementedError):
-        _decode_image_real(b"anything")
+        _decode_image_real(b"\xff\xd8\xffjpeg-is-still-stubbed")
+
+
+def test_png_codec_roundtrip_all_types():
+    """Encoder/decoder round-trip over every supported color type and
+    both filter modes (cycle mode hits all five PNG filter types)."""
+    import numpy as np
+
+    from shmr_spark.multimodal.png import png_decode, png_encode
+
+    rng = np.random.RandomState(11)
+    for shape in [(1, 1), (17, 23), (8, 5, 2), (9, 31, 3), (12, 7, 4)]:
+        arr = rng.randint(0, 256, size=shape, dtype=np.uint8)
+        want = arr[:, :, None] if arr.ndim == 2 else arr
+        for mode in ("none", "cycle"):
+            got, info = png_decode(png_encode(arr, filter_mode=mode))
+            assert got.shape == want.shape
+            assert (got == want).all()
+            assert info["width"] == want.shape[1]
+            assert info["height"] == want.shape[0]
+
+
+def test_png_palette_decode():
+    """Hand-built palette (color type 3) PNG expands to RGB."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from shmr_spark.multimodal.png import png_decode
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    palette = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])  # R, G, B entries
+    idx_rows = [bytes([0, 1, 2]), bytes([2, 1, 0])]
+    raw = b"".join(b"\x00" + r for r in idx_rows)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 2, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", palette)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    pixels, info = png_decode(png)
+    assert info["channels"] == 3
+    assert pixels.shape == (2, 3, 3)
+    assert (pixels[0, 0] == [255, 0, 0]).all()
+    assert (pixels[1, 0] == [0, 0, 255]).all()
+
+
+def test_decode_and_featurize_real_path(spark):
+    """Real-decoder path through mapInPandas: true dims, pixel
+    checksum, normalized features, and passthrough columns."""
+    import numpy as np
+
+    from shmr_spark.multimodal.png import png_encode
+
+    imgs = []
+    for mid, (h, w) in enumerate([(4, 6), (9, 3), (5, 5)]):
+        arr = ((mid + np.arange(h * w)) % 256).astype(np.uint8).reshape(h, w)
+        imgs.append((mid, png_encode(arr, filter_mode="cycle"), f"tag{mid}"))
+    df = spark.createDataFrame(imgs, "media_id long, content binary, tag string")
+    out = {
+        r.media_id: r
+        for r in decode_and_featurize(
+            df, dim=8, use_real_decoder=True, passthrough=["tag"]
+        ).collect()
+    }
+    for mid, (h, w) in enumerate([(4, 6), (9, 3), (5, 5)]):
+        r = out[mid]
+        assert (r.width, r.height) == (w, h)
+        assert r.px_sum == int(sum((mid + i) % 256 for i in range(h * w)))
+        assert r.tag == f"tag{mid}"
+        assert len(r.feature) == 8
+        assert all(-1.0 <= x <= 1.0 for x in r.feature)
 
 
 def test_sample_frames_flatmap_shape(spark, media_df):
