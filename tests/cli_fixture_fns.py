@@ -37,3 +37,17 @@ def count_by_k(rec: dict, accum: dict | None = None) -> dict:
     if accum is None:
         return {"k": rec.get("k"), "n": rec.get("n", 1)}
     return {"k": accum["k"], "n": accum["n"] + rec.get("n", 1)}
+
+
+def age_mod5(row: list) -> int:
+    return int(row[3]) % 5
+
+
+def max_name(row: list, accum: list | None = None) -> list:
+    """reduce_by_key fn whose accumulator is row-shaped, so it is both
+    sequential-fold-correct (the reference's calling convention) and
+    merge-compatible (our distributed tier may combine two partial
+    accumulators with fn(a, b))."""
+    if accum is None:
+        return row
+    return row if row[0] > accum[0] else accum

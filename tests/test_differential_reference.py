@@ -1,0 +1,329 @@
+"""Differential tests: the REFERENCE CLI itself vs our compat CLI.
+
+The reference (/root/reference, pure-Python shmr v1.4.5) is executed
+as a subprocess with stand-in modules for its uninstalled deps
+(tests/ref_shims: tqdm, docstring_parser, fastnumbers, cityhash — all
+import-time only at verbose=0 with integer keys). Both engines then
+run the SAME argv over the reference's own people.csv fixture and the
+outputs are compared:
+
+- byte-equal files where the compat CLI guarantees input order
+  (map, flat_map, filter, distinct, concat, reduce, count, coalesce);
+- per-file sorted-line equality where a Spark shuffle legitimately
+  reorders within an output (reduce_by_key, split_by_key buckets);
+- normalized stdout for head (the reference prints bytes-reprs —
+  ``b'...\\n'`` — an artifact of print() on a binary file handle that
+  we deliberately do not clone).
+
+partition.join is excluded: the reference's join crashes on any
+non-empty result (set.pop(key) TypeError, partition.py:315, SURVEY.md
+§2 #11) so there is no reference output to differ against.
+partition.apply is excluded: side-effect-only, no output artifact.
+
+This closes SURVEY.md §5's gap: distinct, flat_map, filter,
+reduce_by_key, head, concat, and partitions.reduce have no upstream
+tests, so the reference binary itself is the only ground truth.
+"""
+
+from __future__ import annotations
+
+import ast
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+import pytest
+
+from shmr_spark.compat.cli import main as compat_main
+
+REF = "/root/reference"
+REF_RES = f"{REF}/tests/resources"
+SHIMS = os.path.join(os.path.dirname(os.path.abspath(__file__)), "ref_shims")
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(f"{REF_RES}/people.00.csv"), reason="reference absent"
+)
+
+CSV = ["--skip_nrows", "1", "-d", "shmr.csv_loads", "-s", "shmr.csv_dumps"]
+
+
+def run_ref(argv: list[str]) -> str:
+    """Run the actual reference CLI in a subprocess; returns stdout."""
+    env = os.environ.copy()
+    env["PYTHONPATH"] = os.pathsep.join([SHIMS, REF, REPO])
+    r = subprocess.run(
+        [sys.executable, "-m", "shmr", *argv],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=120,
+    )
+    assert r.returncode == 0, f"reference CLI failed: {r.stderr[-2000:]}"
+    return r.stdout
+
+
+def run_compat(spark, argv: list[str], capsys=None) -> str:
+    if capsys:
+        capsys.readouterr()  # drain
+    compat_main(argv, spark=spark)
+    return capsys.readouterr().out if capsys else ""
+
+
+@pytest.fixture()
+def fixture_dir(tmp_path):
+    """The reference writes .meta sidecars next to inputs it counts, so
+    both engines get a private copy of the people fixture."""
+    d = tmp_path / "in"
+    d.mkdir()
+    for f in sorted(os.listdir(REF_RES)):
+        shutil.copy(os.path.join(REF_RES, f), d)
+    return str(d)
+
+
+def _read(path: str) -> bytes:
+    with open(path, "rb") as f:
+        return f.read()
+
+
+def _sorted_lines(path: str) -> list[bytes]:
+    return sorted(_read(path).splitlines())
+
+
+def _meta(path: str) -> int:
+    with open(os.path.splitext(path)[0] + ".meta") as f:
+        return json.load(f)["n_records"]
+
+
+def _diff_one_output(spark, fixture_dir, tmp_path, argv_tail, outname):
+    """Run both engines with identical argv except the outfile; return
+    (ref_path, ours_path)."""
+    ref_out = tmp_path / "ref"
+    our_out = tmp_path / "ours"
+    ref_out.mkdir()
+    our_out.mkdir()
+    rp, op = str(ref_out / outname), str(our_out / outname)
+    run_ref([*argv_tail(fixture_dir), "--outfile", rp])
+    run_compat(spark, [*argv_tail(fixture_dir), "--outfile", op])
+    return rp, op
+
+
+# -- order-preserving ops: byte-equal ---------------------------------------
+
+
+def test_diff_map(spark, fixture_dir, tmp_path):
+    tail = lambda d: [  # noqa: E731
+        "-i", f"{d}/people.00.csv", *CSV[:4], "-s", "shmr.str_dumps",
+        "partition.map", "--fn", "tests.cli_fixture_fns.get_age",
+    ]
+    rp, op = _diff_one_output(spark, fixture_dir, tmp_path, tail, "ages.txt")
+    assert _read(rp) == _read(op)
+    assert _meta(rp) == _meta(op) == 100
+
+
+def test_diff_flat_map(spark, fixture_dir, tmp_path):
+    tail = lambda d: [  # noqa: E731
+        "-i", f"{d}/people.00.csv", *CSV,
+        "partition.flat_map", "--fn", "tests.cli_fixture_fns.dup_twice",
+    ]
+    rp, op = _diff_one_output(spark, fixture_dir, tmp_path, tail, "dup.csv")
+    assert _read(rp) == _read(op)
+    assert _meta(rp) == _meta(op) == 200
+
+
+def test_diff_filter(spark, fixture_dir, tmp_path):
+    tail = lambda d: [  # noqa: E731
+        "-i", f"{d}/people.00.csv", *CSV,
+        "partition.filter", "--fn", "tests.cli_fixture_fns.is_adult",
+    ]
+    rp, op = _diff_one_output(spark, fixture_dir, tmp_path, tail, "adults.csv")
+    assert _read(rp) == _read(op)
+    assert _meta(rp) == _meta(op)
+
+
+def test_diff_distinct(spark, fixture_dir, tmp_path):
+    tail = lambda d: [  # noqa: E731
+        "-i", f"{d}/people.00.csv", *CSV,
+        "partition.distinct", "--key_fn", "tests.cli_fixture_fns.age_key",
+    ]
+    rp, op = _diff_one_output(spark, fixture_dir, tmp_path, tail, "uniq.csv")
+    assert _read(rp) == _read(op)  # first-occurrence-wins, input order
+    assert _meta(rp) == _meta(op)
+
+
+@pytest.mark.parametrize("init", [None, "100"])
+def test_diff_reduce_single_partition(spark, fixture_dir, tmp_path, init):
+    def tail(d):
+        argv = [
+            "-i", f"{d}/people.00.csv", *CSV[:4], "-s", "shmr.str_dumps",
+            "partition.reduce", "--fn", "tests.cli_fixture_fns.sum_age",
+        ]
+        if init is not None:
+            argv += ["--init_val", init]
+        return argv
+
+    rp, op = _diff_one_output(spark, fixture_dir, tmp_path, tail, "sum.txt")
+    assert _read(rp) == _read(op)
+    want = 5047 + (int(init) if init else 0)
+    assert _read(op) == f"{want}\n".encode()
+
+
+def test_diff_partitions_reduce_glob(spark, fixture_dir, tmp_path):
+    """Global sequential fold across the glob — same seeding (first
+    record of first non-empty partition) and same glob order."""
+    tail = lambda d: [  # noqa: E731
+        "-i", f"{d}/people.*.csv", *CSV[:4], "-s", "shmr.str_dumps",
+        "partitions.reduce", "--fn", "tests.cli_fixture_fns.sum_age",
+    ]
+    rp, op = _diff_one_output(spark, fixture_dir, tmp_path, tail, "sum.txt")
+    assert _read(rp) == _read(op)
+
+
+def test_diff_concat_glob(spark, fixture_dir, tmp_path):
+    tail = lambda d: [  # noqa: E731
+        "-i", f"{d}/people.*.csv", *CSV, "partitions.concat",
+    ]
+    rp, op = _diff_one_output(spark, fixture_dir, tmp_path, tail, "all.csv")
+    assert _read(rp) == _read(op)
+    assert _meta(rp) == _meta(op) == 300
+
+
+@pytest.mark.parametrize("with_sidecar", [True, False])
+def test_diff_count(spark, fixture_dir, tmp_path, with_sidecar):
+    """Count, both memoized (sidecar present) and recounted."""
+    if not with_sidecar:
+        for f in os.listdir(fixture_dir):
+            if f.endswith(".meta"):
+                os.remove(os.path.join(fixture_dir, f))
+    tail = lambda d: [  # noqa: E731
+        "-i", f"{d}/people.00.csv", *CSV, "partition.count",
+    ]
+    rp, op = _diff_one_output(spark, fixture_dir, tmp_path, tail, "n.txt")
+    assert _read(rp) == _read(op) == b"100"
+
+
+def test_diff_coalesce_exact_multiple(spark, fixture_dir, tmp_path):
+    """3x100 rows at records_per_partition=50 divides evenly — the
+    reference's rotation quirk cannot trigger, so every output chunk is
+    byte-equal."""
+    ref_out, our_out = tmp_path / "ref", tmp_path / "ours"
+    ref_out.mkdir()
+    our_out.mkdir()
+    tail = lambda d, o: [  # noqa: E731
+        "-i", f"{d}/people.*.csv", *CSV, "partitions.coalesce",
+        "--outfile", f"{o}/chunk.*.csv", "--records_per_partition", "50",
+    ]
+    run_ref(tail(fixture_dir, ref_out))
+    run_compat(spark, tail(fixture_dir, our_out))
+    ref_files = sorted(f for f in os.listdir(ref_out) if f.endswith(".csv"))
+    our_files = sorted(f for f in os.listdir(our_out) if f.endswith(".csv"))
+    assert ref_files == our_files == [f"chunk.{i:05d}.csv" for i in range(6)]
+    for f in ref_files:
+        assert _read(f"{ref_out}/{f}") == _read(f"{our_out}/{f}")
+
+
+def test_diff_coalesce_quirk_documented(spark, tmp_path):
+    """Non-divisible sizes: the reference's per-input rotation counter
+    overflows records_per_partition (SURVEY.md §2 #14 — 2x5 rows at
+    rpp=3 → chunks of 3, 5, 2); we deliberately honor rpp exactly
+    (3, 3, 3, 1). Same total, different chunking — pinned here so the
+    divergence is executable documentation, not a silent drift."""
+    d = tmp_path / "in"
+    d.mkdir()
+    for p in range(2):
+        with open(d / f"t.0{p}.json", "w") as f:
+            for i in range(5):
+                f.write(f"{p * 5 + i}\n")
+    ref_out, our_out = tmp_path / "ref", tmp_path / "ours"
+    ref_out.mkdir()
+    our_out.mkdir()
+    tail = lambda o: [  # noqa: E731
+        "-i", f"{d}/t.*.json", "partitions.coalesce",
+        "--outfile", f"{o}/c.*.json", "--records_per_partition", "3",
+    ]
+    run_ref(tail(ref_out))
+    run_compat(spark, tail(our_out))
+    ref_sizes = [
+        len(_read(f"{ref_out}/{f}").splitlines())
+        for f in sorted(os.listdir(ref_out))
+        if f.endswith(".json")
+    ]
+    our_sizes = [
+        len(_read(f"{our_out}/{f}").splitlines())
+        for f in sorted(os.listdir(our_out))
+        if f.endswith(".json")
+    ]
+    assert ref_sizes == [3, 5, 2]  # the quirk, reproduced from the binary
+    assert our_sizes == [3, 3, 3, 1]  # rpp honored exactly
+    assert sum(ref_sizes) == sum(our_sizes) == 10
+
+
+# -- shuffle-reordered ops: per-file multiset equality -----------------------
+
+
+def test_diff_reduce_by_key(spark, fixture_dir, tmp_path):
+    """Reference emits accumulators in first-seen-key order; our
+    distributed tier shuffles — compare the (unordered) result set."""
+    tail = lambda d: [  # noqa: E731
+        "-i", f"{d}/people.00.csv", *CSV,
+        "partition.reduce_by_key",
+        "--key_fn", "tests.cli_fixture_fns.age_mod5",
+        "--fn", "tests.cli_fixture_fns.max_name",
+    ]
+    rp, op = _diff_one_output(spark, fixture_dir, tmp_path, tail, "rbk.csv")
+    assert _sorted_lines(rp) == _sorted_lines(op)
+    assert _meta(rp) == _meta(op) == 5
+
+
+def test_diff_split_by_key(spark, fixture_dir, tmp_path):
+    """Same bucket routing (int key % N on both engines); within-bucket
+    order is input order in the reference vs shuffle order here."""
+    ref_out, our_out = tmp_path / "ref", tmp_path / "ours"
+    ref_out.mkdir()
+    our_out.mkdir()
+    tail = lambda o: [  # noqa: E731
+        "-i", f"{fixture_dir}/people.00.csv", *CSV,
+        "partition.split_by_key", "--key_fn", "tests.cli_fixture_fns.age_key",
+        "--outfile", f"{o}/bucket.*.csv", "--num_partitions", "5",
+    ]
+    run_ref(tail(ref_out))
+    run_compat(spark, tail(our_out))
+    names = [f"bucket.{i:05d}.csv" for i in range(5)]
+    assert sorted(f for f in os.listdir(ref_out) if f.endswith(".csv")) == names
+    assert sorted(f for f in os.listdir(our_out) if f.endswith(".csv")) == names
+    for f in names:
+        assert _sorted_lines(f"{ref_out}/{f}") == _sorted_lines(f"{our_out}/{f}")
+        assert _meta(f"{ref_out}/{f}") == _meta(f"{our_out}/{f}")
+
+
+# -- stdout ops: normalized comparison ---------------------------------------
+
+
+def _norm_ref_head(stdout: str) -> list[str]:
+    """The reference prints raw BYTES objects (print(next(f)) on a
+    binary handle) — one ``b'...\\n'`` repr per line. Decode them."""
+    out = []
+    for line in stdout.splitlines():
+        if not line:
+            continue
+        b = ast.literal_eval(line)
+        out.append(b.decode().rstrip("\r\n"))
+    return out
+
+
+def test_diff_head_single(spark, fixture_dir, tmp_path, capsys):
+    argv = ["-i", f"{fixture_dir}/people.00.csv", *CSV, "partition.head", "--n", "7"]
+    ref_lines = _norm_ref_head(run_ref(argv))
+    ours = run_compat(spark, argv, capsys=capsys).splitlines()
+    assert ref_lines == ours
+    assert len(ours) == 7
+
+
+def test_diff_head_glob_crosses_files(spark, fixture_dir, tmp_path, capsys):
+    argv = ["-i", f"{fixture_dir}/people.*.csv", *CSV, "partitions.head", "--n", "205"]
+    ref_lines = _norm_ref_head(run_ref(argv))
+    ours = run_compat(spark, argv, capsys=capsys).splitlines()
+    assert ref_lines == ours
+    assert len(ours) == 205
