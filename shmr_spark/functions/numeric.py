@@ -34,15 +34,62 @@ from pyspark.sql import functions as F
 DEC = "decimal(28,6)"
 _SCALE = 1000000.0
 
+# |sum| (unscaled) above which the 10⁶-scaled int64 path can wrap:
+# 2⁶³/10⁶ ≈ 9.22e12, held with ~2% headroom. Callers that KNOW their
+# scale exceeds this (e.g. TPC-H revenue sums at sf100) pass
+# max_abs_sum and dsum/davg transparently switch to the decimal path.
+INT64_SAFE_ABS_SUM = 9.0e12
+
+# A single int64 wrap shifts the sum by 2⁶⁴ ≈ 1.8e19; the float64
+# shadow sum's accumulated error stays orders of magnitude below this
+# for any realistic row count (n·ε·|partials| ≈ 2e15 even at 10¹²
+# rows), so half a wrap is a safe detection threshold.
+_WRAP_DETECT = 4.6e18
+
 
 def _scaled_long(c: Column) -> Column:
     return F.floor(c * F.lit(_SCALE) + F.lit(0.5)).cast("long")
 
 
-def dsum(col: Column | str) -> Column:
-    """Exact, order-insensitive sum of a double column, as double."""
+def _checked_scaled_sum(c: Column) -> Column:
+    """Scaled-long sum with runtime overflow detection: a parallel
+    float64 shadow sum (both aggregates stay in whole-stage codegen's
+    primitive path) exposes int64 wrap-around, which silently corrupts
+    results under non-ANSI SQL semantics. On overflow the query FAILS
+    LOUDLY (assert_true) instead of returning a wrapped value —
+    callers at such scales should pass max_abs_sum to dsum/davg."""
+    s_long = F.sum(_scaled_long(c))
+    s_shadow = F.sum(_scaled_long(c).cast("double"))
+    ok = s_long.isNull() | (F.abs(s_long.cast("double") - s_shadow) < F.lit(_WRAP_DETECT))
+    guard = F.coalesce(
+        F.assert_true(
+            ok,
+            F.lit(
+                "dsum/davg int64 overflow: |sum| exceeds ~9.2e12 — pass "
+                "max_abs_sum= to switch to the decimal path, or use dsum_dec"
+            ),
+        ).cast("double"),
+        F.lit(0.0),
+    )
+    return s_long.cast("double") + guard
+
+
+def dsum(col: Column | str, max_abs_sum: float | None = None) -> Column:
+    """Exact, order-insensitive sum of a double column, as double.
+
+    ``max_abs_sum``: caller's upper bound on |sum|. Above
+    INT64_SAFE_ABS_SUM the scaled-int64 fast path could wrap, so the
+    aggregate auto-switches to the decimal(28,6) path (exact to 10²²)
+    cast to double. Without the hint, the fast path runs with runtime
+    wrap detection that fails loudly rather than returning a wrapped
+    sum. Note the decimal route's double cast is Spark-side correct
+    but NOT DuckDB-hash-comparable (DuckDB's int128→double rounds
+    twice), so oracled gate queries must stay below the int64 bound at
+    gate scale — they do by ~3 orders of magnitude."""
     c = F.col(col) if isinstance(col, str) else col
-    return (F.sum(_scaled_long(c)).cast("double") / F.lit(_SCALE)).cast("double")
+    if max_abs_sum is not None and max_abs_sum >= INT64_SAFE_ABS_SUM:
+        return dsum_dec(c).cast("double")
+    return (_checked_scaled_sum(c) / F.lit(_SCALE)).cast("double")
 
 
 def dsum_dec(col: Column | str) -> Column:
@@ -52,11 +99,14 @@ def dsum_dec(col: Column | str) -> Column:
     return F.sum(c.cast(DEC))
 
 
-def davg(col: Column | str) -> Column:
+def davg(col: Column | str, max_abs_sum: float | None = None) -> Column:
     """Order-insensitive average: exact scaled sum (as double) /
-    count — identical operands on both engines, identical result."""
+    count — identical operands on both engines, identical result.
+    Same overflow contract as dsum."""
     c = F.col(col) if isinstance(col, str) else col
-    sum_dbl = F.sum(_scaled_long(c)).cast("double") / F.lit(_SCALE)
+    if max_abs_sum is not None and max_abs_sum >= INT64_SAFE_ABS_SUM:
+        return (dsum_dec(c).cast("double") / F.count(c)).cast("double")
+    sum_dbl = _checked_scaled_sum(c) / F.lit(_SCALE)
     return (sum_dbl / F.count(c)).cast("double")
 
 

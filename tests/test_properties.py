@@ -103,3 +103,69 @@ def test_minhash_estimates_jaccard(spark, data):
     sigs = {r.id: r.sig for r in df.select("id", minhash_signature(F.col("sh"), 64).alias("sig")).collect()}
     est = sum(1 for x, y in zip(sigs[1], sigs[2]) if x == y) / 64
     assert abs(est - true_j) <= 0.25
+
+
+# -- exact-sum overflow contract (functions/numeric.py) ----------------------
+
+
+def _exact_scaled_sum(xs: list[float]) -> float:
+    """Ground truth: the scaled-int64 semantics in exact int space."""
+    import math
+
+    return sum(math.floor(x * 1_000_000.0 + 0.5) for x in xs) / 1_000_000.0
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.floats(-1e6, 1e6).map(lambda x: round(x, 6)), min_size=1, max_size=50
+    )
+)
+def test_dsum_matches_exact_fold(spark, xs):
+    from shmr_spark.functions.numeric import davg, dsum
+
+    df = spark.createDataFrame([(float(x),) for x in xs], "x double")
+    row = df.agg(dsum("x").alias("s"), davg("x").alias("a")).collect()[0]
+    want = _exact_scaled_sum(xs)
+    assert row.s == want
+    assert row.a == want / len(xs)
+
+
+def test_dsum_overflow_fails_loudly(spark):
+    """Adversarial magnitude: 2000 rows of 9.2e9 → |sum| ≈ 1.84e13,
+    past the ~9.2e12 scaled-int64 cap. The unhinted fast path must
+    raise (never return a silently wrapped sum)."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    from shmr_spark.functions.numeric import dsum
+
+    df = spark.range(2000).selectExpr("9.2e9 AS x")
+    with pytest.raises(Exception) as exc:
+        df.agg(dsum("x").alias("s")).collect()
+    msg = str(exc.value)
+    assert "overflow" in msg or isinstance(exc.value, Py4JJavaError)
+
+
+def test_dsum_hint_switches_to_decimal_path(spark):
+    """Same adversarial data with the max_abs_sum hint: auto-switch to
+    the decimal path and return the exact sum."""
+    from shmr_spark.functions.numeric import davg, dsum
+
+    df = spark.range(2000).selectExpr("9.2e9 AS x")
+    row = df.agg(
+        dsum("x", max_abs_sum=2e13).alias("s"),
+        davg("x", max_abs_sum=2e13).alias("a"),
+    ).collect()[0]
+    assert row.s == 9.2e9 * 2000
+    assert row.a == 9.2e9
+
+
+def test_dsum_hint_below_threshold_keeps_fast_path(spark):
+    """A small hint keeps the int64 path — same plan, same value."""
+    from shmr_spark.functions.numeric import dsum
+
+    df = spark.range(100).selectExpr("CAST(id AS DOUBLE) / 7 AS x")
+    a = df.agg(dsum("x").alias("s")).collect()[0].s
+    b = df.agg(dsum("x", max_abs_sum=1e6).alias("s")).collect()[0].s
+    assert a == b
