@@ -104,6 +104,9 @@ def similarity_lsh_topk(spark, sf_dir):
 
 @query("similarity_ivf_topk", oracle=None)
 def similarity_ivf_topk(spark, sf_dir):
+    """IVF with the default Lloyd refinement (kmeans_iters=2) — recall
+    vs brute force pinned >= 0.8 in tests/test_dedup_similarity.py on
+    a planted-cluster corpus."""
     emb = load_table(spark, sf_dir, "embeddings")
     return cosine_topk_ivf(emb, probe_id=0, k=10)
 

@@ -110,15 +110,17 @@ def _assign_cells(
 def _seed_centroids(
     df: DataFrame, n_cells: int, id_col: str, vec_col: str
 ) -> DataFrame:
-    """Deterministic seeds: the corpus vectors with the n_cells
-    smallest ids."""
+    """Deterministic SPREAD seeds: the corpus is split into n_cells
+    hash strata and each stratum's smallest-id vector becomes a seed.
+    One partial-aggregable shuffle (groupBy + min_by) — no global sort,
+    no single-partition window, scale-safe. Spread seeding matters:
+    the first-k-ids alternative degenerates when ids correlate with
+    content (all seeds land in one region and Lloyd has to crawl out)."""
+    stratum = F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(n_cells))
     return (
-        df.orderBy(id_col)
-        .limit(n_cells)
-        .select(
-            F.row_number().over(Window.orderBy(id_col)).alias("__cell"),
-            F.col(vec_col).alias("__cvec"),
-        )
+        df.groupBy(stratum.cast("int").alias("__cell"))
+        .agg(F.min_by(F.col(vec_col), F.col(id_col)).alias("__cvec"))
+        .select((F.col("__cell") + 1).alias("__cell"), "__cvec")
     )
 
 
@@ -194,12 +196,12 @@ def cosine_topk_ivf(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    kmeans_iters: int = 0,
+    kmeans_iters: int = 2,
 ) -> DataFrame:
     """IVF search: rank centroids by similarity to the probe, scan the
-    n_probe best cells only. `kmeans_iters` > 0 refines the cells with
-    Lloyd rounds first (better-balanced cells → better recall per
-    probed fraction)."""
+    n_probe best cells only. `kmeans_iters` Lloyd rounds refine the
+    cells first (better-balanced cells → better recall per probed
+    fraction) — the default; pass 0 for raw hash-strata seeds."""
     assigned, centroids = ivf_assign(df, n_cells, id_col, vec_col, kmeans_iters)
     probe = _probe_df(df, id_col, vec_col, probe_id)
     probe_cells = (
