@@ -6,6 +6,13 @@ local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
 Timing is end-to-end per query (plan + execute) with a JVM-side noop
 sink — no rows cross to Python, so this measures the engine, not
 py4j serialization.
+
+Scale check: after the contract run, the same headline set executes
+once against a derived sf1-equivalent corpus (10× sf0.1 with
+FK-preserving key offsets, built and cached by tools/make_scaled_sf.py
+under .scaled/) to catch plans that only behave at sf0.1 — broadcast
+thresholds, AQE switches, skew. Reported under the "scale_check" key
+of the same JSON line. Disable with SPARK_GRAFT_SCALE_CHECK=0.
 """
 
 from __future__ import annotations
@@ -50,17 +57,34 @@ def main() -> None:
             timings[name] = min(timings.get(name, dt), dt)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    result = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+
+    if os.environ.get("SPARK_GRAFT_SCALE_CHECK", "1") != "0":
+        from tools.make_scaled_sf import make_scaled
+
+        scaled_dir = os.path.join(REPO, ".scaled", "sf1")
+        t0 = time.perf_counter()
+        make_scaled(spark, 10, sf_dir, scaled_dir)
+        build_s = round(time.perf_counter() - t0, 3)
+        big: dict[str, float] = {}
+        for name, spec in sorted(headline.items()):
+            t0 = time.perf_counter()
+            spec.fn(spark, scaled_dir).write.format("noop").mode("overwrite").save()
+            big[name] = round(time.perf_counter() - t0, 3)
+        result["scale_check"] = {
+            "sf": 1.0,
+            "value": round(sum(big.values()), 3),
+            "queries": big,
+            "corpus_build_sec": build_s,
+        }
+
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -44,11 +44,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        # `ts div 1000` is exact int64 division — `floor(ts / 1000)`
-        # would round-trip through double and lose micros above 2^53 ns
-        # (~1971). `div` truncates toward zero, which matches DuckDB's
-        # nanos→micros truncation for post-epoch data.
-        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        # The driver corpus stores ts as TIMESTAMP(NANOS), surfaced as
+        # LONG nanos under the legacy conf; derived corpora (e.g. the
+        # bench scale-up in tools/make_scaled_sf.py) store a plain
+        # micros TIMESTAMP, which the conf leaves untouched — convert
+        # only the former. `ts div 1000` is exact int64 division —
+        # `floor(ts / 1000)` would round-trip through double and lose
+        # micros above 2^53 ns (~1971). `div` truncates toward zero,
+        # matching DuckDB's nanos→micros truncation for post-epoch data.
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return df
     return spark.read.parquet(path)
 
 
