@@ -112,6 +112,7 @@ _PRIORITY: list[str] = [
     "multimodal_featurize",
     # ---- slot 51+: remaining never-checked queries, next in line if
     #      the driver budget is larger (or for round-3 rotation)
+    "similarity_indexed_topk",
     "cohort_retention",
     "time_weighted_avg",
     "conversion_latency",

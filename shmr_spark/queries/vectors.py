@@ -96,6 +96,44 @@ def embedding_neardup(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 
+@query(
+    "similarity_indexed_topk",
+    oracle=f"""
+WITH probe AS (SELECT embedding AS p FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id,
+       {_SQL_COS.format(a='e.embedding', b='probe.p')} AS sim
+FROM embeddings e, probe
+WHERE e.vec_id <> 0
+ORDER BY sim DESC, e.vec_id
+LIMIT 10
+""",
+)
+def similarity_indexed_topk(spark, sf_dir):
+    """Persistent IVF index (similarity/index.py): corpus written
+    partitionBy(cell) so probes prune at the storage layer. Run here
+    at full probe (n_probe = n_cells), where the cells partition the
+    corpus and the result provably equals exact search — which is what
+    the brute-force oracle checks. The storage-prune plan shape is
+    asserted in tests/test_dedup_similarity.py."""
+    import shutil
+    import tempfile
+
+    from shmr_spark.similarity import build_ivf_index, search_ivf_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe_vec = [
+        float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0].embedding
+    ]
+    d = tempfile.mkdtemp(prefix="shmr_ivf_gate_")
+    try:
+        build_ivf_index(emb, d, n_cells=8, kmeans_iters=2)
+        out = search_ivf_index(spark, d, probe_vec, k=11, n_probe=8)
+        rows = [r for r in out.collect() if r.vec_id != 0][:10]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.createDataFrame(rows, "vec_id long, sim double")
+
+
 @query("similarity_lsh_topk", oracle=None)
 def similarity_lsh_topk(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")

@@ -1,3 +1,4 @@
+from shmr_spark.similarity.index import build_ivf_index, search_ivf_index
 from shmr_spark.similarity.search import (
     cosine_topk_bruteforce,
     cosine_topk_lsh,
@@ -8,6 +9,8 @@ from shmr_spark.similarity.search import (
 )
 
 __all__ = [
+    "build_ivf_index",
+    "search_ivf_index",
     "cosine_topk_bruteforce",
     "cosine_topk_lsh",
     "ivf_assign",
