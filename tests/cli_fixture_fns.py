@@ -51,3 +51,6 @@ def max_name(row: list, accum: list | None = None) -> list:
     if accum is None:
         return row
     return row if row[0] > accum[0] else accum
+
+def by_x(rec: dict) -> int:
+    return rec["x"]

@@ -1,0 +1,139 @@
+"""Tests for the ``shmr`` Python DataSource (sources/shmr_datasource.py):
+read/write round trips, codec + compression handling, per-file task
+parallelism, .meta sidecars, and — the real interop claim — that its
+outputs are valid inputs for the REFERENCE CLI itself."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from shmr_spark.sources.shmr_datasource import ShmrDataSource
+
+REF_RES = "/root/reference/tests/resources"
+
+
+@pytest.fixture()
+def registered(spark):
+    spark.dataSource.register(ShmrDataSource)
+    return spark
+
+
+def test_json_roundtrip_with_meta(registered, tmp_path):
+    spark = registered
+    out = str(tmp_path / "ds")
+    df = spark.range(100).selectExpr("id", "id % 7 AS k", "CAST(id AS DOUBLE)/3 AS v")
+    df.repartition(4).write.format("shmr").mode("append").save(out)
+
+    files = sorted(os.listdir(out))
+    parts = [f for f in files if f.endswith(".json")]
+    metas = [f for f in files if f.endswith(".meta")]
+    assert len(parts) == 4 and len(metas) == 4
+    # sidecars carry real counts summing to the dataset size
+    total = sum(
+        json.load(open(os.path.join(out, m)))["n_records"] for m in metas
+    )
+    assert total == 100
+    assert json.load(open(os.path.join(out, "_SUCCESS")))["n_records"] == 100
+
+    back = (
+        spark.read.format("shmr")
+        .schema("id bigint, k bigint, v double")
+        .load(f"{out}/part-*.json")
+    )
+    assert back.count() == 100
+    assert back.agg(F.sum("id")).collect()[0][0] == 4950
+    # one Spark task per file — the reference's parallelism unit
+    assert back.rdd.getNumPartitions() == 4
+
+
+def test_json_schema_inference(registered, tmp_path):
+    spark = registered
+    out = str(tmp_path / "ds")
+    spark.range(10).selectExpr(
+        "id", "CAST(id AS DOUBLE) AS x", "id % 2 = 0 AS flag", "repeat('a', 3) AS s"
+    ).coalesce(1).write.format("shmr").mode("append").save(out)
+    inf = spark.read.format("shmr").load(f"{out}/part-*.json")
+    assert dict(inf.dtypes) == {
+        "id": "bigint",
+        "x": "double",
+        "flag": "boolean",
+        "s": "string",
+    }
+
+
+def test_csv_skip_nrows_reference_fixture(registered):
+    """Read the reference's own people fixture: header skipping and the
+    5047 age golden (BASELINE.md)."""
+    spark = registered
+    csv = (
+        spark.read.format("shmr")
+        .schema("full_name string, first string, last string, age string")
+        .option("codec", "csv")
+        .option("skip_nrows", "1")
+        .load(f"{REF_RES}/people.00.csv")
+    )
+    assert csv.count() == 100
+    assert csv.select(F.sum(F.col("age").cast("int"))).collect()[0][0] == 5047
+
+
+def test_gzip_roundtrip(registered, tmp_path):
+    spark = registered
+    out = str(tmp_path / "gz")
+    spark.range(50).selectExpr("id").coalesce(2).write.format("shmr").option(
+        "compression", "gz"
+    ).mode("append").save(out)
+    parts = [f for f in os.listdir(out) if f.endswith(".json.gz")]
+    assert len(parts) == 2
+    back = (
+        spark.read.format("shmr").schema("id bigint").load(f"{out}/part-*.json.gz")
+    )
+    assert back.agg(F.sum("id")).collect()[0][0] == 49 * 50 // 2
+
+
+def test_text_codec(registered, tmp_path):
+    spark = registered
+    out = str(tmp_path / "txt")
+    spark.createDataFrame(
+        [("alpha",), ("beta",), ("gamma",)], "value string"
+    ).coalesce(1).write.format("shmr").option("codec", "text").mode("append").save(out)
+    back = (
+        spark.read.format("shmr").option("codec", "text").load(f"{out}/part-*.txt")
+    )
+    assert sorted(r.value for r in back.collect()) == ["alpha", "beta", "gamma"]
+
+
+@pytest.mark.skipif(
+    not os.path.exists(f"{REF_RES}/people.00.csv"), reason="reference absent"
+)
+def test_writer_output_is_valid_reference_input(registered, tmp_path):
+    """Interop both ways: files written by the DataSource run through
+    the actual reference CLI (count must use our .meta sidecar; map
+    must parse our ND-JSON lines)."""
+    from tests.test_differential_reference import run_ref
+
+    spark = registered
+    out = str(tmp_path / "ds")
+    spark.range(100).selectExpr("id AS x").coalesce(1).write.format("shmr").mode(
+        "append"
+    ).save(out)
+
+    cnt = tmp_path / "n.txt"
+    run_ref(
+        ["-i", f"{out}/part-00000.json", "partition.count", "--outfile", str(cnt)]
+    )
+    assert cnt.read_text() == "100"
+
+    mapped = tmp_path / "mapped.json"
+    run_ref(
+        [
+            "-i", f"{out}/part-00000.json",
+            "partition.map", "--fn", "tests.cli_fixture_fns.by_x",
+            "--outfile", str(mapped),
+        ]
+    )
+    vals = [json.loads(line) for line in mapped.read_text().splitlines()]
+    assert vals == list(range(100))
