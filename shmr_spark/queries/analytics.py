@@ -299,12 +299,23 @@ def streaming_tumbling(spark, sf_dir):
     )
 
     d = tempfile.mkdtemp(prefix="shmr_stream_gate_")
-    shutil.copy(os.path.join(sf_dir, "events.parquet"), d)
-    return run_stream_to_memory(
-        tumbling_window_stream(read_events_stream(spark, d)),
-        "streaming_tumbling_gate",
-        output_mode="complete",
-    )
+    src = os.path.join(sf_dir, "events.parquet")
+    # the corpus table may be a single file (driver testdata) or a
+    # directory of part files (derived corpora)
+    if os.path.isdir(src):
+        shutil.copytree(src, os.path.join(d, "events.parquet"))
+    else:
+        shutil.copy(src, d)
+    try:
+        # the memory sink is fully materialized when this returns, so
+        # the source copy can be deleted immediately
+        return run_stream_to_memory(
+            tumbling_window_stream(read_events_stream(spark, d)),
+            "streaming_tumbling_gate",
+            output_mode="complete",
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
 
 
 # --------------------------------------------------------------------------
@@ -580,14 +591,21 @@ def streaming_interval_join(spark, sf_dir):
     )
 
     d = tempfile.mkdtemp(prefix="shmr_stream_ij_")
-    shutil.copy(os.path.join(sf_dir, "events.parquet"), d)
-    return run_stream_to_memory(
-        interval_join_stream(
-            read_events_stream(spark, d), read_events_stream(spark, d)
-        ),
-        "streaming_interval_join_gate",
-        output_mode="append",
-    )
+    src = os.path.join(sf_dir, "events.parquet")
+    if os.path.isdir(src):
+        shutil.copytree(src, os.path.join(d, "events.parquet"))
+    else:
+        shutil.copy(src, d)
+    try:
+        return run_stream_to_memory(
+            interval_join_stream(
+                read_events_stream(spark, d), read_events_stream(spark, d)
+            ),
+            "streaming_interval_join_gate",
+            output_mode="append",
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
 
 
 # --------------------------------------------------------------------------
