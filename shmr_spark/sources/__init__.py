@@ -3,12 +3,15 @@ from shmr_spark.sources.readers import (
     read_parquet_evolved,
     read_ndjson,
     read_csv,
+    read_orc,
     read_text,
 )
+from shmr_spark.sources.shmr_datasource import ShmrDataSource
 from shmr_spark.sources.writers import (
     write_parquet,
     write_ndjson,
     write_csv,
+    write_orc,
     write_text,
 )
 
@@ -17,9 +20,12 @@ __all__ = [
     "read_parquet_evolved",
     "read_ndjson",
     "read_csv",
+    "read_orc",
     "read_text",
+    "ShmrDataSource",
     "write_parquet",
     "write_ndjson",
     "write_csv",
+    "write_orc",
     "write_text",
 ]

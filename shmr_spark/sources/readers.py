@@ -33,6 +33,12 @@ def read_parquet_evolved(spark: SparkSession, path: str) -> Dataset:
     return Dataset(spark.read.option("mergeSchema", "true").parquet(path))
 
 
+def read_orc(spark: SparkSession, path: str) -> Dataset:
+    """ORC — Spark's other built-in columnar format (predicate
+    pushdown + pruning like parquet); zero extra dependencies."""
+    return Dataset(spark.read.orc(path))
+
+
 def read_ndjson(
     spark: SparkSession, path: str, schema: StructType | str | None = None
 ) -> Dataset:

@@ -50,6 +50,20 @@ def write_parquet(
     ).parquet(path)
 
 
+def write_orc(
+    ds: Dataset,
+    path: str,
+    mode: str = "overwrite",
+    num_partitions: int | None = None,
+    max_records_per_file: int | None = None,
+    partition_by: list[str] | None = None,
+    compression: str = "zstd",
+) -> None:
+    _writer(ds, mode, num_partitions, max_records_per_file, partition_by).option(
+        "compression", compression
+    ).orc(path)
+
+
 def write_ndjson(
     ds: Dataset,
     path: str,

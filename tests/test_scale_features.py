@@ -211,3 +211,21 @@ def test_manifest_counts_match_data(spark, sf_dir, tmp_path):
     assert sum(r.n_rows for r in rows) == orders.count()
     assert all(r.n_bytes > 0 for r in rows)
     assert m.agg(F.sum("n_rows")).first()[0] == orders.count()
+
+
+def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
+    """ORC: Spark's second built-in columnar format — round trip plus
+    predicate pushdown reaching the scan (same contract as parquet)."""
+    from shmr_spark.dataset import Dataset
+    from shmr_spark.sources import read_orc, write_orc
+
+    li = Dataset(load_table(spark, sf_dir, "lineitem")).df.select(
+        "l_orderkey", "l_quantity", "l_returnflag"
+    )
+    out = str(tmp_path / "orc")
+    write_orc(Dataset(li), out, num_partitions=4)
+    back = read_orc(spark, out).filter(F.col("l_quantity") > 45.0)
+    want = li.filter(F.col("l_quantity") > 45.0).count()
+    assert back.df.count() == want
+    plan = back.df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "l_quantity" in plan.split("PushedFilters")[1][:200]
