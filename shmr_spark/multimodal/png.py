@@ -97,15 +97,19 @@ def png_decode(data: bytes) -> tuple[np.ndarray, dict]:
         )
         if ftype == 0:
             recon = line
+        elif ftype == 1:
+            # Sub is a per-channel prefix sum mod 256 — vectorized
+            # (recon[i] = line[i] + recon[i-nch] unrolls to a cumsum)
+            recon = (np.cumsum(line.reshape(width, nch), axis=0) & 0xFF).reshape(
+                stride
+            )
         elif ftype == 2:  # Up — vectorized
             recon = (line + prior) & 0xFF
-        else:  # Sub / Average / Paeth need the in-row left neighbor
+        else:  # Average / Paeth are inherently sequential in-row
             recon = np.zeros(stride, dtype=np.int32)
             for i in range(stride):
                 a = recon[i - nch] if i >= nch else 0
-                if ftype == 1:
-                    recon[i] = (line[i] + a) & 0xFF
-                elif ftype == 3:
+                if ftype == 3:
                     recon[i] = (line[i] + ((a + prior[i]) >> 1)) & 0xFF
                 elif ftype == 4:
                     c = prior[i - nch] if i >= nch else 0

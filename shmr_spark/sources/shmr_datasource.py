@@ -73,6 +73,34 @@ class _FilePartition(InputPartition):
         self.path = path
 
 
+def _caster(simple_type: str):
+    """Schema-faithful conversion of deserialized values: both JSON
+    records (whose wire types may be wider/narrower than the schema)
+    and CSV fields (always strings) go through the declared type, so
+    the Arrow conversion downstream never sees a mistyped cell.
+    ``None`` passes through (nullable)."""
+    numeric = simple_type in ("tinyint", "smallint", "int", "bigint", "float", "double")
+
+    def cast(v):
+        if v is None:
+            return None
+        if numeric:
+            if v == "":  # empty CSV cell → NULL
+                return None
+            return (
+                int(v)
+                if simple_type in ("tinyint", "smallint", "int", "bigint")
+                else float(v)
+            )
+        if simple_type == "boolean":
+            return v if isinstance(v, bool) else str(v).lower() == "true"
+        if simple_type == "string":
+            return v if isinstance(v, str) else json.dumps(v)
+        return v  # arrays/structs: pass through
+
+    return cast
+
+
 class ShmrReader(DataSourceReader):
     def __init__(self, schema: StructType, options: dict):
         self.schema_ = schema
@@ -89,17 +117,23 @@ class ShmrReader(DataSourceReader):
         import io as iomod
 
         names = self.schema_.fieldNames()
+        casts = [_caster(f.dataType.simpleString()) for f in self.schema_.fields]
         with _open_by_ext(partition.path, "rb") as f:
             for _ in range(self.skip_nrows):
                 next(f, None)
             if self.codec == "json":
                 for line in f:
                     rec = json.loads(line)
-                    yield tuple(rec.get(n) for n in names)
+                    yield tuple(c(rec.get(n)) for n, c in zip(names, casts))
             elif self.codec == "csv":
                 for line in f:
                     row = next(csvmod.reader(iomod.StringIO(line.decode())))
-                    yield tuple(row[: len(names)])
+                    if len(row) != len(names):
+                        raise ValueError(
+                            f"malformed CSV record in {partition.path}: "
+                            f"{len(row)} fields, schema has {len(names)}"
+                        )
+                    yield tuple(c(v) for v, c in zip(row, casts))
             elif self.codec == "text":
                 for line in f:
                     yield (line.decode().rstrip("\r\n"),)
@@ -113,17 +147,55 @@ class _WroteFile(WriterCommitMessage):
         self.n = n
 
 
+def _json_default(v):
+    """JSON encoding for non-JSON-native Spark cell types: timestamps/
+    dates → ISO strings, Decimal → float, bytes → base64 — the wire
+    forms the reference's orjson-based tooling can round-trip."""
+    import base64
+    import datetime
+    import decimal
+
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    if isinstance(v, decimal.Decimal):
+        return float(v)
+    if isinstance(v, (bytes, bytearray)):
+        return base64.b64encode(bytes(v)).decode()
+    raise TypeError(f"not JSON serializable: {type(v).__name__}")
+
+
+def _meta_path(datafile: str) -> str:
+    stem = datafile
+    for e in (".gz", ".bz2"):
+        if stem.endswith(e):
+            stem = stem[: -len(e)]
+    return os.path.splitext(stem)[0] + ".meta"
+
+
 class ShmrWriter(DataSourceWriter):
     def __init__(self, schema: StructType, options: dict, overwrite: bool):
+        import glob as g
+        import uuid
+
         self.schema_ = schema
         self.path = options["path"]
         self.codec = options.get("codec", "json")
         self.compression = options.get("compression", "")  # "", gz, bz2
-        self.overwrite = overwrite
+        # per-job token: append jobs never collide with earlier output,
+        # and two concurrent attempts of one task write distinct temp
+        # files (the final rename is atomic on a local FS)
+        self.token = uuid.uuid4().hex[:8]
+        if overwrite and os.path.isdir(self.path):
+            # driver-side (this runs before any task): clear prior data
+            for f in g.glob(os.path.join(self.path, "part-*")) + g.glob(
+                os.path.join(self.path, "_SUCCESS")
+            ):
+                os.remove(f)
 
     def write(self, iterator) -> _WroteFile:
         import csv as csvmod
         import io as iomod
+        import uuid
 
         from pyspark import TaskContext
 
@@ -131,14 +203,19 @@ class ShmrWriter(DataSourceWriter):
         names = self.schema_.fieldNames()
         ext = {"json": "json", "csv": "csv", "text": "txt"}[self.codec]
         suffix = f".{self.compression}" if self.compression else ""
-        out = os.path.join(self.path, f"part-{pid:05d}.{ext}{suffix}")
+        out = os.path.join(self.path, f"part-{pid:05d}-{self.token}.{ext}{suffix}")
+        tmp = os.path.join(
+            self.path, f".inprogress-{uuid.uuid4().hex[:8]}-{os.path.basename(out)}"
+        )
         os.makedirs(self.path, exist_ok=True)
         n = 0
-        with _open_by_ext(out, "wb") as g:
+        with _open_by_ext(tmp, "wb") as g:
             for row in iterator:
                 if self.codec == "json":
                     line = json.dumps(
-                        dict(zip(names, row)), separators=(",", ":")
+                        dict(zip(names, row)),
+                        separators=(",", ":"),
+                        default=_json_default,
                     ).encode()
                 elif self.codec == "csv":
                     buf = iomod.StringIO()
@@ -148,13 +225,10 @@ class ShmrWriter(DataSourceWriter):
                     line = str(row[0]).encode()
                 g.write(line + b"\n")
                 n += 1
+        os.replace(tmp, out)  # atomic publish; duplicate attempts converge
         # .meta sidecar — the reference's count memo
         # (/root/reference/shmr/partition_writer.py:64-85)
-        stem = out
-        for e in (".gz", ".bz2"):
-            if stem.endswith(e):
-                stem = stem[: -len(e)]
-        with open(os.path.splitext(stem)[0] + ".meta", "w") as m:
+        with open(_meta_path(out), "w") as m:
             json.dump({"n_records": n}, m)
         return _WroteFile(out, n)
 
@@ -164,9 +238,16 @@ class ShmrWriter(DataSourceWriter):
             json.dump({"n_records": total, "n_files": len(messages)}, f)
 
     def abort(self, messages) -> None:
+        import glob as g
+
         for m in messages:
-            if m is not None and os.path.exists(m.path):
-                os.remove(m.path)
+            if m is None:
+                continue
+            for p in (m.path, _meta_path(m.path)):
+                if os.path.exists(p):
+                    os.remove(p)
+        for tmp in g.glob(os.path.join(self.path, ".inprogress-*")):
+            os.remove(tmp)
 
 
 class ShmrDataSource(DataSource):
@@ -198,19 +279,31 @@ class ShmrDataSource(DataSource):
                             "explicit schema for scalar/array ND-JSON"
                         )
                     for k, v in rec.items():
+                        if v is None:
+                            # nulls carry no type; record the column so
+                            # an all-null sample still lands in the
+                            # schema (as nullable string)
+                            keys.setdefault(k, "")
+                            continue
+                        if isinstance(v, (list, dict)):
+                            raise ValueError(
+                                f"field {k!r} holds nested JSON; pass an "
+                                "explicit schema (array/struct inference "
+                                "is not supported)"
+                            )
                         t = (
-                            "bigint"
-                            if isinstance(v, bool) is False and isinstance(v, int)
+                            "boolean"
+                            if isinstance(v, bool)
+                            else "bigint"
+                            if isinstance(v, int)
                             else "double"
                             if isinstance(v, float)
-                            else "boolean"
-                            if isinstance(v, bool)
                             else "string"
                         )
-                        prev = keys.get(k)
-                        if prev is None:
+                        prev = keys.get(k, "")
+                        if prev in ("", t):
                             keys[k] = t
-                        elif prev != t:
+                        else:
                             # widen int→double, anything else → string
                             keys[k] = (
                                 "double"
@@ -219,6 +312,7 @@ class ShmrDataSource(DataSource):
                             )
             if not keys:
                 raise ValueError("cannot infer schema from an empty partition")
+            keys = {k: (t or "string") for k, t in keys.items()}
             return ", ".join(f"{k} {t}" for k, t in keys.items())
         raise ValueError(f"codec {codec} requires an explicit schema")
 

@@ -121,19 +121,112 @@ def test_writer_output_is_valid_reference_input(registered, tmp_path):
         "append"
     ).save(out)
 
+    import glob
+
+    part = glob.glob(f"{out}/part-*.json")[0]
     cnt = tmp_path / "n.txt"
-    run_ref(
-        ["-i", f"{out}/part-00000.json", "partition.count", "--outfile", str(cnt)]
-    )
+    run_ref(["-i", part, "partition.count", "--outfile", str(cnt)])
     assert cnt.read_text() == "100"
 
     mapped = tmp_path / "mapped.json"
     run_ref(
         [
-            "-i", f"{out}/part-00000.json",
+            "-i", part,
             "partition.map", "--fn", "tests.cli_fixture_fns.by_x",
             "--outfile", str(mapped),
         ]
     )
     vals = [json.loads(line) for line in mapped.read_text().splitlines()]
     assert vals == list(range(100))
+
+
+def test_overwrite_clears_previous_files(registered, tmp_path):
+    """mode('overwrite') must not leave stale part files from a wider
+    previous write mixing into subsequent reads."""
+    spark = registered
+    out = str(tmp_path / "ds")
+    spark.range(40).selectExpr("id").repartition(4).write.format("shmr").mode(
+        "overwrite"
+    ).save(out)
+    spark.range(10).selectExpr("id").repartition(2).write.format("shmr").mode(
+        "overwrite"
+    ).save(out)
+    parts = [f for f in os.listdir(out) if f.endswith(".json")]
+    assert len(parts) == 2
+    back = spark.read.format("shmr").schema("id bigint").load(f"{out}/part-*.json")
+    assert back.count() == 10
+
+
+def test_append_does_not_clobber(registered, tmp_path):
+    """Two append jobs write distinct files (per-job token) — the
+    second append must not truncate the first's part-00000."""
+    spark = registered
+    out = str(tmp_path / "ds")
+    for _ in range(2):
+        spark.range(25).selectExpr("id").coalesce(1).write.format("shmr").mode(
+            "append"
+        ).save(out)
+    parts = [f for f in os.listdir(out) if f.endswith(".json")]
+    assert len(parts) == 2
+    back = spark.read.format("shmr").schema("id bigint").load(f"{out}/part-*.json")
+    assert back.count() == 50
+    assert not [f for f in os.listdir(out) if f.startswith(".inprogress-")]
+
+
+def test_json_writer_handles_timestamps_and_decimals(registered, tmp_path):
+    spark = registered
+    out = str(tmp_path / "ts")
+    spark.sql(
+        "SELECT TIMESTAMP '2024-05-06 07:08:09' AS ts, DATE '2024-05-06' AS d, "
+        "CAST(1.5 AS DECIMAL(10,2)) AS dec, CAST(NULL AS STRING) AS s"
+    ).coalesce(1).write.format("shmr").mode("append").save(out)
+    line = json.loads(
+        open(os.path.join(out, [f for f in os.listdir(out) if f.endswith(".json")][0]))
+        .read()
+        .strip()
+    )
+    assert line["ts"].startswith("2024-05-06T07:08:09")
+    assert line["d"] == "2024-05-06"
+    assert line["dec"] == 1.5
+    assert line["s"] is None
+
+
+def test_inference_tolerates_nulls(registered, tmp_path):
+    spark = registered
+    out = tmp_path / "nulls"
+    out.mkdir()
+    with open(out / "p.json", "w") as f:
+        f.write('{"a": null, "b": 1}\n{"a": 5, "b": 2}\n{"a": null, "c": null}\n')
+    df = spark.read.format("shmr").load(str(out / "p.json"))
+    assert dict(df.dtypes) == {"a": "bigint", "b": "bigint", "c": "string"}
+    got = sorted(((r.a, r.b) for r in df.collect()), key=repr)
+    assert got == sorted([(None, None), (None, 1), (5, 2)], key=repr)
+
+
+def test_csv_typed_read_and_malformed_error(registered, tmp_path):
+    spark = registered
+    d = tmp_path / "csv"
+    d.mkdir()
+    with open(d / "p.csv", "w") as f:
+        f.write("alice,30\nbob,\n")
+    df = (
+        spark.read.format("shmr")
+        .schema("name string, age int")
+        .option("codec", "csv")
+        .load(str(d / "p.csv"))
+    )
+    rows = {r.name: r.age for r in df.collect()}
+    assert rows == {"alice": 30, "bob": None}  # typed int + empty→NULL
+
+    with open(d / "bad.csv", "w") as f:
+        f.write("x,1,EXTRA\n")
+    bad = (
+        spark.read.format("shmr")
+        .schema("name string, age int")
+        .option("codec", "csv")
+        .load(str(d / "bad.csv"))
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="malformed|MALFORMED|fields"):
+        bad.collect()

@@ -81,9 +81,17 @@ def _replicate(df: DataFrame, n: int, offsets: dict[str, int]) -> DataFrame:
 
 
 def make_scaled(spark, n: int, base_dir: str, out_dir: str) -> None:
+    import shutil
+
     done_marker = os.path.join(out_dir, "_COMPLETE")
+    # the cache key is (base corpus, factor): a marker from a different
+    # base (or an interrupted build) must not be reused silently
+    key = f"{os.path.abspath(base_dir)}|n={n}\n"
     if os.path.exists(done_marker):
-        return
+        with open(done_marker) as f:
+            if f.read() == key:
+                return
+        shutil.rmtree(out_dir)  # stale corpus from a different base/factor
     os.makedirs(out_dir, exist_ok=True)
     strides = _strides(spark, base_dir)
     for table in TABLES:
@@ -98,10 +106,13 @@ def make_scaled(spark, n: int, base_dir: str, out_dir: str) -> None:
         target = os.path.join(out_dir, f"{table}.parquet")
         df.coalesce(max(1, min(n, 8))).write.mode("overwrite").parquet(target + ".dir")
         # a directory named <table>.parquet is read identically by
-        # spark.read.parquet and duckdb read_parquet('<dir>/*.parquet')
+        # spark.read.parquet and duckdb read_parquet('<dir>/*.parquet');
+        # clear any remnant of an interrupted earlier build first
+        if os.path.exists(target):
+            shutil.rmtree(target)
         os.rename(target + ".dir", target)
     with open(done_marker, "w") as f:
-        f.write("ok\n")
+        f.write(key)
 
 
 def main() -> None:
