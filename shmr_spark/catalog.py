@@ -36,24 +36,38 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one corpus table. Column pruning + predicate pushdown reach
     the parquet scan because nothing is materialized here.
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark 4 rejects
-    outright; we read it via the nanosAsLong legacy conf and convert to
-    a microsecond TIMESTAMP (matching DuckDB, which also truncates
-    nanos to micros)."""
+    ``events.ts`` has shipped in two physical forms across corpus
+    generations: TIMESTAMP(NANOS) (which Spark 4 rejects without the
+    nanosAsLong legacy conf) and plain micros TIMESTAMP without a
+    timezone flag (which Spark 4 reads as TIMESTAMP_NTZ). Both are
+    normalized here to a UTC-epoch TIMESTAMP (LTZ) so every downstream
+    query sees one type, and epoch extraction matches DuckDB's naive
+    semantics regardless of the session timezone."""
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        # The driver corpus stores ts as TIMESTAMP(NANOS), surfaced as
-        # LONG nanos under the legacy conf; derived corpora (e.g. the
-        # bench scale-up in tools/make_scaled_sf.py) store a plain
-        # micros TIMESTAMP, which the conf leaves untouched — convert
-        # only the former. `ts div 1000` is exact int64 division —
-        # `floor(ts / 1000)` would round-trip through double and lose
-        # micros above 2^53 ns (~1971). `div` truncates toward zero,
-        # matching DuckDB's nanos→micros truncation for post-epoch data.
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # TIMESTAMP(NANOS) surfaced as LONG nanos under the legacy
+            # conf. `ts div 1000` is exact int64 division — `floor(ts
+            # / 1000)` would round-trip through double and lose micros
+            # above 2^53 ns (~1971). `div` truncates toward zero,
+            # matching DuckDB's nanos→micros truncation post-epoch.
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif ts_type == "timestamp_ntz":
+            # isParquetTimestampNTZ → interpret the wall-clock value as
+            # UTC, exactly as DuckDB treats its naive TIMESTAMP. Pure
+            # NTZ arithmetic (timestampdiff vs the NTZ epoch) keeps the
+            # conversion independent of the session timezone — a cast
+            # to TIMESTAMP would inject the local zone offset.
+            df = df.withColumn(
+                "ts",
+                F.expr(
+                    "timestamp_micros(timestampdiff(MICROSECOND, "
+                    "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts))"
+                ),
+            )
         return df
     return spark.read.parquet(path)
 

@@ -43,7 +43,9 @@ INT64_SAFE_ABS_SUM = 9.0e12
 # A single int64 wrap shifts the sum by 2⁶⁴ ≈ 1.8e19; the float64
 # shadow sum's accumulated error stays orders of magnitude below this
 # for any realistic row count (n·ε·|partials| ≈ 2e15 even at 10¹²
-# rows), so half a wrap is a safe detection threshold.
+# rows, plus ≤ 0.5·n scaled units of per-row rounding skew vs the
+# floor()ed operand — 5e11 at 10¹² rows), so half a wrap is a safe
+# detection threshold.
 _WRAP_DETECT = 4.6e18
 
 
@@ -59,7 +61,12 @@ def _checked_scaled_sum(c: Column) -> Column:
     LOUDLY (assert_true) instead of returning a wrapped value —
     callers at such scales should pass max_abs_sum to dsum/davg."""
     s_long = F.sum(_scaled_long(c))
-    s_shadow = F.sum(_scaled_long(c).cast("double"))
+    # shadow = plain double sum of the RAW column, scaled after the
+    # aggregate: one floor/multiply per row instead of two (Spark does
+    # not CSE _scaled_long across separate aggregate functions), at the
+    # cost of ≤ 0.5·n scaled units of rounding skew — negligible vs
+    # _WRAP_DETECT (see above)
+    s_shadow = F.sum(c) * F.lit(_SCALE)
     ok = s_long.isNull() | (F.abs(s_long.cast("double") - s_shadow) < F.lit(_WRAP_DETECT))
     guard = F.coalesce(
         F.assert_true(

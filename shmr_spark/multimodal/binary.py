@@ -73,6 +73,13 @@ def attach_media_metadata(df: DataFrame, content_col: str = "content") -> DataFr
     )
 
 
+def _is_decodable(content: bytes) -> bool:
+    """True when a real decoder exists for this blob (PNG today)."""
+    from shmr_spark.multimodal.png import is_png
+
+    return is_png(content)
+
+
 def _decode_image_real(content: bytes) -> np.ndarray:
     """The real decode hook: PNG decodes for real via the stdlib codec
     in multimodal/png.py; other formats (JPEG etc.) still need an
@@ -136,7 +143,7 @@ def decode_and_featurize(
             widths, heights, sums = [], [], []
             for content in pdf["content"]:
                 b = bytes(content) if content is not None else b""
-                if use_real_decoder:
+                if use_real_decoder and _is_decodable(b):
                     pixels = _decode_image_real(b)
                     arr = _featurize_pixels(pixels, dim)
                     h, w, _nch = pixels.shape
@@ -144,6 +151,9 @@ def decode_and_featurize(
                     heights.append(h)
                     sums.append(int(pixels.astype(np.int64).sum()))
                 else:
+                    # real-decoder mode degrades per-row for null/empty/
+                    # non-decodable blobs (fake feature, null dims)
+                    # instead of failing the whole task on one bad cell
                     arr = _decode_image_fake(b, dim)
                     widths.append(None)
                     heights.append(None)

@@ -22,6 +22,10 @@ This source maps that model onto Spark's:
 
 Options (read): ``path`` (file or glob), ``codec`` = json|csv|text
 (default json), ``skip_nrows`` (per file, default 0).
+CSV parsing is LINE-based, matching the reference's one-record-per-
+line model (/root/reference/shmr/partition.py:126-132): RFC-4180
+quoted fields containing embedded newlines are NOT supported and
+raise ValueError (malformed record).
 Schema: pass one explicitly for json/csv; defaults are
 ``value string`` (text) and inference-free all-string columns are NOT
 guessed — json without a schema infers from the first file's first
@@ -165,11 +169,12 @@ def _json_default(v):
 
 
 def _meta_path(datafile: str) -> str:
-    stem = datafile
-    for e in (".gz", ".bz2"):
-        if stem.endswith(e):
-            stem = stem[: -len(e)]
-    return os.path.splitext(stem)[0] + ".meta"
+    """Sidecar path per the reference's PartitionMetadata
+    (/root/reference/shmr/partition_writer.py:64-70): strip only the
+    FINAL extension — ``part-N.json.gz`` → ``part-N.json.meta`` — so
+    compressed output's count memo is found by the reference CLI and
+    by our compat CLI (both use the same single-extension rule)."""
+    return os.path.splitext(datafile)[0] + ".meta"
 
 
 class ShmrWriter(DataSourceWriter):
@@ -246,7 +251,10 @@ class ShmrWriter(DataSourceWriter):
             for p in (m.path, _meta_path(m.path)):
                 if os.path.exists(p):
                     os.remove(p)
-        for tmp in g.glob(os.path.join(self.path, ".inprogress-*")):
+        # token-scoped: never sweep up live temp files of a concurrent
+        # append job (temp names embed this job's token via the final
+        # filename: .inprogress-<attempt>-part-NNNNN-<token>.<ext>)
+        for tmp in g.glob(os.path.join(self.path, f".inprogress-*-{self.token}.*")):
             os.remove(tmp)
 
 

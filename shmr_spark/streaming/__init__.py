@@ -1,5 +1,4 @@
 from shmr_spark.streaming.windows import (
-    EVENTS_RAW_SCHEMA,
     read_events_stream,
     tumbling_window_stream,
     sliding_window_stream,
@@ -9,7 +8,6 @@ from shmr_spark.streaming.stateful import sessionize_stream
 from shmr_spark.streaming.joins import interval_join_stream
 
 __all__ = [
-    "EVENTS_RAW_SCHEMA",
     "read_events_stream",
     "tumbling_window_stream",
     "sliding_window_stream",

@@ -18,32 +18,51 @@ from pyspark.sql import types as T
 
 from shmr_spark.functions.numeric import dsum
 
-# Raw parquet schema: ts is INT64 TIMESTAMP(NANOS) which Spark reads
-# as long under the nanosAsLong legacy conf (see catalog.load_table).
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_raw_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
 
 
 def read_events_stream(spark: SparkSession, source_dir: str) -> DataFrame:
-    """File-stream the events parquet directory; ts nanos → timestamp
-    (micros), matching the batch loader exactly."""
+    """File-stream the events parquet directory, normalizing ts to a
+    UTC-epoch TIMESTAMP exactly as the batch loader does
+    (catalog.load_table): the corpus has shipped ts both as
+    TIMESTAMP(NANOS) (long under the nanosAsLong conf) and as plain
+    micros TIMESTAMP_NTZ. A one-footer batch probe picks the form —
+    file streams require an explicit schema, and declaring the wrong
+    physical type silently misreads the column."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ts_type = dict(spark.read.parquet(source_dir).dtypes).get("ts")
+    if ts_type == "bigint":
+        raw = (
+            spark.readStream.schema(_events_raw_schema(T.LongType()))
+            .option("maxFilesPerTrigger", 1)
+            .parquet(source_dir)
+        )
+        # exact int64 division — floor(ts/1000) would lose micros
+        # through double above 2^53 ns (see catalog.load_table)
+        return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(_events_raw_schema(T.TimestampNTZType()))
         .option("maxFilesPerTrigger", 1)
         .parquet(source_dir)
     )
-    # exact int64 division — floor(ts/1000) would lose micros through
-    # double above 2^53 ns (see catalog.load_table)
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    # NTZ wall time ≙ UTC, timezone-independent (see catalog.load_table)
+    return raw.withColumn(
+        "ts",
+        F.expr(
+            "timestamp_micros(timestampdiff(MICROSECOND, "
+            "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts))"
+        ),
+    )
 
 
 def tumbling_window_stream(

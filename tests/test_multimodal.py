@@ -145,6 +145,34 @@ def test_decode_and_featurize_real_path(spark):
         assert all(-1.0 <= x <= 1.0 for x in r.feature)
 
 
+def test_real_decoder_degrades_per_row(spark):
+    """One bad blob must not kill the task: with use_real_decoder=True,
+    null/empty/non-PNG rows fall back to the fake feature with null
+    width/height/px_sum while PNG rows still decode for real."""
+    import numpy as np
+
+    from shmr_spark.multimodal.png import png_encode
+
+    arr = (np.arange(12) % 256).astype(np.uint8).reshape(3, 4)
+    rows = [
+        (0, png_encode(arr)),          # real PNG
+        (1, b"\xff\xd8\xffnotjpeg"),   # JPEG magic, no decoder
+        (2, b""),                      # empty
+        (3, None),                     # null
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    out = {
+        r.media_id: r
+        for r in decode_and_featurize(df, dim=8, use_real_decoder=True).collect()
+    }
+    assert (out[0].width, out[0].height) == (4, 3)
+    assert out[0].px_sum == int(arr.sum())
+    for mid in (1, 2, 3):
+        r = out[mid]
+        assert r.width is None and r.height is None and r.px_sum is None
+        assert len(r.feature) == 8
+
+
 def test_sample_frames_flatmap_shape(spark, media_df):
     frames = sample_frames(media_df, every_n_bytes=1000, max_frames=4)
     per_media = {

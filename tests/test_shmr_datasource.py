@@ -140,6 +140,44 @@ def test_writer_output_is_valid_reference_input(registered, tmp_path):
     assert vals == list(range(100))
 
 
+@pytest.mark.skipif(
+    not os.path.exists(f"{REF_RES}/people.00.csv"), reason="reference absent"
+)
+def test_writer_gz_output_is_valid_reference_input(registered, tmp_path):
+    """Same interop claim for COMPRESSED output: the .meta sidecar of
+    'part-N.json.gz' must be 'part-N.json.meta' (reference's
+    single-extension rule, partition_writer.py:64-70) so the reference
+    CLI's memoized count actually consumes it."""
+    from tests.test_differential_reference import run_ref
+
+    spark = registered
+    out = str(tmp_path / "ds")
+    spark.range(100).selectExpr("id AS x").coalesce(1).write.format("shmr").option(
+        "compression", "gz"
+    ).mode("append").save(out)
+
+    import glob
+
+    part = glob.glob(f"{out}/part-*.json.gz")[0]
+    # sidecar sits next to the datafile under the reference's naming
+    assert os.path.exists(part[: -len(".gz")] + ".meta")
+
+    cnt = tmp_path / "n.txt"
+    run_ref(["-i", part, "partition.count", "--outfile", str(cnt)])
+    assert cnt.read_text() == "100"
+
+    mapped = tmp_path / "mapped.json"
+    run_ref(
+        [
+            "-i", part,
+            "partition.map", "--fn", "tests.cli_fixture_fns.by_x",
+            "--outfile", str(mapped),
+        ]
+    )
+    vals = [json.loads(line) for line in mapped.read_text().splitlines()]
+    assert vals == list(range(100))
+
+
 def test_overwrite_clears_previous_files(registered, tmp_path):
     """mode('overwrite') must not leave stale part files from a wider
     previous write mixing into subsequent reads."""
