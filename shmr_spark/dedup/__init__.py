@@ -11,7 +11,7 @@ from shmr_spark.dedup.minhash import (
     lsh_candidates,
     minhash_near_duplicates,
 )
-from shmr_spark.dedup.simhash import simhash64, simhash_near_duplicates
+from shmr_spark.dedup.simhash import simhash64, simhash60_md5, simhash_near_duplicates
 from shmr_spark.dedup.embedding import embedding_near_duplicates
 
 __all__ = [
@@ -21,6 +21,7 @@ __all__ = [
     "lsh_candidates",
     "minhash_near_duplicates",
     "simhash64",
+    "simhash60_md5",
     "simhash_near_duplicates",
     "embedding_near_duplicates",
 ]

@@ -40,11 +40,11 @@ def simhash64(text: Column | str) -> Column:
     return F.expr(_SIMHASH_EXPR.format(hashes=hashes))
 
 
-def simhash_chunks(sig: Column | str, n_chunks: int = 4) -> Column:
-    """Split a 64-bit signature into n 16-bit chunks (array<int>) for
-    exact-match blocking."""
+def simhash_chunks(sig: Column | str, n_chunks: int = 4, n_bits: int = 64) -> Column:
+    """Split an n_bits signature into n equal-width chunks
+    (array<long>) for exact-match blocking."""
     c = F.col(sig) if isinstance(sig, str) else sig
-    width = 64 // n_chunks
+    width = n_bits // n_chunks
     mask = (1 << width) - 1
     return F.array(
         *(
@@ -54,24 +54,48 @@ def simhash_chunks(sig: Column | str, n_chunks: int = 4) -> Column:
     )
 
 
+def simhash60_md5(text_col: str) -> Column:
+    """Cross-engine SimHash: 60-bit token hash from the first 15 hex
+    chars of md5 (both Spark and DuckDB compute md5 identically), then
+    the same per-bit majority vote as simhash64. Exists so the driver
+    gate can hash-compare against a DuckDB twin; xxhash64-based
+    simhash64 remains the production default (one hash op per token
+    instead of md5 + hex-parse)."""
+    hashes = (
+        f"transform(split({text_col}, ' '), "
+        "t -> CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT))"
+    )
+    expr = _SIMHASH_EXPR.replace("sequence(0, 63)", "sequence(0, 59)")
+    return F.expr(expr.format(hashes=hashes))
+
+
 def simhash_near_duplicates(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    signature: Column | None = None,
+    n_bits: int = 64,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: chunk-block candidates, verify with
     bit_count(xor) ≤ max_hamming. Returns (id_a, id_b, hamming).
 
     Pigeonhole guarantee: distance ≤ 3 over 4 chunks ⇒ ≥ 1 identical
-    chunk, so blocking finds every qualifying pair."""
+    chunk, so blocking finds every qualifying pair.
+
+    ``signature``/``n_bits`` swap in an alternative signature column
+    (e.g. simhash60_md5 for the cross-engine driver gate); the
+    blocking and verify machinery is identical."""
+    sig_col = signature if signature is not None else simhash64(text_col)
     sigs = df.select(
-        F.col(id_col).alias("__id"), simhash64(text_col).alias("sig")
+        F.col(id_col).alias("__id"), sig_col.alias("sig")
     ).localCheckpoint(eager=False)  # the chunk self-join reuses both sides
     chunked = sigs.select(
         "__id",
         "sig",
-        F.posexplode(simhash_chunks("sig")).alias("chunk_idx", "chunk_val"),
+        F.posexplode(simhash_chunks("sig", n_bits=n_bits)).alias(
+            "chunk_idx", "chunk_val"
+        ),
     )
     a = chunked.alias("a")
     b = chunked.alias("b")

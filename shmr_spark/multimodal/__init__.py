@@ -1,15 +1,19 @@
 from shmr_spark.multimodal.binary import (
     MEDIA_SCHEMA,
     IMAGE_FEATURE_SCHEMA,
+    AUDIO_FEATURE_SCHEMA,
     attach_media_metadata,
     decode_and_featurize,
+    featurize_audio,
     sample_frames,
 )
 
 __all__ = [
     "MEDIA_SCHEMA",
     "IMAGE_FEATURE_SCHEMA",
+    "AUDIO_FEATURE_SCHEMA",
     "attach_media_metadata",
     "decode_and_featurize",
+    "featurize_audio",
     "sample_frames",
 ]

@@ -45,73 +45,23 @@ def query(name: str, oracle: str | None = None, headline: bool = False):
 
 
 # Registry emission order. The driver's correctness gate has a budget
-# (round 1 recorded exactly the first 50 registered queries), so the
-# order below is part of the verification strategy: queries that have
-# never received a CORRECTNESS row come first, with the bench
-# headliners and the LLM-pipeline gate queries (dedup / similarity /
-# text) at the very front; previously-green queries rotate to the
-# back. Names absent from this list (e.g. queries added later) keep
-# their module registration order after it.
+# (rounds 1-2 recorded exactly the first 50 registered queries), so
+# the order below is part of the verification strategy. Round-3
+# window, in three groups:
+#   1. the 31 queries that have never received a CORRECTNESS row
+#      (slot 51+ of the round-2 ordering);
+#   2. the 12 gates converted this round from rows-only to real
+#      DuckDB oracles (each needs its first hash-checked row);
+#   3. a 7-query canary subset of previously-green queries — the
+#      bench headliners plus every streaming/event query, because the
+#      round-3 corpus changed events.ts to TIMESTAMP_NTZ and those
+#      greens must be re-proved on the new physical type.
+# Canary policy (standing): every round keeps a handful of
+# previously-green queries inside the window so a regression in
+# rotated-out code is caught on a bounded cadence; names absent from
+# this list keep module registration order after it.
 _PRIORITY: list[str] = [
-    # -- bench headliners never driver-checked in round 1
-    "text_stats",
-    "dedup_exact",
-    "similarity_topk",
-    "asof_join_prev",
-    # -- bench headliners (green in r01; keep in-window so every
-    #    headliner has a fresh row this round)
-    "reduce_by_key_q1",
-    "join_three_way",
-    "sql_q5_region_revenue",
-    "q6_promo_revenue",
-    "q3_top_orders",
-    "window_tumbling",
-    # -- round-2 fixes that must re-prove against the driver
-    "funnel_stages",
-    "approx_distinct",
-    "approx_percentiles",
-    # -- dedup / similarity / vector gates (never checked)
-    "dedup_minhash",
-    "dedup_simhash",
-    "dedup_embedding_lsh",
-    "embedding_neardup",
-    "dedup_corpus_neardup",
-    "ngram_jaccard",
-    "doc_token_overlap",
-    "knn_join_exact",
-    "knn_join_lsh",
-    "similarity_lsh_topk",
-    "similarity_ivf_topk",
-    "similarity_ivf_kmeans_topk",
-    "similarity_quantized_rerank",
-    "quantize_embeddings",
-    "vector_stats",
-    "label_centroids",
-    # -- text-pipeline gates (never checked)
-    "token_count",
-    "lang_id",
-    "quality_score",
-    "fingerprint_docs",
-    "fingerprint_winnow",
-    "contamination_check",
-    "clean_text",
-    "chunk_documents",
-    "repetition_ratio",
-    "token_frequencies",
-    "tfidf_top_terms",
-    "bm25_top_terms",
-    "heavy_hitters_tokens",
-    "quality_length_band",
-    "shuffle_shards",
-    "mix_training_sources",
-    "sample_k_per_group",
-    "unigram_logprob_score",
-    "vocab_growth",
-    "numbers_in_text",
-    # -- multimodal (real PNG decode lands this round)
-    "multimodal_featurize",
-    # ---- slot 51+: remaining never-checked queries, next in line if
-    #      the driver budget is larger (or for round-3 rotation)
+    # -- group 1: never driver-checked (31)
     "similarity_indexed_topk",
     "cohort_retention",
     "time_weighted_avg",
@@ -143,6 +93,29 @@ _PRIORITY: list[str] = [
     "referential_integrity",
     "bool_aggregates",
     "null_safe_join",
+    # -- group 2: converted rows-only -> oracle this round (12)
+    "dedup_minhash",
+    "dedup_simhash",
+    "dedup_embedding_lsh",
+    "dedup_corpus_neardup",
+    "similarity_lsh_topk",
+    "similarity_ivf_topk",
+    "similarity_ivf_kmeans_topk",
+    "similarity_quantized_rerank",
+    "knn_join_lsh",
+    "tfidf_top_terms",
+    "bm25_top_terms",
+    "unigram_logprob_score",
+    "multimodal_audio_featurize",
+    # -- group 3: canaries (6) — headliners + events/streaming
+    #    re-proof on the NTZ corpus (reduce_by_key_q1 also re-proves
+    #    the round-3 overflow-shadow change to dsum/davg)
+    "reduce_by_key_q1",
+    "window_tumbling",
+    "asof_join_prev",
+    "streaming_tumbling",
+    "streaming_interval_join",
+    "sessionize",
 ]
 
 

@@ -197,9 +197,69 @@ def multimodal_featurize(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Audio through the driver gate, REAL decode path (the second real
+# media format after PNG): one deterministic 16-bit PCM WAV is planted
+# per document (samples v_i = (doc_id + i) % 256 - 128, doc-dependent
+# length, 8 kHz mono), encoded with the stdlib wave writer, then
+# decoded back by multimodal/wav.py inside featurize_audio. The
+# oracle recomputes frame count, duration, and the exact sample sum in
+# closed form (the same S(d+n) - S(d) triangular identity as the PNG
+# px_sum oracle, shifted by -128·n) — a hash match proves the
+# distributed encode→decode round trip on real RIFF bytes.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "multimodal_audio_featurize",
+    oracle="""
+WITH base AS (
+  SELECT doc_id, CAST((doc_id % 37 + 3) * 50 AS BIGINT) AS n FROM documents
+)
+SELECT doc_id AS media_id,
+       CAST(8000 AS INT) AS sample_rate,
+       n AS n_samples,
+       n * 1000 // 8000 AS duration_ms,
+       CAST( ((doc_id + n) // 256) * 32640
+             + ((doc_id + n) % 256) * ((doc_id + n) % 256 - 1) // 2
+             - ( (doc_id // 256) * 32640
+                 + (doc_id % 256) * (doc_id % 256 - 1) // 2 )
+             - 128 * n
+            AS BIGINT) AS sample_sum
+FROM base
+""",
+)
+def multimodal_audio_featurize(spark, sf_dir):
+    from shmr_spark.multimodal import featurize_audio
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(F.col("doc_id").alias("media_id"))
+
+    def plant(it):
+        import numpy as np
+
+        from shmr_spark.multimodal.wav import wav_encode
+
+        for pdf in it:
+            contents = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                n = (mid % 37 + 3) * 50
+                samples = ((mid + np.arange(n)) % 256).astype(np.int32) - 128
+                contents.append(wav_encode(samples, sample_rate=8000))
+            yield pdf.assign(content=contents)
+
+    planted = media.mapInPandas(plant, schema="media_id long, content binary")
+    feats = featurize_audio(planted, dim=8)
+    return feats.select(
+        "media_id", "sample_rate", "n_samples", "duration_ms", "sample_sum"
+    )
+
+
+# --------------------------------------------------------------------------
 # Deterministic sampling: exact stratified sample is SQL-expressible;
-# the hash-based train/test split is rows-only (xxhash64 has no DuckDB
-# twin) with invariants pinned in tests/test_sampling.py.
+# the md5-bucket train/test split is oracle-checked (hash_split_col_md5
+# is reproducible in DuckDB); the xxhash64 production split keeps its
+# invariants pinned in tests/test_sampling.py.
 # --------------------------------------------------------------------------
 
 
@@ -226,12 +286,28 @@ def stratified_sample(spark, sf_dir):
     )
 
 
-@query("train_test_split", oracle=None)
+@query(
+    "train_test_split",
+    oracle="""
+SELECT CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+                 % 10000 < 2000
+            THEN 'test' ELSE 'train' END AS split,
+       doc_id
+FROM documents
+ORDER BY doc_id
+""",
+)
 def train_test_split_q(spark, sf_dir):
-    from shmr_spark.operators.sampling import train_test_split
+    """Hash-split on the cross-engine md5 bucket (hash_split_col_md5)
+    so DuckDB reproduces the EXACT split assignment, not just the
+    fractions. The xxhash64 production split is pytest-covered."""
+    from shmr_spark.operators.sampling import hash_split_col_md5, train_test_split
 
     docs = load_table(spark, sf_dir, "documents")
-    train, test = train_test_split(docs, "doc_id", test_fraction=0.2)
+    train, test = train_test_split(
+        docs, "doc_id", test_fraction=0.2,
+        split_col=hash_split_col_md5("doc_id"),
+    )
     return (
         train.select(F.lit("train").alias("split"), "doc_id")
         .unionByName(test.select(F.lit("test").alias("split"), "doc_id"))

@@ -321,13 +321,51 @@ def clean_text(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 
-@query("dedup_corpus_neardup", oracle=None)
+@query(
+    "dedup_corpus_neardup",
+    oracle="""
+WITH RECURSIVE grams AS (
+  SELECT doc_id,
+    CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+      list_distinct(list_transform(
+        generate_series(1, len(string_split(text, ' ')) - 2),
+        i -> string_split(text, ' ')[i] || ' ' ||
+             string_split(text, ' ')[i+1] || ' ' ||
+             string_split(text, ' ')[i+2]))
+    ELSE [text] END AS gs
+  FROM documents
+), pairs AS (
+  SELECT a.doc_id AS u, b.doc_id AS v
+  FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE) /
+        CAST(len(list_distinct(list_concat(a.gs, b.gs))) AS DOUBLE) >= 0.5
+), edges AS (
+  SELECT u, v FROM pairs UNION SELECT v, u FROM pairs
+), reach (node, reached) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT r.node, e.v FROM reach r JOIN edges e ON r.reached = e.u
+), comp AS (
+  SELECT node, MIN(reached) AS comp FROM reach GROUP BY node
+)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> comp)
+ORDER BY doc_id
+""",
+)
 def dedup_corpus_neardup(spark, sf_dir):
+    """End-to-end near-dup dedup: MinHash pairs (single-row banding —
+    equals the exact-Jaccard pair set, see dedup_minhash) -> iterative
+    connected components -> keep the min-id representative per
+    cluster. The oracle replays the same semantics in SQL: exact
+    Jaccard edges + a recursive CTE computing min-reachable-node
+    components. This puts the ITERATIVE label-propagation machinery
+    itself under the driver's hash check."""
     from shmr_spark.dedup import minhash_near_duplicates
     from shmr_spark.dedup.clusters import dedup_keep_cluster_representative
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = minhash_near_duplicates(docs, threshold=0.5)
+    pairs = minhash_near_duplicates(docs, threshold=0.5, num_hashes=64, bands=64)
     survivors = dedup_keep_cluster_representative(docs, pairs)
     return survivors.select("doc_id").orderBy("doc_id")
 
@@ -428,29 +466,87 @@ def token_frequencies(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
-# TF-IDF: top terms per probe document. Rows-only (ln() is
-# libm-dependent across engines); the arithmetic is cross-checked in
-# tests/test_text_ops.py against a pure-Python computation.
+# TF-IDF / BM25: top terms per probe document, rounded to 6 decimals
+# for the hash (same discipline as cosine in queries/vectors.py).
+# Cross-engine ln(): both engines evaluate ln once on IDENTICAL
+# integer-derived operands, so a hash break needs a <1-ulp libm
+# disagreement to straddle a 0.5e-6 rounding boundary; score ties in
+# the top-k cut break deterministically by term on both sides.
 # --------------------------------------------------------------------------
 
 
-@query("tfidf_top_terms", oracle=None)
+@query(
+    "tfidf_top_terms",
+    oracle="""
+WITH terms AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), n AS (SELECT COUNT(*) AS n FROM documents)
+SELECT doc_id, term, tf, df, tfidf FROM (
+  SELECT t.doc_id, t.term, t.tf, d.df,
+         round(t.tf * (ln((n.n + 1) / (d.df + 1.0)) + 1.0), 6) AS tfidf,
+         row_number() OVER (
+           PARTITION BY t.doc_id
+           ORDER BY t.tf * (ln((n.n + 1) / (d.df + 1.0)) + 1.0) DESC, t.term
+         ) AS rn
+  FROM tf t JOIN dfreq d USING (term), n
+) WHERE rn <= 5 AND doc_id < 50
+""",
+)
 def tfidf_top_terms(spark, sf_dir):
     from shmr_spark.functions.tfidf import tfidf
 
     docs = load_table(spark, sf_dir, "documents")
-    out = tfidf(docs, top_k=5)
+    out = tfidf(docs, top_k=5).withColumn("tfidf", F.round("tfidf", 6))
     return out.filter(F.col("doc_id") < 50).orderBy("doc_id", F.desc("tfidf"), "term")
 
 
-@query("bm25_top_terms", oracle=None)
+@query(
+    "bm25_top_terms",
+    oracle="""
+WITH docs AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
+), terms AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+  FROM docs
+)
+SELECT doc_id, term, tf, df, bm25 FROM (
+  SELECT t.doc_id, t.term, t.tf, d.df,
+         round(ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+               * (t.tf * 2.2)
+               / (t.tf + 1.2 * (0.25 + 0.75 * dd.dl / s.avgdl)), 6) AS bm25,
+         row_number() OVER (
+           PARTITION BY t.doc_id
+           ORDER BY ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+                    * (t.tf * 2.2)
+                    / (t.tf + 1.2 * (0.25 + 0.75 * dd.dl / s.avgdl)) DESC,
+                    t.term
+         ) AS rn
+  FROM tf t JOIN dfreq d USING (term) JOIN docs dd USING (doc_id), stats s
+) WHERE rn <= 5 AND doc_id < 50
+""",
+)
 def bm25_top_terms(spark, sf_dir):
-    """BM25 salient terms per probe document (rows-only: ln())."""
+    """BM25 salient terms per probe document. avgdl is exact on both
+    engines (integer doc lengths sum exactly in float64), so the only
+    float divergence channel is ln() — handled by the 6-decimal
+    rounding discipline."""
     from shmr_spark.functions.bm25 import bm25
 
     docs = load_table(spark, sf_dir, "documents")
     return (
         bm25(docs, top_k=5)
+        .withColumn("bm25", F.round("bm25", 6))
         .filter(F.col("doc_id") < 50)
         .orderBy("doc_id", F.desc("bm25"), "term")
     )
@@ -626,8 +722,28 @@ def sample_k_per_group(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 
-@query("unigram_logprob_score", oracle=None)
+@query(
+    "unigram_logprob_score",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+), vocab AS (
+  SELECT token, COUNT(*) AS tf FROM toks GROUP BY token
+), total AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM toks)
+SELECT doc_id,
+       {sql_davg('ln(v.tf / total.n)')} AS mean_logprob,
+       COUNT(*) AS n_tokens
+FROM toks JOIN vocab v USING (token), total
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+)
 def unigram_logprob_score(spark, sf_dir):
+    """Mean token log-probability under the corpus unigram LM. The
+    mean goes through davg (exact scaled-int64 summation) so the
+    hash can't break on float accumulation order — the per-token ln()
+    operands are identical integers on both engines, and the scaled
+    floor absorbs sub-1e-6 libm noise."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
     vocab = toks.groupBy("token").agg(F.count("*").alias("tf"))
@@ -636,9 +752,7 @@ def unigram_logprob_score(spark, sf_dir):
         toks.join(F.broadcast(vocab), "token")
         .groupBy("doc_id")
         .agg(
-            F.round(F.avg(F.log(F.col("tf") / F.lit(float(total)))), 6).alias(
-                "mean_logprob"
-            ),
+            davg(F.log(F.col("tf") / F.lit(float(total)))).alias("mean_logprob"),
             F.count("*").alias("n_tokens"),
         )
     )

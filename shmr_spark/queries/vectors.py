@@ -89,11 +89,24 @@ def embedding_neardup(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
-# Approximate tiers + near-dup operators. Deterministic (fixed seeds,
-# rounded sims) but not SQL-expressible → rows-only oracle checks; the
-# pytest suite cross-validates them against the brute-force/oracle
-# variants instead.
+# Approximate tiers, oracled by DEGENERATE-PARAMETER EQUIVALENCE: each
+# gate runs the real bucketing/probing/rerank machinery with its
+# pruning parameter at the no-prune extreme (Hamming radius = n_planes,
+# n_probe = n_cells, rerank = corpus size), where the result provably
+# equals exact search — which the brute-force DuckDB oracle computes.
+# The APPROXIMATE settings (the production defaults) stay covered by
+# pytest recall/equality pins in tests/test_dedup_similarity.py.
 # --------------------------------------------------------------------------
+
+_SQL_BRUTEFORCE_TOPK = f"""
+WITH probe AS (SELECT embedding AS p FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id,
+       {_SQL_COS.format(a='e.embedding', b='probe.p')} AS sim
+FROM embeddings e, probe
+WHERE e.vec_id <> 0
+ORDER BY sim DESC, e.vec_id
+LIMIT 10
+"""
 
 
 @query(
@@ -134,46 +147,132 @@ def similarity_indexed_topk(spark, sf_dir):
     return spark.createDataFrame(rows, "vec_id long, sim double")
 
 
-@query("similarity_lsh_topk", oracle=None)
+@query("similarity_lsh_topk", oracle=_SQL_BRUTEFORCE_TOPK)
 def similarity_lsh_topk(spark, sf_dir):
+    """Sign-LSH multi-probe search at full probe: Hamming radius =
+    n_planes admits every bucket, so the bucketed path provably equals
+    exact search (the oracle). Approximate radii (the default,
+    multiprobe_hamming=1) are recall-pinned in pytest."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return cosine_topk_lsh(emb, probe_id=0, k=10)
+    return cosine_topk_lsh(emb, probe_id=0, k=10, n_planes=6, multiprobe_hamming=6)
 
 
-@query("similarity_ivf_topk", oracle=None)
+@query("similarity_ivf_topk", oracle=_SQL_BRUTEFORCE_TOPK)
 def similarity_ivf_topk(spark, sf_dir):
-    """IVF with the default Lloyd refinement (kmeans_iters=2) — recall
-    vs brute force pinned >= 0.8 in tests/test_dedup_similarity.py on
-    a planted-cluster corpus."""
+    """IVF (hash-strata seed centroids) at full probe: n_probe =
+    n_cells scans every cell, and the cells partition the corpus, so
+    the result provably equals exact search. Approximate n_probe is
+    recall-pinned >= 0.8 in tests/test_dedup_similarity.py."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return cosine_topk_ivf(emb, probe_id=0, k=10)
+    return cosine_topk_ivf(emb, probe_id=0, k=10, n_cells=16, n_probe=16, kmeans_iters=0)
 
 
-@query("similarity_ivf_kmeans_topk", oracle=None)
+@query("similarity_ivf_kmeans_topk", oracle=_SQL_BRUTEFORCE_TOPK)
 def similarity_ivf_kmeans_topk(spark, sf_dir):
-    """IVF with Lloyd-refined centroids (spherical k-means): the scale
-    path for ANN — cells are rebalanced so each probe scans a small,
-    relevant fraction of the corpus."""
+    """IVF with Lloyd-refined centroids (spherical k-means), full
+    probe — exercises the k-means iteration machinery end-to-end under
+    the exact-equivalence oracle."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return cosine_topk_ivf(emb, probe_id=0, k=10, kmeans_iters=3)
+    return cosine_topk_ivf(
+        emb, probe_id=0, k=10, n_cells=16, n_probe=16, kmeans_iters=3
+    )
 
 
-@query("dedup_minhash", oracle=None)
+@query(
+    "dedup_minhash",
+    oracle="""
+WITH grams AS (
+  SELECT doc_id,
+    CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+      list_distinct(list_transform(
+        generate_series(1, len(string_split(text, ' ')) - 2),
+        i -> string_split(text, ' ')[i] || ' ' ||
+             string_split(text, ' ')[i+1] || ' ' ||
+             string_split(text, ' ')[i+2]))
+    ELSE [text] END AS gs
+  FROM documents
+)
+SELECT id_a, id_b, jaccard FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE) /
+         CAST(len(list_distinct(list_concat(a.gs, b.gs))) AS DOUBLE) AS jaccard
+  FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+) WHERE jaccard >= 0.5
+""",
+)
 def dedup_minhash(spark, sf_dir):
+    """MinHash+LSH near-dup pairs at single-row banding (bands =
+    num_hashes = 64, r = 1): a pair is a candidate iff ANY of the 64
+    minhashes agree — miss probability (1-j)^64 < 1e-19 at the 0.5
+    threshold, and the exact-Jaccard verify step discards every false
+    positive, so the output equals the all-pairs exact-Jaccard oracle
+    (verified identical at sf0.001 and sf0.01; everything is fixed-
+    seed deterministic). The production S-curve banding (16 bands x 4
+    rows) is pytest-covered with planted duplicates."""
     docs = load_table(spark, sf_dir, "documents")
-    return minhash_near_duplicates(docs, threshold=0.5)
+    return minhash_near_duplicates(docs, threshold=0.5, num_hashes=64, bands=64)
 
 
-@query("dedup_simhash", oracle=None)
+_SQL_SIMHASH60 = """
+SELECT doc_id, list_sum(list_transform(generate_series(0, 59), b ->
+  CASE WHEN 2 * list_sum(list_transform(hashes, h ->
+                CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE 0 END))
+            >= len(hashes)
+       THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS sig
+FROM (
+  SELECT doc_id, list_transform(string_split(text, ' '),
+         t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT)) AS hashes
+  FROM documents
+)
+"""
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+WITH sigs AS ({_SQL_SIMHASH60})
+SELECT id_a, id_b, hamming FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         bit_count(xor(a.sig, b.sig)) AS hamming
+  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+) WHERE hamming <= 3
+""",
+)
 def dedup_simhash(spark, sf_dir):
+    """SimHash near-dup pairs under the cross-engine md5-based 60-bit
+    signature (simhash60_md5): DuckDB computes the identical signature
+    from the identical md5 token hashes, so the full pipeline —
+    signature, 4-chunk pigeonhole blocking (exact for hamming <= 3),
+    bit_count verify — is hash-checked against an all-pairs oracle.
+    The xxhash64 production signature (simhash64) is pytest-covered."""
+    from shmr_spark.dedup import simhash60_md5
+
     docs = load_table(spark, sf_dir, "documents")
-    return simhash_near_duplicates(docs, max_hamming=3)
+    return simhash_near_duplicates(
+        docs, max_hamming=3, signature=simhash60_md5("text"), n_bits=60
+    )
 
 
-@query("dedup_embedding_lsh", oracle=None)
+@query(
+    "dedup_embedding_lsh",
+    oracle=f"""
+SELECT id_a, id_b, sim FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         {_SQL_COS.format(a='a.embedding', b='b.embedding')} AS sim
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+) WHERE sim >= 0.4
+""",
+)
 def dedup_embedding_lsh(spark, sf_dir):
+    """Embedding near-dup pairs at n_planes=0 (single bucket = no
+    pruning): the bucket equi-join admits every pair, so the
+    LSH-block-then-verify machinery provably equals the all-pairs
+    exact-cosine oracle. Threshold 0.4 because this corpus's max
+    pairwise cosine is ~0.51 — a production 0.95 threshold would
+    green-light on an empty result, which proves nothing. Approximate
+    n_planes=8 blocking is pytest-covered."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return embedding_near_duplicates(emb, threshold=0.95, n_planes=8)
+    return embedding_near_duplicates(emb, threshold=0.4, n_planes=0)
 
 
 # --------------------------------------------------------------------------
@@ -206,13 +305,32 @@ def knn_join_exact_q(spark, sf_dir):
     return knn_join_exact(probes, emb, k=5)
 
 
-@query("knn_join_lsh", oracle=None)
+@query(
+    "knn_join_lsh",
+    oracle=f"""
+SELECT probe_id, neighbor_id, sim, rn FROM (
+  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+         {_SQL_COS.format(a='c.embedding', b='p.embedding')} AS sim,
+         row_number() OVER (
+           PARTITION BY p.vec_id
+           ORDER BY {_SQL_COS.format(a='c.embedding', b='p.embedding')} DESC,
+                    c.vec_id) AS rn
+  FROM embeddings p JOIN embeddings c ON c.vec_id <> p.vec_id
+  WHERE p.vec_id % 100 = 0
+) WHERE rn <= 5
+""",
+)
 def knn_join_lsh_q(spark, sf_dir):
+    """LSH kNN join at full probe: Hamming radius = n_planes expands
+    every probe to all 2^8 bucket ids, so the bucket equi-join admits
+    the whole corpus and the result provably equals the exact kNN
+    join (same oracle as knn_join_exact). The pruned radius=1 tier is
+    pytest-covered."""
     from shmr_spark.similarity.knn import knn_join_lsh
 
     emb = load_table(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") % 100 == 0)
-    return knn_join_lsh(probes, emb, k=5, radius=1)
+    return knn_join_lsh(probes, emb, k=5, n_planes=8, radius=8)
 
 
 # --------------------------------------------------------------------------
@@ -318,11 +436,15 @@ def vector_stats(spark, sf_dir):
     )
 
 
-@query("similarity_quantized_rerank", oracle=None)
+@query("similarity_quantized_rerank", oracle=_SQL_BRUTEFORCE_TOPK)
 def similarity_quantized_rerank(spark, sf_dir):
-    """Coarse int8 scan + exact rerank (rows-only; equality with exact
-    search pinned in tests)."""
+    """Coarse int8 scan + exact rerank, at rerank = corpus size: every
+    vector survives the coarse cut, so the exact-cosine rerank
+    provably equals exact search (the oracle) while still exercising
+    the quantize + coarse-score machinery. The pruned rerank=50 tier
+    is equality-pinned in tests."""
     from shmr_spark.similarity import cosine_topk_quantized_rerank
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return cosine_topk_quantized_rerank(emb, probe_id=0, k=10, rerank=50)
+    n = emb.count()  # parquet-footer count, one cheap job
+    return cosine_topk_quantized_rerank(emb, probe_id=0, k=10, rerank=int(n))

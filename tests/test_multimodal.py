@@ -173,6 +173,59 @@ def test_real_decoder_degrades_per_row(spark):
         assert len(r.feature) == 8
 
 
+def test_wav_codec_roundtrip():
+    """Stdlib WAV encode→decode round trip: 16-bit and 8-bit PCM,
+    mono and stereo, exact sample recovery."""
+    import numpy as np
+
+    from shmr_spark.multimodal.wav import is_wav, wav_decode, wav_encode
+
+    mono = (np.arange(400) % 256 - 128).astype(np.int32)
+    b = wav_encode(mono, sample_rate=8000)
+    assert is_wav(b)
+    samples, info = wav_decode(b)
+    assert info == {
+        "sample_rate": 8000, "n_channels": 1, "sample_width": 2, "n_frames": 400,
+    }
+    assert (samples[:, 0] == mono).all()
+
+    stereo = np.stack([mono, -mono], axis=1)
+    s2, i2 = wav_decode(wav_encode(stereo, sample_rate=44100))
+    assert i2["n_channels"] == 2 and i2["sample_rate"] == 44100
+    assert (s2 == stereo).all()
+
+    s8, i8 = wav_decode(wav_encode(mono, sample_rate=8000, sample_width=1))
+    assert i8["sample_width"] == 1
+    assert (s8[:, 0] == mono).all()  # 8-bit recentered losslessly here
+
+
+def test_featurize_audio_real_and_degraded(spark):
+    """featurize_audio: real WAV rows get true rate/frames/duration/
+    sample-sum and a bounded envelope feature; non-WAV rows degrade
+    per-row to null audio fields."""
+    import numpy as np
+
+    from shmr_spark.multimodal import featurize_audio
+    from shmr_spark.multimodal.wav import wav_encode
+
+    tone = ((np.arange(800) % 256) - 128).astype(np.int32)
+    rows = [
+        (0, wav_encode(tone, sample_rate=8000)),
+        (1, b"RIFFbadwavnotreally"),  # RIFF magic, truncated
+        (2, None),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    out = {r.media_id: r for r in featurize_audio(df, dim=8).collect()}
+    r0 = out[0]
+    assert (r0.sample_rate, r0.n_samples, r0.duration_ms) == (8000, 800, 100)
+    assert r0.sample_sum == int(tone.sum())
+    assert len(r0.feature) == 8 and all(0.0 <= x <= 1.0 for x in r0.feature)
+    for mid in (1, 2):
+        r = out[mid]
+        assert r.sample_rate is None and r.n_samples is None
+        assert r.sample_sum is None and len(r.feature) == 8
+
+
 def test_sample_frames_flatmap_shape(spark, media_df):
     frames = sample_frames(media_df, every_n_bytes=1000, max_frames=4)
     per_media = {
