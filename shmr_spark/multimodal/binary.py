@@ -74,24 +74,32 @@ def attach_media_metadata(df: DataFrame, content_col: str = "content") -> DataFr
 
 
 def _is_decodable(content: bytes) -> bool:
-    """True when a real decoder exists for this blob (PNG today)."""
+    """True when a real decoder exists for this blob (PNG or baseline
+    JPEG)."""
+    from shmr_spark.multimodal.jpeg import is_jpeg
     from shmr_spark.multimodal.png import is_png
 
-    return is_png(content)
+    return is_png(content) or is_jpeg(content)
 
 
 def _decode_image_real(content: bytes) -> np.ndarray:
-    """The real decode hook: PNG decodes for real via the stdlib codec
-    in multimodal/png.py; other formats (JPEG etc.) still need an
-    imaging library not present in this container."""
+    """The real decode hook: PNG and baseline JPEG decode for real via
+    the stdlib codecs in multimodal/png.py and multimodal/jpeg.py;
+    other formats (WebP, progressive JPEG, ...) still need an imaging
+    library not present in this container."""
+    from shmr_spark.multimodal.jpeg import is_jpeg, jpeg_decode
     from shmr_spark.multimodal.png import is_png, png_decode
 
     if is_png(content):
         pixels, _info = png_decode(content)
         return pixels
+    if is_jpeg(content):
+        pixels, _info = jpeg_decode(content)
+        return pixels
     raise NotImplementedError(
-        "non-PNG media decode requires an imaging library not present "
-        "in this container; use the deterministic fake instead"
+        "media decode beyond PNG/baseline-JPEG requires an imaging "
+        "library not present in this container; use the deterministic "
+        "fake instead"
     )
 
 
@@ -143,8 +151,13 @@ def decode_and_featurize(
             widths, heights, sums = [], [], []
             for content in pdf["content"]:
                 b = bytes(content) if content is not None else b""
+                pixels = None
                 if use_real_decoder and _is_decodable(b):
-                    pixels = _decode_image_real(b)
+                    try:
+                        pixels = _decode_image_real(b)
+                    except Exception:
+                        pixels = None  # truncated/progressive/corrupt
+                if pixels is not None:
                     arr = _featurize_pixels(pixels, dim)
                     h, w, _nch = pixels.shape
                     widths.append(w)

@@ -107,9 +107,12 @@ _PRIORITY: list[str] = [
     "bm25_top_terms",
     "unigram_logprob_score",
     "multimodal_audio_featurize",
-    # -- group 3: canaries (6) — headliners + events/streaming
-    #    re-proof on the NTZ corpus (reduce_by_key_q1 also re-proves
-    #    the round-3 overflow-shadow change to dsum/davg)
+    "multimodal_jpeg_featurize",
+    # -- group 3: canaries — headliners + events/streaming re-proof
+    #    on the NTZ corpus (reduce_by_key_q1 also re-proves the
+    #    round-3 overflow-shadow change to dsum/davg). sessionize is
+    #    slot 51: first in line if the driver budget exceeds 50, and
+    #    locally parity-checked green on the new corpus either way.
     "reduce_by_key_q1",
     "window_tumbling",
     "asof_join_prev",

@@ -197,6 +197,66 @@ def multimodal_featurize(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# JPEG through the driver gate, REAL decode path: one baseline JFIF
+# image per document whose 8×8 blocks are each solid gray (value
+# (doc_id + block_index) % 256) — such blocks entropy-code to DC-only
+# coefficients and decode BIT-EXACTLY at quant=1 (multimodal/jpeg.py),
+# so the oracle's closed-form pixel sum (the same S(d+n)-S(d)
+# triangular identity as the PNG gate, ×64 pixels per block) checks
+# real Huffman/DCT machinery, not plumbing. Non-solid content is
+# near-lossless (±2) and covered in tests/test_multimodal.py.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "multimodal_jpeg_featurize",
+    oracle="""
+WITH base AS (
+  SELECT doc_id,
+         CAST(doc_id % 5 + 2 AS INT) AS bw,
+         CAST(doc_id % 3 + 1 AS INT) AS bh,
+         (doc_id % 5 + 2) * (doc_id % 3 + 1) AS nb
+  FROM documents
+)
+SELECT doc_id AS media_id,
+       bw * 8 AS width, bh * 8 AS height,
+       CAST(64 * ( ((doc_id + nb) // 256) * 32640
+                   + ((doc_id + nb) % 256) * ((doc_id + nb) % 256 - 1) // 2
+                   - ( (doc_id // 256) * 32640
+                       + (doc_id % 256) * (doc_id % 256 - 1) // 2 ) )
+            AS BIGINT) AS px_sum
+FROM base
+""",
+)
+def multimodal_jpeg_featurize(spark, sf_dir):
+    from shmr_spark.multimodal import decode_and_featurize
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(F.col("doc_id").alias("media_id"))
+
+    def plant(it):
+        import numpy as np
+
+        from shmr_spark.multimodal.jpeg import jpeg_encode
+
+        for pdf in it:
+            contents = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                bw, bh = mid % 5 + 2, mid % 3 + 1
+                block_vals = (mid + np.arange(bh * bw)) % 256
+                img = np.kron(
+                    block_vals.reshape(bh, bw), np.ones((8, 8), dtype=np.int64)
+                ).astype(np.uint8)
+                contents.append(jpeg_encode(img, quant=1))
+            yield pdf.assign(content=contents)
+
+    planted = media.mapInPandas(plant, schema="media_id long, content binary")
+    feats = decode_and_featurize(planted, dim=8, use_real_decoder=True)
+    return feats.select("media_id", "width", "height", "px_sum")
+
+
+# --------------------------------------------------------------------------
 # Audio through the driver gate, REAL decode path (the second real
 # media format after PNG): one deterministic 16-bit PCM WAV is planted
 # per document (samples v_i = (doc_id + i) % 256 - 128, doc-dependent

@@ -50,19 +50,25 @@ def test_decode_and_featurize_shapes(spark, media_df):
     assert "content" not in feats.columns
 
 
-def test_real_decoder_png_and_stub_boundary():
-    """PNG decodes for real; other formats are still the documented
-    NotImplementedError stub boundary."""
+def test_real_decoder_png_jpeg_and_stub_boundary():
+    """PNG and baseline JPEG decode for real; formats without a codec
+    (e.g. WebP) remain the documented NotImplementedError boundary."""
     import numpy as np
 
+    from shmr_spark.multimodal.jpeg import jpeg_encode
     from shmr_spark.multimodal.png import png_encode
 
     arr = np.arange(60, dtype=np.uint8).reshape(6, 10)
     pixels = _decode_image_real(png_encode(arr))
     assert pixels.shape == (6, 10, 1)
     assert (pixels[:, :, 0] == arr).all()
+
+    solid = np.full((8, 8), 99, dtype=np.uint8)
+    jp = _decode_image_real(jpeg_encode(solid, quant=1))
+    assert (jp[:, :, 0] == solid).all()
+
     with pytest.raises(NotImplementedError):
-        _decode_image_real(b"\xff\xd8\xffjpeg-is-still-stubbed")
+        _decode_image_real(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
 
 
 def test_png_codec_roundtrip_all_types():
@@ -171,6 +177,101 @@ def test_real_decoder_degrades_per_row(spark):
         r = out[mid]
         assert r.width is None and r.height is None and r.px_sum is None
         assert len(r.feature) == 8
+
+
+def test_jpeg_codec_solid_blocks_bit_exact():
+    """Images whose 8×8 blocks are each solid gray decode BIT-exactly
+    at quant=1 (DC-only blocks; integer-exact DC path) — the property
+    the multimodal_jpeg_featurize oracle relies on."""
+    import numpy as np
+
+    from shmr_spark.multimodal.jpeg import is_jpeg, jpeg_decode, jpeg_encode
+
+    vals = (np.arange(12) * 21 + 7) % 256
+    img = np.kron(vals.reshape(3, 4), np.ones((8, 8), dtype=int)).astype(np.uint8)
+    b = jpeg_encode(img, quant=1)
+    assert is_jpeg(b)
+    px, info = jpeg_decode(b)
+    assert (info["width"], info["height"]) == (32, 24)
+    assert (px[:, :, 0] == img).all()
+
+
+def test_jpeg_codec_gradient_near_lossless():
+    """Arbitrary content at quant=1: the only loss is DCT float
+    rounding — every pixel within ±2, odd dimensions cropped right."""
+    import numpy as np
+
+    from shmr_spark.multimodal.jpeg import jpeg_decode, jpeg_encode
+
+    g = ((np.arange(21)[:, None] * 7 + np.arange(35)[None, :] * 3) % 256).astype(
+        np.uint8
+    )
+    px, info = jpeg_decode(jpeg_encode(g, quant=1))
+    assert (info["width"], info["height"]) == (35, 21)
+    assert px.shape == (21, 35, 1)
+    assert np.abs(px[:, :, 0].astype(int) - g.astype(int)).max() <= 2
+
+
+def test_jpeg_codec_color_420_and_restarts():
+    """4:2:0 chroma subsampling and restart markers both decode: solid
+    color survives subsampling exactly; RSTn resets DC predictors."""
+    import numpy as np
+
+    from shmr_spark.multimodal.jpeg import jpeg_decode, jpeg_encode
+
+    rgb = np.zeros((32, 48, 3), dtype=np.uint8)
+    rgb[..., 0], rgb[..., 1], rgb[..., 2] = 180, 90, 40
+    px, info = jpeg_decode(jpeg_encode(rgb, quant=1, subsampling=(2, 2)))
+    assert info["subsampling"][0] == (2, 2)
+    assert np.abs(px.astype(int) - rgb.astype(int)).max() <= 2
+
+    g = ((np.arange(16)[:, None] + 17 * np.arange(64)[None, :]) % 256).astype(
+        np.uint8
+    )
+    px2, _ = jpeg_decode(jpeg_encode(g, quant=1, restart_interval=3))
+    assert np.abs(px2[:, :, 0].astype(int) - g.astype(int)).max() <= 2
+
+
+def test_jpeg_progressive_rejected_and_degrades():
+    """Progressive JPEG (SOF2) raises NotImplementedError in the codec
+    and degrades per-row (not per-task) in decode_and_featurize."""
+    import numpy as np
+    import pytest
+
+    from shmr_spark.multimodal.jpeg import jpeg_decode, jpeg_encode
+
+    b = bytearray(jpeg_encode(np.full((8, 8), 9, dtype=np.uint8)))
+    i = bytes(b).index(b"\xff\xc0")
+    b[i + 1] = 0xC2  # rewrite SOF0 -> SOF2
+    with pytest.raises(NotImplementedError):
+        jpeg_decode(bytes(b))
+
+
+def test_decode_and_featurize_mixed_png_jpeg(spark):
+    """One mapInPandas pass decodes PNG and JPEG rows side by side,
+    degrading only the genuinely bad row."""
+    import numpy as np
+
+    from shmr_spark.multimodal.jpeg import jpeg_encode
+    from shmr_spark.multimodal.png import png_encode
+
+    png_img = (np.arange(30) % 256).astype(np.uint8).reshape(5, 6)
+    jpg_img = np.kron(
+        np.array([[10, 200], [60, 130]]), np.ones((8, 8), dtype=int)
+    ).astype(np.uint8)
+    rows = [
+        (0, png_encode(png_img)),
+        (1, jpeg_encode(jpg_img, quant=1)),
+        (2, b"\x00\x01broken"),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    out = {
+        r.media_id: r
+        for r in decode_and_featurize(df, dim=4, use_real_decoder=True).collect()
+    }
+    assert (out[0].width, out[0].height, out[0].px_sum) == (6, 5, int(png_img.sum()))
+    assert (out[1].width, out[1].height, out[1].px_sum) == (16, 16, int(jpg_img.sum()))
+    assert out[2].width is None and len(out[2].feature) == 4
 
 
 def test_wav_codec_roundtrip():

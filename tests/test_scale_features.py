@@ -54,6 +54,38 @@ def test_aqe_handles_skewed_join(spark, sf_dir):
     assert max(got.values()) > sum(got.values()) * 0.5  # skew really present
 
 
+def test_salted_keying_spreads_hot_key(spark):
+    """The skew property salting actually buys at 100 TB, asserted
+    deterministically: under a ~30%-hot-key distribution, plain
+    repartition(key) pins the hot key's share on ONE shuffle
+    partition, while the (key, salt) keying used by salted_agg /
+    salted_join caps every partition at a small multiple of uniform.
+    (Wall-clock comparisons at local[32] scales are dominated by the
+    extra shuffle, so the partition-load bound — not timing — is the
+    stable evidence; equality with unsalted results is pinned in
+    tests/test_operators.py.)"""
+    n, parts, n_salts = 200_000, 32, 32
+    df = spark.range(n).select(
+        F.when(F.col("id") % 10 < 3, F.lit(0)).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("v"),
+    )
+
+    def max_share(parted):
+        counts = parted.groupBy(F.spark_partition_id().alias("p")).count().collect()
+        return max(r["count"] for r in counts) / n
+
+    naive_share = max_share(df.repartition(parts, "k"))
+    salt = F.pmod(F.xxhash64("k", "v"), F.lit(n_salts))
+    salted_share = max_share(
+        df.withColumn("__salt", salt).repartition(parts, "k", "__salt")
+    )
+    assert naive_share >= 0.30  # the hot key really lands on one partition
+    # hot-key share spreads n_salts ways; a few salted buckets can
+    # collide into one partition (birthday), so the bound allows
+    # ~3 colliding buckets + the uniform background
+    assert salted_share <= naive_share / 4
+
+
 def test_orc_roundtrip(spark, sf_dir, tmp_path):
     out = str(tmp_path / "cust_orc")
     cust = load_table(spark, sf_dir, "customer")
