@@ -1,0 +1,70 @@
+"""Sequence packing for LLM pretraining: lay documents end-to-end in
+a deterministic order and cut the token stream into fixed-budget
+context windows ("packs"). Every doc gets its global token offset and
+the pack it starts in — the bookkeeping a concat-and-chunk data
+loader needs.
+
+Scale design — the distributed prefix sum. A naive
+``Window.orderBy(id)`` cumulative sum has NO partition key, so Spark
+funnels the whole table through ONE task (it even warns). The
+scalable rewrite here is the textbook two-phase scan:
+
+1. bucket rows by range of the order key (id // bucket_size — order-
+   preserving across buckets);
+2. one small aggregate computes per-bucket token totals; a window
+   over THAT (thousands of rows, not billions) yields each bucket's
+   global starting offset;
+3. broadcast-join the offsets back and take a per-bucket cumulative
+   window — every bucket scans in parallel.
+
+Total: one narrow agg + one broadcast join + one partitioned window.
+The same rewrite pattern as vocab_growth's distinct-over-window
+(queries/text.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    budget: int = 2048,
+    bucket_size: int = 64,
+) -> DataFrame:
+    """Assign each document its global token offset and pack id.
+
+    Output: id_col, n_tokens, start_tok (tokens before this doc in
+    id order), pack_id (= start_tok // budget — the context window
+    this doc starts in; docs may straddle pack boundaries, the
+    standard concat-then-chunk pretraining layout).
+    """
+    bucket = (F.col(id_col) / F.lit(bucket_size)).cast("long").alias("__bucket")
+    rows = df.select(F.col(id_col), F.col(tokens_col).alias("n_tokens"), bucket)
+
+    totals = rows.groupBy("__bucket").agg(F.sum("n_tokens").alias("__btot"))
+    w_b = Window.orderBy("__bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "__bucket",
+        F.coalesce(F.sum("__btot").over(w_b), F.lit(0)).alias("__boff"),
+    )
+
+    w_in = (
+        Window.partitionBy("__bucket")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        rows.join(F.broadcast(offsets), "__bucket")
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            (
+                F.col("__boff") + F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0))
+            ).alias("start_tok"),
+        )
+        .withColumn("pack_id", (F.col("start_tok") / F.lit(budget)).cast("long"))
+    )

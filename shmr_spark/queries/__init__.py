@@ -131,6 +131,7 @@ def load_all() -> dict[str, QuerySpec]:
     from shmr_spark.queries import text  # noqa: F401
     from shmr_spark.queries import vectors  # noqa: F401
     from shmr_spark.queries import advanced  # noqa: F401
+    from shmr_spark.queries import pipeline  # noqa: F401
 
     ordered: dict[str, QuerySpec] = {}
     for name in _PRIORITY:

@@ -1,0 +1,192 @@
+"""End-to-end LLM-pipeline composite queries: sequence packing,
+inverted index construction, corpus-wide sentence dedup, and the
+training-subset filter that chains lang-ID -> quality -> length ->
+exact-dedup. Each is a realistic "last mile" a training-data job runs
+after the per-doc signals, and each has a full DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from shmr_spark.catalog import load_table
+from shmr_spark.functions.text import (
+    lang_id,
+    quality_score,
+    sql_lang_id,
+    sql_quality_score,
+    sql_token_count,
+    token_count,
+)
+from shmr_spark.queries import query
+
+# --------------------------------------------------------------------------
+# Sequence packing (operators/packing.py): the oracle states the
+# SEMANTICS as one global window cumsum — fine for DuckDB at gate
+# scale — while the Spark side runs the distributed two-phase prefix
+# sum (bucket totals + partitioned windows), proving the scalable
+# rewrite computes the same function.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "pack_sequences",
+    oracle=f"""
+SELECT doc_id, n_tokens,
+       CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         AS start_tok,
+       CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048
+            AS BIGINT) AS pack_id
+FROM (
+  SELECT doc_id, CAST({sql_token_count('text')} AS BIGINT) AS n_tokens
+  FROM documents
+)
+ORDER BY doc_id
+""",
+)
+def pack_sequences_q(spark, sf_dir):
+    from shmr_spark.operators.packing import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    counted = docs.select(
+        "doc_id", token_count("text").cast("long").alias("n_tokens")
+    )
+    return pack_sequences(counted, budget=2048).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Inverted index: term -> document frequency, collection frequency,
+# and the sorted posting list — the retrieval-side dual of TF-IDF.
+# One shuffle on term; posting arrays stay bounded by df (and at
+# 100 TB the high-df tail would be cut by the same HAVING threshold
+# the query demonstrates).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "inverted_index",
+    oracle="""
+SELECT term,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+       CAST(COUNT(*) AS BIGINT) AS cf,
+       list_sort(list(DISTINCT doc_id)) AS postings
+FROM (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+)
+GROUP BY term
+HAVING COUNT(DISTINCT doc_id) >= 50
+""",
+)
+def inverted_index_q(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    return (
+        toks.groupBy("term")
+        .agg(
+            F.count_distinct("doc_id").alias("df"),
+            F.count("*").alias("cf"),
+            F.array_sort(F.collect_set("doc_id")).alias("postings"),
+        )
+        .filter(F.col("df") >= 50)
+    )
+
+
+# --------------------------------------------------------------------------
+# Corpus-wide sentence dedup (boilerplate removal): a sentence kept
+# only at its first occurrence (min doc_id, then min position within
+# that doc). Per-doc output: sentences total vs kept — the signal a
+# cleaning pass uses to drop boilerplate-heavy documents.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "sentence_dedup",
+    oracle="""
+WITH sents AS (
+  SELECT doc_id, unnest(string_split(text, '. ')) AS sent
+  FROM documents
+), firsts AS (
+  SELECT sent, MIN(doc_id) AS first_doc FROM sents GROUP BY sent
+)
+SELECT s.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_sentences,
+       CAST(COUNT(*) FILTER (WHERE s.doc_id = f.first_doc) AS BIGINT) AS n_kept
+FROM sents s JOIN firsts f USING (sent)
+GROUP BY s.doc_id
+""",
+)
+def sentence_dedup_q(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    sents = docs.select(
+        "doc_id", F.posexplode(F.split("text", "\\. ")).alias("pos", "sent")
+    )
+    firsts = sents.groupBy("sent").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        sents.join(firsts, "sent")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_sentences"),
+            F.count(F.when(F.col("doc_id") == F.col("first_doc"), 1)).alias(
+                "n_kept"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Training-subset filter: the end-to-end acceptance pipeline — keep
+# documents that are (a) predicted English, (b) above a quality
+# threshold, (c) inside a token-length band, and (d) the first
+# occurrence of their normalized fingerprint (exact dedup). One scan,
+# one light agg for (d); everything else is per-row codegen.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "training_subset",
+    oracle=rf"""
+WITH scored AS (
+  SELECT doc_id,
+         {sql_lang_id('text')} AS lang_pred,
+         {sql_quality_score('text')} AS quality,
+         CAST({sql_token_count('text')} AS BIGINT) AS n_tokens,
+         md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+  FROM documents
+), firsts AS (
+  SELECT fp, MIN(doc_id) AS keeper FROM scored GROUP BY fp
+)
+SELECT s.doc_id, s.lang_pred, s.quality, s.n_tokens
+FROM scored s JOIN firsts f USING (fp)
+WHERE s.doc_id = f.keeper
+  AND s.lang_pred = 'en'
+  AND s.quality >= 0.3
+  AND s.n_tokens BETWEEN 20 AND 1000
+ORDER BY s.doc_id
+""",
+)
+def training_subset_q(spark, sf_dir):
+    from shmr_spark.functions.hashing import fingerprint_md5
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        lang_id("text").alias("lang_pred"),
+        quality_score("text").alias("quality"),
+        token_count("text").cast("long").alias("n_tokens"),
+        fingerprint_md5("text").alias("fp"),
+    )
+    keepers = scored.groupBy("fp").agg(F.min("doc_id").alias("keeper"))
+    return (
+        scored.join(keepers, "fp")
+        .filter(
+            (F.col("doc_id") == F.col("keeper"))
+            & (F.col("lang_pred") == "en")
+            & (F.col("quality") >= 0.3)
+            & (F.col("n_tokens").between(20, 1000))
+        )
+        .select("doc_id", "lang_pred", "quality", "n_tokens")
+        .orderBy("doc_id")
+    )

@@ -335,3 +335,34 @@ def test_mix_sources_deterministic_and_append_stable(spark, sf_dir):
     assert full_ids == {r.doc_id for r in m_full.select("doc_id").collect()}
     n = docs.count()
     assert 0.35 * n <= len(full_ids) <= 0.65 * n  # rate in the ballpark
+
+
+def test_pack_sequences_two_phase_equals_naive(spark):
+    """The distributed two-phase prefix sum (operators/packing.py)
+    computes exactly the naive global cumulative sum, including with
+    sparse/gapped ids and non-uniform token counts; pack boundaries
+    follow start_tok // budget."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from shmr_spark.operators.packing import pack_sequences
+
+    rng = random.Random(11)
+    ids = sorted(rng.sample(range(100_000), 700))
+    rows = [(i, rng.randrange(1, 900)) for i in ids]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long").repartition(8)
+
+    got = {
+        r.doc_id: (r.start_tok, r.pack_id)
+        for r in pack_sequences(df, budget=512, bucket_size=1000).collect()
+    }
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    naive = {
+        r.doc_id: (r.s, r.s // 512)
+        for r in df.select(
+            "doc_id", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).alias("s")
+        ).collect()
+    }
+    assert got == naive
