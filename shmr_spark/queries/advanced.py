@@ -791,7 +791,12 @@ def udtf_sentences(spark, sf_dir):
 # Fuzzy record linkage: blocked levenshtein self-join — block on a
 # name prefix (equi-join, no cross product), verify with edit
 # distance ≤ 1 inside each block. The blocking-key pattern is the
-# scalable shape of entity resolution.
+# scalable shape of entity resolution. Production caveat: audit the
+# block-key cardinality on real data — a degenerate key (here, TPC-H's
+# sequential "Customer#..." prefixes collide heavily) concentrates a
+# block and re-quadratizes the verify; pick keys (phonetic codes,
+# name+zip) whose biggest block stays bounded, or salt oversized
+# blocks (operators/skew.py).
 # --------------------------------------------------------------------------
 
 

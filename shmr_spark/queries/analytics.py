@@ -1078,7 +1078,10 @@ def daily_spine_counts(spark, sf_dir):
         F.date_trunc("day", "ts").cast("date").alias("day"), "event_type"
     ).agg(F.count("*").alias("n"))
     return (
-        spine.crossJoin(types)
+        # both sides are tiny (30 days x distinct types); broadcast
+        # pins the nested-loop plan so a planner change can never
+        # shuffle the spine
+        spine.crossJoin(F.broadcast(types))
         .join(actual, ["day", "event_type"], "left")
         .select("day", "event_type", F.coalesce("n", F.lit(0)).alias("n"))
     )
