@@ -18,7 +18,7 @@ products — JVM-side, no UDF):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from shmr_spark.dedup.embedding import hyperplanes, lsh_bucket
@@ -94,17 +94,52 @@ def _assign_cells(
     df: DataFrame, centroids: DataFrame, id_col: str, vec_col: str
 ) -> DataFrame:
     """Tag every vector with the __cell of its most-cosine-similar
-    centroid: broadcast join + per-id argmax window (one narrow pass
-    over the corpus — the centroid table is tiny)."""
-    sim = cosine_similarity(F.col(vec_col), F.col("__cvec"))
-    w = Window.partitionBy(id_col).orderBy(F.desc("__csim"), F.asc("__cell"))
-    return (
-        df.crossJoin(F.broadcast(centroids))
-        .withColumn("__csim", sim)
-        .withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") == 1)
-        .drop("__csim", "__rk", "__cvec")
+    centroid — as a PURE EXPRESSION, zero shuffles: the centroid table
+    is k×dim floats (driver-collected, the same economics as the
+    k-means loop), embedded as literal arrays; per row the k sims form
+    an array and argmax = array_position of the max (first occurrence
+    ⇒ smallest cell id on ties, matching the old window's ordering).
+    The previous crossJoin + per-id window shuffled |corpus|·k rows
+    per assignment pass — ×(iters+1) passes in a k-means build; this
+    form keeps every pass narrow and codegen'd."""
+    rows = sorted(
+        (int(r["__cell"]), [float(x) for x in r["__cvec"]])
+        for r in centroids.collect()
     )
+
+    # Build ONE SQL string and let the JVM parse it: constructing the
+    # same tree through the Column API costs k×dim py4j round trips
+    # (~2 s at k=16, d=64 — measured), swamping the actual work.
+    # Float literals go through CAST('<repr>' AS DOUBLE): repr
+    # round-trips exactly and the casts constant-fold.
+    def carr(vec):
+        return "array(" + ",".join(f"CAST('{x!r}' AS DOUBLE)" for x in vec) + ")"
+
+    def cos_sql(vec):
+        a = carr(vec)
+        # same formulation as functions.vectors.cosine_similarity;
+        # nanvl maps a degenerate (zero-norm) NaN below any real sim
+        # so argmax stays well-defined
+        return (
+            f"nanvl(aggregate(zip_with({vec_col}, {a}, (x, y) ->"
+            " CAST(x AS DOUBLE) * y), 0.0D, (acc, x) -> acc + x)"
+            f" / (sqrt(aggregate(transform({vec_col}, x ->"
+            " CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0.0D, (acc, x) -> acc + x))"
+            f" * sqrt(aggregate(transform({a}, x -> x * x), 0.0D,"
+            " (acc, x) -> acc + x))), -2.0D)"
+        )
+
+    sims = "array(" + ",".join(cos_sql(v) for _, v in rows) + ")"
+    cells = "array(" + ",".join(str(c) for c, _ in rows) + ")"
+    # array_position's first-occurrence rule = smallest cell id on
+    # ties, matching the old window's (desc sim, asc cell) ordering
+    return df.withColumn("__sims", F.expr(sims)).withColumn(
+        "__cell",
+        F.expr(
+            f"element_at({cells}, "
+            "CAST(array_position(__sims, array_max(__sims)) AS INT))"
+        ),
+    ).drop("__sims")
 
 
 def _seed_centroids(

@@ -138,3 +138,29 @@ def test_interval_join_no_cartesian(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "Join" in plan
+
+
+def test_pack_sequences_no_global_window_on_data(spark, sf_dir):
+    """The two-phase prefix sum must window the DATA partitioned by
+    bucket (parallel); the only SinglePartition exchange allowed is
+    the tiny per-bucket totals table. A naive global-order window
+    would put the whole corpus through one task."""
+    plan = _plan(spark, sf_dir, "pack_sequences")
+    tree = _tree(plan)
+    # the data-side window keys on __bucket
+    assert "partitionBy=[__bucket" in plan.replace(" ", "") or "__bucket" in plan
+    # broadcast join of the offsets, not a shuffle join
+    assert "BroadcastHashJoin" in tree or "BroadcastExchange" in plan
+
+
+def test_pipeline_queries_no_python_udf(spark, sf_dir):
+    """The new pipeline composites stay JVM-side end to end."""
+    for name in (
+        "pack_sequences",
+        "inverted_index",
+        "sentence_dedup",
+        "training_subset",
+    ):
+        plan = _plan(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
