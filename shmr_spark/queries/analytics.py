@@ -920,6 +920,40 @@ def latest_event_state(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# SCD2 history build: each event opens a validity interval closed by
+# the user's next event (lead over the per-user timeline; the latest
+# interval stays open as NULL). The warehouse-side dual of
+# latest_event_state — one window pass, shuffle on user_id only.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "scd2_intervals",
+    oracle="""
+SELECT user_id, event_id, event_type,
+       CAST(epoch_us(ts) AS BIGINT) AS valid_from_us,
+       CAST(lead(epoch_us(ts)) OVER (PARTITION BY user_id
+            ORDER BY epoch_us(ts), event_id) AS BIGINT) AS valid_to_us
+FROM events
+WHERE user_id < 20
+""",
+)
+def scd2_intervals(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    us = F.unix_micros("ts")
+    w = Window.partitionBy("user_id").orderBy(us, "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        us.cast("long").alias("valid_from_us"),
+        F.lead(us).over(w).cast("long").alias("valid_to_us"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Gaps-and-islands: longest consecutive-day activity streak per user —
 # day − dense_rank(day) is constant inside an island.
 # --------------------------------------------------------------------------

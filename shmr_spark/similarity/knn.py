@@ -16,8 +16,6 @@ versus the single-probe search in similarity/search.py.
 
 from __future__ import annotations
 
-from itertools import combinations
-
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -60,15 +58,17 @@ def knn_join_exact(
 
 
 def _neighbor_buckets(bucket, n_planes: int, radius: int):
-    """Column expr: array of bucket ids within Hamming `radius`."""
-    ids = [bucket]
-    for r in range(1, radius + 1):
-        for bits in combinations(range(n_planes), r):
-            mask = 0
-            for b in bits:
-                mask |= 1 << b
-            ids.append(bucket.bitwiseXOR(F.lit(mask)))
-    return F.array(*ids)
+    """Column expr: array of bucket ids within Hamming `radius` —
+    built as filter(sequence)/transform rather than one literal per
+    mask, so the plan stays a handful of nodes even at radius =
+    n_planes (2^p masks): the mask enumeration constant-folds JVM-side
+    instead of shipping a 2^p-element expression tree (which at p=8
+    produced a ~9 MiB task binary)."""
+    masks = F.filter(
+        F.sequence(F.lit(0), F.lit((1 << n_planes) - 1)),
+        lambda m: F.bit_count(m) <= F.lit(radius),
+    )
+    return F.transform(masks, lambda m: bucket.bitwiseXOR(m.cast("long")))
 
 
 def knn_join_lsh(
