@@ -123,6 +123,32 @@ def test_diff_map(spark, fixture_dir, tmp_path):
     assert _meta(rp) == _meta(op) == 100
 
 
+def test_diff_map_gzip_in_and_out(spark, fixture_dir, tmp_path):
+    """Transparent gz on BOTH ends, against the reference binary: a
+    gz input partition mapped to a gz output must decompress
+    byte-equal between engines (the reference resolves the codec from
+    the extension, shmr/misc.py:6-20, and so do we)."""
+    import gzip
+
+    src = f"{fixture_dir}/people.00.csv"
+    gz_in = f"{fixture_dir}/people.00.csv.gz"
+    with open(src, "rb") as f, gzip.open(gz_in, "wb") as g:
+        g.write(f.read())
+
+    tail = lambda d: [  # noqa: E731
+        "-i", gz_in, *CSV[:4], "-s", "shmr.str_dumps",
+        "partition.map", "--fn", "tests.cli_fixture_fns.get_age",
+    ]
+    rp, op = _diff_one_output(spark, fixture_dir, tmp_path, tail, "ages.txt.gz")
+    with gzip.open(rp) as f:
+        ref_bytes = f.read()
+    with gzip.open(op) as f:
+        our_bytes = f.read()
+    assert ref_bytes == our_bytes
+    # sidecar naming: single-extension strip -> ages.txt.meta
+    assert _meta(rp) == _meta(op) == 100
+
+
 def test_diff_flat_map(spark, fixture_dir, tmp_path):
     tail = lambda d: [  # noqa: E731
         "-i", f"{d}/people.00.csv", *CSV,
