@@ -920,6 +920,52 @@ def latest_event_state(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# NATIVE session windows: Spark's built-in F.session_window (merging
+# event-time windows in one groupBy — the engine-managed counterpart
+# of the hand-rolled islands pattern in `sessionize` and the stateful
+# streaming sessionizer). The oracle replays the same session
+# semantics as a lag/cumsum islands query, so the built-in operator's
+# gap-merge logic is itself hash-checked.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "session_window_agg",
+    oracle=f"""
+WITH marked AS (
+  SELECT user_id, epoch_us(ts) AS us, value,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events WHERE user_id < 50
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))
+), sess AS (
+  SELECT user_id, us, value,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY us) AS sid
+  FROM marked
+)
+SELECT user_id,
+       CAST(MIN(us) AS BIGINT) AS session_start_us,
+       COUNT(*) AS n_events,
+       {sql_dsum('value')} AS sum_value
+FROM sess
+GROUP BY user_id, sid
+""",
+)
+def session_window_agg(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            dsum("value").alias("sum_value"),
+            F.min(F.unix_micros("ts")).alias("session_start_us"),
+        )
+        .select("user_id", "session_start_us", "n_events", "sum_value")
+    )
+
+
+# --------------------------------------------------------------------------
 # SCD2 history build: each event opens a validity interval closed by
 # the user's next event (lead over the per-user timeline; the latest
 # interval stays open as NULL). The warehouse-side dual of
