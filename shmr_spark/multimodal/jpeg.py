@@ -158,6 +158,8 @@ class _BitReader:
                 self.bitbuf = (self.bitbuf << 8) & 0xFFFFFFFF
                 self.nbits += 8
                 continue
+            if self.pos + 1 >= len(self.data):
+                raise ValueError("truncated JPEG entropy stream")
             b = self.data[self.pos]
             if b == 0xFF:
                 nxt = self.data[self.pos + 1]
@@ -199,6 +201,8 @@ class _BitReader:
         if self.marker is None:
             # marker not yet reached through the bit buffer; scan forward
             while True:
+                if self.pos + 1 >= len(self.data):
+                    raise ValueError("truncated JPEG: restart marker missing")
                 b = self.data[self.pos]
                 if b == 0xFF and 0xD0 <= self.data[self.pos + 1] <= 0xD7:
                     break
@@ -235,6 +239,8 @@ def jpeg_decode(content: bytes) -> tuple[np.ndarray, dict]:
     restart_interval = 0
 
     while True:
+        if pos + 3 >= len(data):
+            raise ValueError("truncated JPEG (no SOS before end of data)")
         if data[pos] != 0xFF:
             raise ValueError(f"marker expected at {pos}")
         marker = data[pos + 1]
@@ -245,6 +251,8 @@ def jpeg_decode(content: bytes) -> tuple[np.ndarray, dict]:
             continue
         (seglen,) = struct.unpack(">H", data[pos:pos + 2])
         seg = data[pos + 2:pos + seglen]
+        if len(seg) != seglen - 2:
+            raise ValueError("truncated JPEG segment")
         if marker == 0xDB:  # DQT
             p = 0
             while p < len(seg):
@@ -291,6 +299,15 @@ def jpeg_decode(content: bytes) -> tuple[np.ndarray, dict]:
             if frame is None:
                 raise ValueError("SOS before SOF0")
             ns = seg[0]
+            if ns != len(frame["comps"]) and len(frame["comps"]) > 1:
+                # spec-legal but rare: a multi-component frame split
+                # into separate per-component scans. Raising (instead
+                # of decoding the first scan as the whole image) keeps
+                # the caller's degrade-per-row contract honest.
+                raise NotImplementedError(
+                    "non-interleaved multi-scan baseline JPEG unsupported "
+                    "(one interleaved SOS covering all components expected)"
+                )
             scan = []
             for i in range(ns):
                 cs, td_ta = seg[1 + 2 * i], seg[2 + 2 * i]
@@ -308,6 +325,12 @@ def jpeg_decode(content: bytes) -> tuple[np.ndarray, dict]:
 
 def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac, restart_interval):
     w, h = frame["w"], frame["h"]
+    if len(scan) == 1:
+        # non-interleaved scan (spec B.2.3): the MCU is ONE data unit
+        # and the component's SOF sampling factors do not shape the
+        # block raster — e.g. grayscale files that declare 2x2 luma
+        # factors still lay blocks out in plain row-major order
+        scan = [dict(scan[0], comp=dict(scan[0]["comp"], h=1, v=1))]
     comps = [s["comp"] for s in scan]
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)

@@ -58,17 +58,30 @@ def knn_join_exact(
 
 
 def _neighbor_buckets(bucket, n_planes: int, radius: int):
-    """Column expr: array of bucket ids within Hamming `radius` —
-    built as filter(sequence)/transform rather than one literal per
-    mask, so the plan stays a handful of nodes even at radius =
-    n_planes (2^p masks): the mask enumeration constant-folds JVM-side
-    instead of shipping a 2^p-element expression tree (which at p=8
-    produced a ~9 MiB task binary)."""
-    masks = F.filter(
-        F.sequence(F.lit(0), F.lit((1 << n_planes) - 1)),
-        lambda m: F.bit_count(m) <= F.lit(radius),
-    )
-    return F.transform(masks, lambda m: bucket.bitwiseXOR(m.cast("long")))
+    """Column expr: array of bucket ids within Hamming `radius`.
+
+    Two forms, chosen by mask count C(p, <=r):
+    - small (production radii): the masks are enumerated in PYTHON and
+      shipped as one literal array — zero per-row enumeration work and
+      a tiny plan;
+    - large (e.g. the full-probe gate, radius = n_planes = 2^p masks):
+      a filter(sequence(...)) expression keeps the plan a handful of
+      nodes instead of a 2^p-literal tree (measured ~9 MiB task binary
+      at p=8). The filter does NOT constant-fold, so each probe row
+      pays a 2^p bit_count sweep — acceptable because only the (few)
+      probe rows evaluate it and full probe scans the whole corpus
+      anyway."""
+    masks = [
+        m for m in range(1 << n_planes) if bin(m).count("1") <= radius
+    ]
+    if len(masks) <= 64:
+        lits = F.array(*[F.lit(m).cast("long") for m in masks])
+    else:
+        lits = F.filter(
+            F.sequence(F.lit(0).cast("long"), F.lit((1 << n_planes) - 1).cast("long")),
+            lambda m: F.bit_count(m) <= F.lit(radius),
+        )
+    return F.transform(lits, lambda m: bucket.bitwiseXOR(m))
 
 
 def knn_join_lsh(

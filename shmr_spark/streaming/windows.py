@@ -40,7 +40,13 @@ def read_events_stream(spark: SparkSession, source_dir: str) -> DataFrame:
     file streams require an explicit schema, and declaring the wrong
     physical type silently misreads the column."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ts_type = dict(spark.read.parquet(source_dir).dtypes).get("ts")
+    try:
+        ts_type = dict(spark.read.parquet(source_dir).dtypes).get("ts")
+    except Exception:
+        # cold start: the source directory may be empty before the
+        # first file lands — assume the current corpus form (micros
+        # TIMESTAMP_NTZ) rather than failing stream startup
+        ts_type = "timestamp_ntz"
     if ts_type == "bigint":
         raw = (
             spark.readStream.schema(_events_raw_schema(T.LongType()))

@@ -247,6 +247,40 @@ def test_jpeg_progressive_rejected_and_degrades():
         jpeg_decode(bytes(b))
 
 
+def test_jpeg_truncated_and_gray_sampling_factors():
+    """Truncated entropy data raises ValueError (not a bare
+    IndexError); a grayscale frame declaring 2x2 sampling factors
+    still decodes in plain block raster (non-interleaved scan rule,
+    spec B.2.3)."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from shmr_spark.multimodal.jpeg import jpeg_decode, jpeg_encode
+
+    full = jpeg_encode(
+        ((np.arange(16)[:, None] + np.arange(24)[None, :]) % 256).astype(np.uint8)
+    )
+    with pytest.raises(ValueError, match="truncated"):
+        jpeg_decode(full[: len(full) // 2])
+
+    # rewrite the grayscale SOF0 sampling byte 0x11 -> 0x22: decoded
+    # pixels must be unchanged (factors ignored for ns=1 scans)
+    img = np.kron(
+        np.array([[40, 90], [140, 220]]), np.ones((8, 8), dtype=int)
+    ).astype(np.uint8)
+    b = bytearray(jpeg_encode(img, quant=1))
+    sof = bytes(b).index(b"\xff\xc0")
+    ncomp_at = sof + 2 + 2 + 1 + 4  # marker+len+prec+dims
+    assert b[ncomp_at] == 1
+    assert b[ncomp_at + 2] == 0x11
+    b[ncomp_at + 2] = 0x22
+    px, info = jpeg_decode(bytes(b))
+    assert (info["width"], info["height"]) == (16, 16)
+    assert (px[:, :, 0] == img).all()
+
+
 def test_decode_and_featurize_mixed_png_jpeg(spark):
     """One mapInPandas pass decodes PNG and JPEG rows side by side,
     degrading only the genuinely bad row."""
