@@ -130,6 +130,7 @@ _PRIORITY: list[str] = [
     "training_subset",
     "session_window_agg",
     "scd2_intervals",
+    "redact_pii",
 ]
 
 

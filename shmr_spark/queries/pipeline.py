@@ -137,6 +137,57 @@ def sentence_dedup_q(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# PII redaction: email / URL scrubbing with regexes kept inside the
+# Java-regex ∩ RE2 dialect (no backrefs/lookaround) so both engines
+# replace identically. The corpus is synthetic word soup with no PII,
+# so each row plants a deterministic email + URL derived from doc_id —
+# the gate then proves the redaction FIRES (counts ≥ 1 per row) and
+# produces byte-identical scrubbed text on both engines.
+# --------------------------------------------------------------------------
+
+_EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+_URL_RE = "https?://[^ ]+"
+
+
+@query(
+    "redact_pii",
+    oracle=f"""
+WITH planted AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or https://ex.com/u/' || CAST(doc_id AS VARCHAR)
+           AS ptext
+  FROM documents
+)
+SELECT doc_id,
+       md5(regexp_replace(regexp_replace(ptext, '{_EMAIL_RE}', '<email>', 'g'),
+                          '{_URL_RE}', '<url>', 'g')) AS redacted_fp,
+       CAST(len(regexp_extract_all(ptext, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(ptext, '{_URL_RE}')) AS BIGINT) AS n_urls
+FROM planted
+""",
+)
+def redact_pii(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    ptext = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or https://ex.com/u/"),
+        F.col("doc_id").cast("string"),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(ptext, _EMAIL_RE, "<email>"), _URL_RE, "<url>"
+    )
+    return docs.select(
+        "doc_id",
+        F.md5(scrubbed).alias("redacted_fp"),
+        F.regexp_count(ptext, F.lit(_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(ptext, F.lit(_URL_RE)).cast("long").alias("n_urls"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Training-subset filter: the end-to-end acceptance pipeline — keep
 # documents that are (a) predicted English, (b) above a quality
 # threshold, (c) inside a token-length band, and (d) the first

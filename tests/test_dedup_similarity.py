@@ -85,6 +85,27 @@ def test_embedding_neardup_planted(spark, sf_dir):
     assert any(r.id_a == 0 and r.id_b == 100000 for r in pairs)
 
 
+def test_embedding_neardup_multiprobe_recall(spark, sf_dir):
+    """Multi-probe expansion is sound and monotone: r=1 candidates are
+    a superset of exact-bucket pairs, a subset of the all-pairs truth
+    (n_planes=0), and recall is non-decreasing in r."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    kw = dict(threshold=0.4, n_planes=8)
+
+    def pairs(**over):
+        return {
+            (r.id_a, r.id_b)
+            for r in embedding_near_duplicates(emb, **{**kw, **over}).collect()
+        }
+
+    exact_bucket = pairs()
+    probe1 = pairs(multiprobe_hamming=1)
+    truth = pairs(n_planes=0)  # single bucket = all pairs = ground truth
+    assert exact_bucket <= probe1 <= truth
+    # on this corpus r=1 must actually recover something blocking lost
+    assert len(probe1) > len(exact_bucket)
+
+
 def test_lsh_topk_subset_of_bucket_and_sane(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     exact = {r.vec_id: r.sim for r in cosine_topk_bruteforce(emb, 0, k=10).collect()}
