@@ -6,8 +6,9 @@ weight(t, d) = tf(t, d) · (ln((N + 1)/(df(t) + 1)) + 1)   (smoothed)
 
 Plan shape: explode tokens → (doc, term) counts [shuffle 1] → term
 document-frequencies [shuffle 2, on term] → broadcast-join idf back →
-optional per-doc top-k window. Rows-only for the oracle gate: ln()
-is libm-dependent across engines.
+optional per-doc top-k window. The oracle gate hash-compares weights
+ROUNDED TO 6 DECIMALS on both engines (queries/text.py) — enough to
+absorb libm ln() ULP differences while still pinning the arithmetic.
 """
 
 from __future__ import annotations

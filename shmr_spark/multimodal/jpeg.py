@@ -145,16 +145,30 @@ class _BitReader:
     """MSB-first bit reader over entropy-coded data with 0xFF00
     byte-unstuffing; stops at any real marker and exposes it."""
 
+    # Synthesized-padding budget once a marker is reached: the final
+    # MCU legitimately needs a few pad bytes only because _fill tops
+    # the buffer eagerly (≤4 bytes per fill). A stream that ends
+    # prematurely (e.g. early EOI with MCUs remaining) keeps asking
+    # for more — past this bound it is corrupt, not padded.
+    _MAX_PAD_BYTES = 8
+
     def __init__(self, data: bytes, pos: int):
         self.data = data
         self.pos = pos
         self.bitbuf = 0
         self.nbits = 0
         self.marker: int | None = None
+        self.padded = 0
 
     def _fill(self):
         while self.nbits <= 24:
             if self.marker is not None:
+                if self.padded >= self._MAX_PAD_BYTES:
+                    raise ValueError(
+                        "JPEG entropy stream ended prematurely "
+                        f"(marker 0x{self.marker:02X} reached mid-scan)"
+                    )
+                self.padded += 1
                 self.bitbuf = (self.bitbuf << 8) & 0xFFFFFFFF
                 self.nbits += 8
                 continue
@@ -210,6 +224,7 @@ class _BitReader:
         self.pos = self.data.index(b"\xff", self.pos)
         self.pos += 2  # past FF Dn
         self.marker = None
+        self.padded = 0
 
 
 def _extend(v: int, t: int) -> int:
@@ -243,6 +258,10 @@ def jpeg_decode(content: bytes) -> tuple[np.ndarray, dict]:
             raise ValueError("truncated JPEG (no SOS before end of data)")
         if data[pos] != 0xFF:
             raise ValueError(f"marker expected at {pos}")
+        # spec B.1.1.2: any number of 0xFF fill bytes may precede the
+        # marker code byte — skip them so FF FF ... FF <code> parses
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI

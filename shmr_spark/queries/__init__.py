@@ -45,85 +45,29 @@ def query(name: str, oracle: str | None = None, headline: bool = False):
 
 
 # Registry emission order. The driver's correctness gate has a budget
-# (rounds 1-2 recorded exactly the first 50 registered queries), so
-# the order below is part of the verification strategy. Round-3
-# window = 31 + 14 + 5 = 50, in three groups:
-#   1. the 31 queries that have never received a CORRECTNESS row
-#      (slot 51+ of the round-2 ordering);
-#   2. the 14 gates whose oracle is new this round — 12 converted
-#      from rows-only to real DuckDB oracles, plus the new JPEG and
-#      WAV media gates (each needs its first hash-checked row);
-#   3. a 5-query canary subset of previously-green queries — bench
-#      headliners plus streaming/event queries, because the round-3
-#      corpus changed events.ts to TIMESTAMP_NTZ and those greens
-#      must be re-proved on the new physical type.
-# Slots 51+ then queue the remaining events canary and the six
-# queries ADDED in round 3 (locally parity-checked at sf0.001 and
-# sf0.01; first in line for the round-4 window).
-# Canary policy (standing): every round keeps a handful of
-# previously-green queries inside the window so a regression in
-# rotated-out code is caught on a bounded cadence; names absent from
-# this list keep module registration order after it.
+# (rounds 1-3 recorded exactly the first 50 registered queries), so
+# the order below is part of the verification strategy. Round-4
+# window = 7 + 2 + 2 + 39 = 50, in four groups:
+#   1. the 7 queries that have never received a CORRECTNESS row
+#      (added in round 3; judge-verified green at sf0.01 but no
+#      driver row yet) — landing these closes the full 131-query
+#      sweep across r1-r4;
+#   2. the 2 round-3 reds (validate_orders, bool_aggregates) —
+#      oracle-side HUGEINT widening, fixed this round with
+#      CAST(... AS BIGINT); re-proof needs a driver row;
+#   3. queries ADDED in round 4 (new machinery needs its first
+#      hash-checked row);
+#   4. canary refresh: every remaining query whose only green is
+#      from round 1 — the oldest evidence in the series, and the
+#      events-adjacent ones have never been driver-checked on the
+#      regenerated NTZ corpus (the r3 canaries re-proved only 5).
+# Canary policy (standing): every round keeps previously-green
+# queries inside the window so a regression in rotated-out code is
+# caught on a bounded cadence; names absent from this list keep
+# module registration order after it. After round 4, the oldest
+# greens are r2's — rotate those forward in round 5.
 _PRIORITY: list[str] = [
-    # -- group 1: never driver-checked (31)
-    "similarity_indexed_topk",
-    "cohort_retention",
-    "time_weighted_avg",
-    "conversion_latency",
-    "latest_event_state",
-    "activity_streaks",
-    "revenue_contribution",
-    "forward_fill_values",
-    "daily_spine_counts",
-    "moving_average_orders",
-    "order_value_deciles",
-    "json_extract_props",
-    "salted_agg_revenue",
-    "stratified_sample",
-    "train_test_split",
-    "unpivot_melt",
-    "histogram",
-    "merge_upsert",
-    "profile_columns",
-    "salted_join_revenue",
-    "validate_orders",
-    "grouping_sets_agg",
-    "grouped_mad",
-    "cogroup_reconcile",
-    "variant_extract",
-    "udtf_sentences",
-    "fuzzy_name_pairs",
-    "activity_bitmaps",
-    "referential_integrity",
-    "bool_aggregates",
-    "null_safe_join",
-    # -- group 2: oracle new this round (14)
-    "dedup_minhash",
-    "dedup_simhash",
-    "dedup_embedding_lsh",
-    "dedup_corpus_neardup",
-    "similarity_lsh_topk",
-    "similarity_ivf_topk",
-    "similarity_ivf_kmeans_topk",
-    "similarity_quantized_rerank",
-    "knn_join_lsh",
-    "tfidf_top_terms",
-    "bm25_top_terms",
-    "unigram_logprob_score",
-    "multimodal_audio_featurize",
-    "multimodal_jpeg_featurize",
-    # -- group 3: canaries (5) — headliners + events/streaming
-    #    re-proof on the NTZ corpus (reduce_by_key_q1 also re-proves
-    #    the round-3 overflow-shadow change to dsum/davg)
-    "reduce_by_key_q1",
-    "window_tumbling",
-    "asof_join_prev",
-    "streaming_tumbling",
-    "streaming_interval_join",
-    # ---- slot 51+: next in line if the budget exceeds 50; otherwise
-    #      the round-4 rotation front. All are parity-checked green
-    #      locally on the current corpus.
-    "sessionize",
+    # -- group 1: never driver-checked (7) — full-sweep closure
     "pack_sequences",
     "inverted_index",
     "sentence_dedup",
@@ -131,6 +75,52 @@ _PRIORITY: list[str] = [
     "session_window_agg",
     "scd2_intervals",
     "redact_pii",
+    # -- group 2: round-3 reds, oracle fixed this round (2)
+    "validate_orders",
+    "bool_aggregates",
+    # -- group 3: new in round 4 (2)
+    "dsum_decimal_overflow",
+    "skew_topk_sessions",
+    # -- group 4: canary refresh — r1-only greens, oldest first (39)
+    "sessionize",
+    "event_transitions",
+    "interval_join_events",
+    "rolling_user_window",
+    "monthly_trend",
+    "map_project",
+    "flat_map_tokens",
+    "filter_orders",
+    "distinct_keys",
+    "distinct_first",
+    "count_lineitem",
+    "head_sorted",
+    "reduce_global",
+    "join_inner",
+    "join_left",
+    "join_semi",
+    "join_anti",
+    "join_grouped",
+    "split_by_key_buckets",
+    "concat_union",
+    "coalesce_count",
+    "set_intersect",
+    "set_except",
+    "count_distinct",
+    "q14_promo_share",
+    "q10_returned_top_customers",
+    "q18_large_orders",
+    "window_sliding",
+    "topk_per_group",
+    "topk_global",
+    "rollup_agg",
+    "cube_agg",
+    "pivot_agg",
+    "percentiles",
+    "percentile_ranks",
+    "window_functions",
+    "correlation",
+    "outlier_filter",
+    "zorder_keys",
 ]
 
 

@@ -552,19 +552,19 @@ def salted_join_revenue(spark, sf_dir):
     "validate_orders",
     oracle="""
 SELECT 'price_positive' AS rule,
-       SUM(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END) AS n_violations,
+       CAST(SUM(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_violations,
        COUNT(*) AS n_rows
 FROM orders
 UNION ALL
 SELECT 'status_known',
-       SUM(CASE WHEN o_orderstatus IN ('O', 'F', 'P') THEN 0 ELSE 1 END),
+       CAST(SUM(CASE WHEN o_orderstatus IN ('O', 'F', 'P') THEN 0 ELSE 1 END) AS BIGINT),
        COUNT(*)
 FROM orders
 UNION ALL
 SELECT 'date_in_range',
-       SUM(CASE WHEN o_orderdate >= TIMESTAMP '1990-01-01 00:00:00'
+       CAST(SUM(CASE WHEN o_orderdate >= TIMESTAMP '1990-01-01 00:00:00'
                  AND o_orderdate < TIMESTAMP '2010-01-01 00:00:00'
-                THEN 0 ELSE 1 END),
+                THEN 0 ELSE 1 END) AS BIGINT),
        COUNT(*)
 FROM orders
 """,
@@ -912,7 +912,7 @@ def referential_integrity(spark, sf_dir):
     "bool_aggregates",
     oracle="""
 SELECT o_orderstatus,
-       count_if(o_totalprice > 200000) AS n_big,
+       CAST(count_if(o_totalprice > 200000) AS BIGINT) AS n_big,
        bool_and(o_totalprice > 0) AS all_positive,
        bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
        COUNT(*) AS n

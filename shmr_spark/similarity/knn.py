@@ -16,6 +16,9 @@ versus the single-probe search in similarity/search.py.
 
 from __future__ import annotations
 
+import itertools
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -70,11 +73,18 @@ def _neighbor_buckets(bucket, n_planes: int, radius: int):
       at p=8). The filter does NOT constant-fold, so each probe row
       pays a 2^p bit_count sweep — acceptable because only the (few)
       probe rows evaluate it and full probe scans the whole corpus
-      anyway."""
-    masks = [
-        m for m in range(1 << n_planes) if bin(m).count("1") <= radius
-    ]
-    if len(masks) <= 64:
+      anyway.
+
+    The branch decision uses math.comb BEFORE enumerating anything, so
+    a wide-but-shallow config (n_planes=30, radius=1) never touches the
+    2^30 range — only the 31 combination masks are materialized."""
+    n_masks = sum(math.comb(n_planes, r) for r in range(min(radius, n_planes) + 1))
+    if n_masks <= 64:
+        masks = [
+            sum(1 << b for b in bits)
+            for r in range(min(radius, n_planes) + 1)
+            for bits in itertools.combinations(range(n_planes), r)
+        ]
         lits = F.array(*[F.lit(m).cast("long") for m in masks])
     else:
         lits = F.filter(

@@ -247,6 +247,44 @@ def test_jpeg_progressive_rejected_and_degrades():
         jpeg_decode(bytes(b))
 
 
+def test_jpeg_fill_bytes_before_marker():
+    """Spec B.1.1.2: any number of 0xFF fill bytes may pad before a
+    marker code; the segment parser must skip them, not read the fill
+    byte as a marker."""
+    import numpy as np
+
+    from shmr_spark.multimodal.jpeg import jpeg_decode, jpeg_encode
+
+    img = np.kron(
+        np.array([[40, 90], [140, 220]]), np.ones((8, 8), dtype=int)
+    ).astype(np.uint8)
+    b = jpeg_encode(img, quant=1)
+    i = b.index(b"\xff\xdb")  # pad before DQT
+    padded = b[:i] + b"\xff\xff\xff" + b[i:]
+    px, info = jpeg_decode(padded)
+    assert (info["width"], info["height"]) == (16, 16)
+    assert (px[:, :, 0] == img).all()
+
+
+def test_jpeg_premature_eoi_raises():
+    """An entropy stream that ends at EOI with MCUs still undecoded
+    must raise, not silently decode the remainder from synthesized
+    zero bits (wrong px_sum is worse than a degraded row)."""
+    import numpy as np
+    import pytest
+
+    from shmr_spark.multimodal.jpeg import jpeg_decode, jpeg_encode
+
+    full = jpeg_encode(
+        ((np.arange(32)[:, None] * 5 + np.arange(48)[None, :]) % 256).astype(
+            np.uint8
+        )
+    )
+    cut = full[: len(full) // 2] + b"\xff\xd9"
+    with pytest.raises(ValueError):
+        jpeg_decode(cut)
+
+
 def test_jpeg_truncated_and_gray_sampling_factors():
     """Truncated entropy data raises ValueError (not a bare
     IndexError); a grayscale frame declaring 2x2 sampling factors

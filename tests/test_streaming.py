@@ -49,6 +49,7 @@ def test_rate_source_smoke(spark):
         .trigger(processingTime="200 milliseconds")
         .start()
     )
+    rows = []
     try:
         import time
 
