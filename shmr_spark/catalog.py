@@ -12,6 +12,7 @@ here changes.
 from __future__ import annotations
 
 import os
+from weakref import WeakKeyDictionary
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -31,8 +32,19 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Session-scoped table-metadata cache: spark.read.parquet() builds a
+# fresh FileIndex + reads the footer schema on every call (~100 ms
+# per table on local disk; a directory listing RPC per table on object
+# storage). A catalog caches that — the returned DataFrame is a lazy,
+# immutable plan root, safe to share across queries in one session.
+# Staleness contract: files that change under a cached path need
+# load_table(..., refresh=True), same as a catalog's REFRESH TABLE.
+_df_cache: WeakKeyDictionary = WeakKeyDictionary()
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, refresh: bool = False
+) -> DataFrame:
     """Load one corpus table. Column pruning + predicate pushdown reach
     the parquet scan because nothing is materialized here.
 
@@ -43,6 +55,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     normalized here to a UTC-epoch TIMESTAMP (LTZ) so every downstream
     query sees one type, and epoch extraction matches DuckDB's naive
     semantics regardless of the session timezone."""
+    key = (os.path.abspath(sf_dir), name)
+    cached = _df_cache.setdefault(spark, {})
+    if not refresh and key in cached:
+        return cached[key]
+    df = _read_table(spark, sf_dir, name)
+    cached[key] = df
+    return df
+
+
+def _read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -41,6 +41,17 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def bounded_sort(df: DataFrame, *cols) -> DataFrame:
+    """Globally sort a provably SMALL DataFrame (bounded-cardinality
+    aggregate outputs). ``orderBy`` range-partitions, which runs a
+    separate bounds-sampling job before the sort — pure fixed overhead
+    when the result fits one partition at any data scale (e.g. TPC-H
+    Q1's 6 flag×status groups). One coalesced partition + in-partition
+    sort gives the same global order in one stage. Not for unbounded
+    results: it serializes the sort onto a single task."""
+    return df.coalesce(1).sortWithinPartitions(*cols)
+
+
 class Dataset:
     """Lazy, composable dataset: wraps a DataFrame, returns Datasets.
 
@@ -241,6 +252,17 @@ class Dataset:
 
     def sort(self, *cols) -> "Dataset":
         return self._wrap(self.df.orderBy(*cols))
+
+    def sort_small(self, *cols) -> "Dataset":
+        """Global sort for provably SMALL results (bounded-cardinality
+        group-bys: status codes, nations, flags). orderBy plans a range
+        shuffle whose partitioner runs a separate sampling job — pure
+        overhead when the whole result fits one partition. This
+        coalesces to one partition and sorts within it: same global
+        order, one stage, no sampling pass (see ``bounded_sort``). Do
+        NOT use on unbounded results; it serializes the sort onto one
+        task."""
+        return self._wrap(bounded_sort(self.df, *cols))
 
     def top_k(self, k: int, *order_cols) -> "Dataset":
         """Global top-k: orderBy + limit — planned as per-partition

@@ -53,14 +53,37 @@ def _scaled_long(c: Column) -> Column:
     return F.floor(c * F.lit(_SCALE) + F.lit(0.5)).cast("long")
 
 
+def _ansi_enabled() -> bool:
+    """True when the active session runs ANSI SQL semantics (the Spark
+    4 default), where sum(long) raises ARITHMETIC_OVERFLOW natively.
+    No active session → assume non-ANSI and keep the guard."""
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        return False
+    return str(spark.conf.get("spark.sql.ansi.enabled", "true")).lower() == "true"
+
+
 def _checked_scaled_sum(c: Column) -> Column:
-    """Scaled-long sum with runtime overflow detection: a parallel
-    float64 shadow sum (both aggregates stay in whole-stage codegen's
-    primitive path) exposes int64 wrap-around, which silently corrupts
-    results under non-ANSI SQL semantics. On overflow the query FAILS
-    LOUDLY (assert_true) instead of returning a wrapped value —
-    callers at such scales should pass max_abs_sum to dsum/davg."""
+    """Scaled-long sum with overflow detection, fail-loudly contract.
+
+    Under ANSI semantics (Spark 4 default) the engine itself raises on
+    int64 wrap — sum(long) → ARITHMETIC_OVERFLOW — so the plain sum IS
+    the checked sum: one aggregate, full codegen primitive path. (ANSI
+    raises on any wrapped PARTIAL too; for the all-positive money
+    columns this path serves, partials only undershoot the final sum,
+    so there is no spurious trigger.)
+
+    Under non-ANSI semantics sum(long) wraps silently; a parallel
+    float64 shadow sum (also codegen-primitive) exposes the wrap and
+    assert_true fails the query instead of returning a corrupt value.
+    This doubles the aggregate count — the price of turning silent
+    wraparound into an error — and is only paid in opted-out sessions;
+    callers at genuinely overflowing scales should pass max_abs_sum."""
     s_long = F.sum(_scaled_long(c))
+    if _ansi_enabled():
+        return s_long.cast("double")
     # shadow = plain double sum of the RAW column, scaled after the
     # aggregate: one floor/multiply per row instead of two (Spark does
     # not CSE _scaled_long across separate aggregate functions), at the

@@ -55,7 +55,8 @@ def reduce_by_key_q1(spark, sf_dir):
             davg("l_discount").alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
-        .sort("l_returnflag", "l_linestatus")
+        # 6 groups max (flag × status domain) at any SF: bounded sort
+        .sort_small("l_returnflag", "l_linestatus")
         .df
     )
 
@@ -355,7 +356,8 @@ def join_three_way(spark, sf_dir):
             F.count("*").alias("n_items"),
             dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
         )
-        .sort("c_mktsegment")
+        # 5 market segments at any SF: bounded sort
+        .sort_small("c_mktsegment")
         .df
     )
 
@@ -517,11 +519,13 @@ ORDER BY revenue DESC, n.n_name
 def sql_q5_region_revenue(spark, sf_dir):
     from shmr_spark.functions.numeric import sql_dsum as _d
 
+    from shmr_spark.dataset import bounded_sort
+
     # register only the tables this query touches (a full
     # register_views pays 10 parquet footer reads per invocation)
     for t in ("region", "nation", "customer", "orders", "lineitem"):
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
-    return spark.sql(f"""
+    agg = spark.sql(f"""
         SELECT n.n_name,
                {_d('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
                COUNT(*) AS n_items
@@ -532,8 +536,10 @@ def sql_q5_region_revenue(spark, sf_dir):
         JOIN lineitem l ON l.l_orderkey = o.o_orderkey
         WHERE r.r_name = 'ASIA'
         GROUP BY n.n_name
-        ORDER BY revenue DESC, n.n_name
     """)
+    # ≤ 5 nations per region at any SF: bounded sort (oracle keeps
+    # ORDER BY in-SQL; row order is hash-compared order-insensitively)
+    return bounded_sort(agg, F.desc("revenue"), "n_name")
 
 
 # --------------------------------------------------------------------------
