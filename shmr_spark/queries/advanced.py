@@ -961,3 +961,37 @@ def null_safe_join(spark, sf_dir):
         .filter(F.col("ka").isNull())
         .select("pk_a", "pk_b")
     )
+
+
+# --------------------------------------------------------------------------
+# Beyond-int64 exact aggregation: the dsum_dec decimal escape hatch,
+# exercised END-TO-END at a magnitude where the scaled-int64 fast path
+# (functions/numeric.py) would overflow. The per-row expression
+# l_extendedprice * 10000.0 is one IEEE double multiply — bit-identical
+# on both engines — and its sf0.01 sum is ~2.3e13, past the ~9.2e12
+# int64-scaled cap (dsum on this expression raises; pytest pins that).
+# The result STAYS DECIMAL through the comparison: DuckDB's
+# int128→double cast rounds twice (module docstring of
+# functions/numeric.py), so a double-cast twin would be a false
+# mismatch, while decimal-vs-decimal is exact on both sides.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "dsum_decimal_overflow",
+    oracle="""
+SELECT l_returnflag,
+       SUM(CAST(l_extendedprice * 10000.0 AS DECIMAL(28,6))) AS big_sum,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def dsum_decimal_overflow(spark, sf_dir):
+    from shmr_spark.functions.numeric import dsum_dec
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        dsum_dec(F.col("l_extendedprice") * F.lit(10000.0)).alias("big_sum"),
+        F.count("*").alias("n"),
+    )

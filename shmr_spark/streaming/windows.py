@@ -38,7 +38,11 @@ def read_events_stream(spark: SparkSession, source_dir: str) -> DataFrame:
     TIMESTAMP(NANOS) (long under the nanosAsLong conf) and as plain
     micros TIMESTAMP_NTZ. A one-footer batch probe picks the form —
     file streams require an explicit schema, and declaring the wrong
-    physical type silently misreads the column."""
+    physical type silently misreads the column (caught live: the
+    sf1-derived corpus ships ts as plain TIMESTAMP (LTZ, already
+    UTC-normalized by catalog.load_table before the rewrite), and an
+    NTZ-declared stream over it read the column as null — zero output
+    rows, found by the bench's streaming scale row)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     try:
         ts_type = dict(spark.read.parquet(source_dir).dtypes).get("ts")
@@ -51,14 +55,25 @@ def read_events_stream(spark: SparkSession, source_dir: str) -> DataFrame:
         raw = (
             spark.readStream.schema(_events_raw_schema(T.LongType()))
             .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
             .parquet(source_dir)
         )
         # exact int64 division — floor(ts/1000) would lose micros
         # through double above 2^53 ns (see catalog.load_table)
         return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if ts_type == "timestamp":
+        # already a UTC-epoch TIMESTAMP (LTZ) — e.g. a corpus written
+        # back out by this engine after load_table normalization
+        return (
+            spark.readStream.schema(_events_raw_schema(T.TimestampType()))
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(source_dir)
+        )
     raw = (
         spark.readStream.schema(_events_raw_schema(T.TimestampNTZType()))
         .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
         .parquet(source_dir)
     )
     # NTZ wall time ≙ UTC, timezone-independent (see catalog.load_table)

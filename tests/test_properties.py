@@ -169,3 +169,20 @@ def test_dsum_hint_below_threshold_keeps_fast_path(spark):
     a = df.agg(dsum("x").alias("s")).collect()[0].s
     b = df.agg(dsum("x", max_abs_sum=1e6).alias("s")).collect()[0].s
     assert a == b
+
+
+def test_dsum_decimal_overflow_gate_is_beyond_fast_path(spark):
+    """The dsum_decimal_overflow gate query's magnitude claim: the same
+    expression through the int64 fast path raises, so the gate really
+    exercises the beyond-int64 decimal route, not a comfortable sum."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from shmr_spark.catalog import load_table
+    from shmr_spark.functions.numeric import dsum
+
+    li = load_table(spark, "/root/testdata/sf0.01", "lineitem")
+    big = F.col("l_extendedprice") * F.lit(10000.0)
+    with pytest.raises(Exception) as exc:
+        li.agg(dsum(big).alias("s")).collect()
+    assert "overflow" in str(exc.value).lower()

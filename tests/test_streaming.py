@@ -217,3 +217,23 @@ def test_stream_dedup_within_watermark(spark, sf_dir, tmp_path):
     rows = got.collect()
     assert len(rows) == n_events
     assert len({r.event_id for r in rows}) == n_events
+
+
+def test_stream_reads_ltz_written_corpus(spark, sf_dir, tmp_path):
+    """A corpus written back out AFTER load_table normalization carries
+    ts as plain TIMESTAMP (LTZ) — the physical form the sf1-derived
+    bench corpus has. The stream reader must branch on it; declaring
+    NTZ there silently nulls the column (0 output rows — the bug the
+    bench's streaming scale row caught)."""
+    d = tmp_path / "ltz_events"
+    d.mkdir()
+    load_table(spark, sf_dir, "events").write.parquet(str(d / "events.parquet"))
+    stream_out = run_stream_to_memory(
+        tumbling_window_stream(read_events_stream(spark, str(d))),
+        "ltz_stream_test",
+        output_mode="complete",
+    )
+    batch_out = load_all()["window_tumbling"].fn(spark, sf_dir)
+    s = {tuple(r) for r in stream_out.collect()}
+    b = {tuple(r) for r in batch_out.collect()}
+    assert s == b

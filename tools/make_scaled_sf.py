@@ -115,6 +115,53 @@ def make_scaled(spark, n: int, base_dir: str, out_dir: str) -> None:
         f.write(key)
 
 
+def make_skewed(
+    spark,
+    base_dir: str,
+    out_dir: str,
+    hot_key: int = 1,
+    hot_tenths: int = 3,
+) -> None:
+    """Derive a HOT-KEY corpus from a (scaled) sf dir for skew
+    benchmarks: lineitem's l_suppkey is rewritten so ~hot_tenths/10 of
+    all rows land on one supplier (deterministic xxhash64 gate on
+    (l_orderkey, l_linenumber) — no RNG, append-stable). Only the two
+    tables the skew benches read (lineitem, supplier) are written.
+
+    This models the real 100 TB failure shape: one hot entity (a
+    language, a null-ish default key, one megacustomer) owning a
+    constant fraction of a fact table."""
+    import shutil
+
+    done_marker = os.path.join(out_dir, "_COMPLETE")
+    key = f"{os.path.abspath(base_dir)}|hot={hot_key}|tenths={hot_tenths}\n"
+    if os.path.exists(done_marker):
+        with open(done_marker) as f:
+            if f.read() == key:
+                return
+        shutil.rmtree(out_dir)
+    os.makedirs(out_dir, exist_ok=True)
+    li = load_table(spark, base_dir, "lineitem").withColumn(
+        "l_suppkey",
+        F.when(
+            F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(10))
+            < F.lit(hot_tenths),
+            F.lit(hot_key).cast("long"),
+        ).otherwise(F.col("l_suppkey")),
+    )
+    for name, df in (
+        ("lineitem", li),
+        ("supplier", load_table(spark, base_dir, "supplier")),
+    ):
+        target = os.path.join(out_dir, f"{name}.parquet")
+        df.coalesce(8).write.mode("overwrite").parquet(target + ".dir")
+        if os.path.exists(target):
+            shutil.rmtree(target)
+        os.rename(target + ".dir", target)
+    with open(done_marker, "w") as f:
+        f.write(key)
+
+
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     base = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
