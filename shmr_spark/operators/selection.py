@@ -1,0 +1,76 @@
+"""Budgeted corpus selection: keep the highest-quality documents until
+a global token budget fills — the standard "cut the corpus to N
+tokens, best first" step between scoring and training.
+
+Semantics: rank rows by (score DESC, id ASC); a row is kept iff the
+cumulative token count of every row ranked STRICTLY BEFORE it is under
+the budget (so the straddling document is kept — the cut never leaves
+budget unused, matching concat-then-chunk loaders that truncate the
+final document).
+
+Scale design — the naive form is a single global window
+(SUM(tokens) OVER (ORDER BY score DESC, id)), which Spark executes in
+ONE task. This uses the same two-phase distributed prefix sum as
+operators/packing.py, with the order key quantized into score buckets:
+
+1. bucket rows by floor(score · K) — order-preserving w.r.t. the
+   score-descending sort (floor is monotonic; equal scores share a
+   bucket, so the (score DESC, id) refinement stays inside buckets);
+2. per-bucket token totals (small agg) + a window over the ≤K+1
+   bucket rows gives each bucket's global starting offset;
+3. broadcast-join offsets back; per-bucket cumulative window runs in
+   parallel across buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def select_by_token_budget(
+    df: DataFrame,
+    budget: int,
+    score_col: str = "quality",
+    tokens_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    score_buckets: int = 1000,
+) -> DataFrame:
+    """Rows of ``df`` kept by the greedy quality-ordered budget cut.
+
+    Output: id_col, score_col, tokens_col, start_tok — where start_tok
+    is the exact global number of tokens ranked before the row
+    (identical to the naive single-window cumulative sum; asserted in
+    tests). Kept rows satisfy start_tok < budget.
+    """
+    bucket = F.floor(F.col(score_col) * F.lit(score_buckets)).alias("__bucket")
+    rows = df.select(F.col(id_col), F.col(score_col), F.col(tokens_col), bucket)
+
+    totals = rows.groupBy("__bucket").agg(F.sum(tokens_col).alias("__btot"))
+    # higher bucket = higher score = earlier in the ranking
+    w_b = Window.orderBy(F.desc("__bucket")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = totals.select(
+        "__bucket",
+        F.coalesce(F.sum("__btot").over(w_b), F.lit(0)).alias("__boff"),
+    )
+
+    w_in = (
+        Window.partitionBy("__bucket")
+        .orderBy(F.desc(score_col), F.asc(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        rows.join(F.broadcast(offsets), "__bucket")
+        .select(
+            F.col(id_col),
+            F.col(score_col),
+            F.col(tokens_col),
+            (
+                F.col("__boff")
+                + F.coalesce(F.sum(tokens_col).over(w_in), F.lit(0))
+            ).cast("long").alias("start_tok"),
+        )
+        .filter(F.col("start_tok") < F.lit(budget))
+    )

@@ -80,7 +80,7 @@ _PRIORITY: list[str] = [
     "bool_aggregates",
     # -- group 3: new in round 4 (2)
     "dsum_decimal_overflow",
-    "skew_topk_sessions",
+    "token_budget_select",
     # -- group 4: canary refresh — r1-only greens, oldest first (39)
     "sessionize",
     "event_transitions",

@@ -241,3 +241,43 @@ def training_subset_q(spark, sf_dir):
         .select("doc_id", "lang_pred", "quality", "n_tokens")
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Budgeted corpus selection (operators/selection.py): greedy
+# highest-quality-first cut at a global token budget. The oracle
+# states the semantics as ONE global window cumsum over
+# (quality DESC, doc_id); the Spark side runs the distributed
+# two-phase prefix sum over score-quantized buckets — the same
+# single-task-window avoidance proved for pack_sequences.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "token_budget_select",
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id,
+         {sql_quality_score('text')} AS quality,
+         {sql_token_count('text')} AS n_tokens
+  FROM documents
+)
+SELECT doc_id, quality, n_tokens, start_tok FROM (
+  SELECT doc_id, quality, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS start_tok
+  FROM scored
+) WHERE start_tok < 20000
+""",
+)
+def token_budget_select(spark, sf_dir):
+    from shmr_spark.operators.selection import select_by_token_budget
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        quality_score("text").alias("quality"),
+        token_count("text").cast("long").alias("n_tokens"),
+    )
+    return select_by_token_budget(scored, budget=20000)

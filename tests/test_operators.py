@@ -366,3 +366,45 @@ def test_pack_sequences_two_phase_equals_naive(spark):
         ).collect()
     }
     assert got == naive
+
+
+def test_select_by_token_budget_equals_naive(spark):
+    """The bucketed two-phase budget cut (operators/selection.py)
+    equals the naive single-window form — including duplicate scores
+    straddling nothing (ties stay in one bucket) and the keep-the-
+    straddler boundary rule."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from shmr_spark.operators.selection import select_by_token_budget
+
+    rng = random.Random(7)
+    rows = [
+        (i, round(rng.random(), 3), rng.randrange(1, 400))
+        for i in range(600)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, quality double, n_tokens long"
+    ).repartition(8)
+    budget = 20_000
+
+    got = {
+        r.doc_id: r.start_tok
+        for r in select_by_token_budget(df, budget=budget).collect()
+    }
+    w = Window.orderBy(F.desc("quality"), F.asc("doc_id")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    naive = {
+        r.doc_id: r.s
+        for r in df.select(
+            "doc_id", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).alias("s")
+        ).collect()
+        if r.s < budget
+    }
+    assert got == naive
+    # the straddling doc is KEPT: max start_tok is under budget but its
+    # doc may finish past it
+    assert got and max(got.values()) < budget

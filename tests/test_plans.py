@@ -164,3 +164,15 @@ def test_pipeline_queries_no_python_udf(spark, sf_dir):
         plan = _plan(spark, sf_dir, name)
         assert "BatchEvalPython" not in plan, name
         assert "ArrowEvalPython" not in plan, name
+
+
+def test_token_budget_select_no_global_window_on_data(spark, sf_dir):
+    """Same scale invariant as pack_sequences: the corpus-side window
+    must be partitioned by score bucket; only the tiny bucket-totals
+    table may pass through a SinglePartition exchange."""
+    plan = _plan(spark, sf_dir, "token_budget_select")
+    tree = _tree(plan)
+    assert "__bucket" in plan
+    assert "BroadcastHashJoin" in tree or "BroadcastExchange" in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
