@@ -78,9 +78,10 @@ _PRIORITY: list[str] = [
     # -- group 2: round-3 reds, oracle fixed this round (2)
     "validate_orders",
     "bool_aggregates",
-    # -- group 3: new in round 4 (2)
+    # -- group 3: new in round 4 (3)
     "dsum_decimal_overflow",
     "token_budget_select",
+    "dedup_incremental",
     # -- group 4: canary refresh — r1-only greens, oldest first (39)
     "sessionize",
     "event_transitions",

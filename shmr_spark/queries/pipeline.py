@@ -281,3 +281,41 @@ def token_budget_select(spark, sf_dir):
         token_count("text").cast("long").alias("n_tokens"),
     )
     return select_by_token_budget(scored, budget=20000)
+
+
+# --------------------------------------------------------------------------
+# Incremental (append-only) dedup (dedup/incremental.py): the batch
+# ingest shape — new docs checked against the persisted fingerprint
+# state, never against corpus texts. Gate: even doc_ids play the
+# accepted corpus, odd doc_ids the incoming batch.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "dedup_incremental",
+    oracle=r"""
+WITH state AS (
+  SELECT DISTINCT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+  FROM documents WHERE doc_id % 2 = 0
+), batch AS (
+  SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+  FROM documents WHERE doc_id % 2 = 1
+), firsts AS (
+  SELECT fp, MIN(doc_id) AS doc_id FROM batch GROUP BY fp
+)
+SELECT f.doc_id, f.fp FROM firsts f
+WHERE NOT EXISTS (SELECT 1 FROM state s WHERE s.fp = f.fp)
+""",
+)
+def dedup_incremental(spark, sf_dir):
+    from shmr_spark.dedup.incremental import (
+        fingerprint_state,
+        incremental_dedup_exact,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    state = fingerprint_state(docs.filter(F.col("doc_id") % 2 == 0))
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    return incremental_dedup_exact(batch, state).select(
+        "doc_id", F.col("__fp").alias("fp")
+    )

@@ -362,3 +362,36 @@ def test_ivf_index_storage_prune_and_results(spark, sf_dir, tmp_path):
         if r.vec_id != 0
     ][:5]
     assert full == exact
+
+
+def test_incremental_dedup_waves_equal_global(spark, sf_dir):
+    """Ingesting the corpus in doc_id-ordered waves through
+    incremental_dedup_exact (appending each wave's state delta)
+    accepts exactly the documents a one-shot global keep-first dedup
+    keeps — the invariant that makes the incremental path a faithful
+    replacement for periodic full re-dedup."""
+    from shmr_spark.dedup.exact import dedup_exact_keep_first
+    from shmr_spark.dedup.incremental import incremental_dedup_exact
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    hi = docs.agg(F.max("doc_id")).collect()[0][0]
+    cuts = [0, hi // 3, 2 * hi // 3, hi + 1]
+
+    state = None
+    accepted_ids = set()
+    for lo, up in zip(cuts, cuts[1:]):
+        wave = docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < up))
+        if state is None:
+            surv = incremental_dedup_exact(
+                wave, spark.createDataFrame([], "__fp string")
+            )
+        else:
+            surv = incremental_dedup_exact(wave, state)
+        delta = surv.select("__fp").distinct()
+        state = delta if state is None else state.union(delta).distinct()
+        accepted_ids |= {r.doc_id for r in surv.select("doc_id").collect()}
+
+    global_ids = {
+        r.doc_id for r in dedup_exact_keep_first(docs).select("doc_id").collect()
+    }
+    assert accepted_ids == global_ids
