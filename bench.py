@@ -73,7 +73,12 @@ def main() -> None:
 
     # the STATEFUL sessionizer (applyInPandasWithState) replayed to
     # completion over the corpus's events — the Python-state path whose
-    # scale behavior can't be inferred from the batch window variant
+    # scale behavior can't be inferred from the batch window variant.
+    # The source copy is made ONCE per corpus (cached dir): copying
+    # grows with corpus size and would otherwise inflate every timed
+    # repetition with file I/O that is not engine work.
+    _sess_src_cache: dict[str, str] = {}
+
     def _sessionize_stream_prod(spark, sf_dir):
         import shutil
         import tempfile
@@ -81,34 +86,34 @@ def main() -> None:
         from pyspark.sql import functions as F
         from shmr_spark.streaming import read_events_stream, sessionize_stream
 
-        d = tempfile.mkdtemp(prefix="shmr_bench_sess_")
-        src = os.path.join(sf_dir, "events.parquet")
-        if os.path.isdir(src):
-            shutil.copytree(src, os.path.join(d, "events.parquet"))
-        else:
-            shutil.copy(src, d)
+        d = _sess_src_cache.get(sf_dir)
+        if d is None:
+            d = tempfile.mkdtemp(prefix="shmr_bench_sess_")
+            src = os.path.join(sf_dir, "events.parquet")
+            if os.path.isdir(src):
+                shutil.copytree(src, os.path.join(d, "events.parquet"))
+            else:
+                shutil.copy(src, d)
+            _sess_src_cache[sf_dir] = d
+        q = (
+            sessionize_stream(read_events_stream(spark, d))
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName("bench_sessionize_stream")
+            .start()
+        )
         try:
-            q = (
-                sessionize_stream(read_events_stream(spark, d))
-                .writeStream.outputMode("update")
-                .format("memory")
-                .queryName("bench_sessionize_stream")
-                .start()
-            )
-            try:
-                q.processAllAvailable()
-            finally:
-                q.stop()
-            return (
-                spark.sql("SELECT * FROM bench_sessionize_stream")
-                .groupBy("user_id")
-                .agg(
-                    F.max("n_sessions").alias("n_sessions"),
-                    F.max("n_events").alias("n_events"),
-                )
-            )
+            q.processAllAvailable()
         finally:
-            shutil.rmtree(d, ignore_errors=True)
+            q.stop()
+        return (
+            spark.sql("SELECT * FROM bench_sessionize_stream")
+            .groupBy("user_id")
+            .agg(
+                F.max("n_sessions").alias("n_sessions"),
+                F.max("n_events").alias("n_events"),
+            )
+        )
 
     class _Spec:
         def __init__(self, fn):

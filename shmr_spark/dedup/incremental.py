@@ -39,8 +39,9 @@ def incremental_dedup_exact(
 ) -> DataFrame:
     """Rows of ``new_docs`` that survive dedup against ``state`` and
     against the batch itself (first-wins by id), with their ``__fp``
-    column attached — ``result.select("__fp", id_col)`` is exactly the
-    state delta to append for the next batch.
+    column attached. The state delta to append for the next batch is
+    ``result.select("__fp", F.col(id_col).alias("keeper_id"))`` —
+    matching ``fingerprint_state``'s (__fp, keeper_id) schema.
 
     ``state`` needs one column: ``__fp`` (fingerprints of every
     already-accepted document). Build it from an accepted corpus with
@@ -54,9 +55,11 @@ def incremental_dedup_exact(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
-    return batch_first.join(
-        state.select("__fp").distinct(), "__fp", "left_anti"
-    )
+    # no distinct() on the state side: LEFT ANTI results are unaffected
+    # by duplicate right-side keys, and a distinct would force a full
+    # shuffle of the append-only state table on every batch (defeating
+    # a bucketed-by-fp state layout)
+    return batch_first.join(state.select("__fp"), "__fp", "left_anti")
 
 
 def fingerprint_state(

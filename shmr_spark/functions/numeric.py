@@ -62,7 +62,15 @@ def _ansi_enabled() -> bool:
     spark = SparkSession.getActiveSession()
     if spark is None:
         return False
-    return str(spark.conf.get("spark.sql.ansi.enabled", "true")).lower() == "true"
+    try:
+        # no default argument: RuntimeConfig.get with a user default
+        # RETURNS that default instead of the engine's effective value
+        # (so a hardcoded "true" would mis-report Spark 3.x sessions,
+        # whose effective ANSI default is false)
+        val = spark.conf.get("spark.sql.ansi.enabled")
+    except Exception:
+        return False
+    return str(val).lower() == "true"
 
 
 def _checked_scaled_sum(c: Column) -> Column:

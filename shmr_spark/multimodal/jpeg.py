@@ -262,6 +262,8 @@ def jpeg_decode(content: bytes) -> tuple[np.ndarray, dict]:
         # marker code byte — skip them so FF FF ... FF <code> parses
         while pos + 1 < len(data) and data[pos + 1] == 0xFF:
             pos += 1
+        if pos + 1 >= len(data):
+            raise ValueError("truncated JPEG (fill bytes run to end of data)")
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI

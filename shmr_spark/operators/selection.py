@@ -42,7 +42,12 @@ def select_by_token_budget(
     is the exact global number of tokens ranked before the row
     (identical to the naive single-window cumulative sum; asserted in
     tests). Kept rows satisfy start_tok < budget.
+
+    Rows with a NULL score are excluded up front (explicitly, not as a
+    join artifact): an unscored document has no rank in a
+    quality-ordered cut. Score a default if such rows must compete.
     """
+    df = df.filter(F.col(score_col).isNotNull())
     bucket = F.floor(F.col(score_col) * F.lit(score_buckets)).alias("__bucket")
     rows = df.select(F.col(id_col), F.col(score_col), F.col(tokens_col), bucket)
 

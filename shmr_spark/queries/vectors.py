@@ -147,11 +147,23 @@ def similarity_indexed_topk(spark, sf_dir):
         float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0].embedding
     ]
     src = os.path.join(sf_dir, "embeddings.parquet")
-    key = f"{os.path.abspath(src)}|mt={int(os.path.getmtime(src))}|cells=8|iters=2"
+    # full-precision mtime + size in the key: second-truncation could
+    # alias two regenerations inside one second
+    stat = os.stat(src)
+    key = (
+        f"{os.path.abspath(src)}|mt={stat.st_mtime!r}|sz={stat.st_size}"
+        f"|cells=8|iters=2"
+    )
     slug = hashlib.md5(key.encode()).hexdigest()[:12]
     d = os.path.join(tempfile.gettempdir(), f"shmr_ivf_{slug}")
     marker = os.path.join(d, "_BUILT")
-    if not os.path.exists(marker):
+    def _marker_valid():
+        try:
+            with open(marker) as f:
+                return f.read() == key
+        except OSError:
+            return False
+    if not _marker_valid():
         build_ivf_index(emb, d, n_cells=8, kmeans_iters=2)
         with open(marker, "w") as f:
             f.write(key)

@@ -265,6 +265,13 @@ def test_jpeg_fill_bytes_before_marker():
     assert (info["width"], info["height"]) == (16, 16)
     assert (px[:, :, 0] == img).all()
 
+    # fill bytes running off the end of the data must raise the
+    # documented ValueError, not IndexError
+    import pytest
+
+    with pytest.raises(ValueError, match="truncated|marker"):
+        jpeg_decode(b"\xff\xd8" + b"\xff" * 6)
+
 
 def test_jpeg_premature_eoi_raises():
     """An entropy stream that ends at EOI with MCUs still undecoded
