@@ -17,3 +17,4 @@ __all__ = [
     "featurize_audio",
     "sample_frames",
 ]
+from shmr_spark.multimodal.resize import resize_images

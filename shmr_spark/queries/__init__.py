@@ -123,7 +123,11 @@ _PRIORITY: list[str] = [
     "window_functions",
     "correlation",
     "outlier_filter",
+    # ---- slot 51+: outside the round-4 budget, first in line for
+    #      round 5 (all parity-checked green locally)
     "zorder_keys",
+    "streaming_dedup",
+    "multimodal_resize",
 ]
 
 

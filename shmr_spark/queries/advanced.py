@@ -995,3 +995,65 @@ def dsum_decimal_overflow(spark, sf_dir):
         dsum_dec(F.col("l_extendedprice") * F.lit(10000.0)).alias("big_sum"),
         F.count("*").alias("n"),
     )
+
+
+# --------------------------------------------------------------------------
+# Multimodal RESIZE through the driver gate, real codec path: plant a
+# block-constant PNG per document (8x8 solid blocks, values
+# (doc_id + i) % 256 — the same construction as the JPEG gate), then
+# decode → nearest-neighbor halve → re-encode PNG in one mapInPandas
+# stage (multimodal/resize.py). Halving an 8x8-solid-block image with
+# the floor mapping picks even pixel indices, so each block becomes a
+# 4x4 solid block of the SAME value: resized px_sum = 16 * Σ block
+# values — the same triangular-sum identity as the featurize oracles,
+# with factor 16 instead of 64. A hash match proves the distributed
+# decode→resample→encode round trip, not just metadata plumbing.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "multimodal_resize",
+    oracle="""
+WITH base AS (
+  SELECT doc_id,
+         CAST(doc_id % 5 + 2 AS INT) AS bw,
+         CAST(doc_id % 3 + 1 AS INT) AS bh,
+         (doc_id % 5 + 2) * (doc_id % 3 + 1) AS nb
+  FROM documents
+)
+SELECT doc_id AS media_id,
+       bw * 4 AS width, bh * 4 AS height,
+       CAST(16 * ( ((doc_id + nb) // 256) * 32640
+                   + ((doc_id + nb) % 256) * ((doc_id + nb) % 256 - 1) // 2
+                   - ( (doc_id // 256) * 32640
+                       + (doc_id % 256) * (doc_id % 256 - 1) // 2 ) )
+            AS BIGINT) AS px_sum
+FROM base
+""",
+)
+def multimodal_resize(spark, sf_dir):
+    from shmr_spark.multimodal.resize import resize_images
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(F.col("doc_id").alias("media_id"))
+
+    def plant(it):
+        import numpy as np
+
+        from shmr_spark.multimodal.png import png_encode
+
+        for pdf in it:
+            contents = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                bw, bh = mid % 5 + 2, mid % 3 + 1
+                block_vals = (mid + np.arange(bh * bw)) % 256
+                img = np.kron(
+                    block_vals.reshape(bh, bw), np.ones((8, 8), dtype=np.int64)
+                ).astype(np.uint8)
+                contents.append(png_encode(img))
+            yield pdf.assign(content=contents)
+
+    planted = media.mapInPandas(plant, schema="media_id long, content binary")
+    resized = resize_images(planted, factor=0.5)
+    return resized.select("media_id", "width", "height", "px_sum")

@@ -319,6 +319,46 @@ def streaming_tumbling(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Streaming dedup through the correctness gate: dropDuplicates on a
+# key over the replayed stream, projected to the keys — first-arrival
+# semantics over key columns only ≡ batch DISTINCT, which is the
+# oracle. (The watermark-bounded variant, whose state evicts, is
+# stream≡batch-tested in tests/test_streaming.py with planted
+# duplicates — its window semantics are not batch-SQL-expressible
+# without islands machinery.)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "streaming_dedup",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def streaming_dedup(spark, sf_dir):
+    import os
+    import shutil
+    import tempfile
+
+    from shmr_spark.streaming import read_events_stream, run_stream_to_memory
+    from shmr_spark.streaming.dedup import dedup_stream
+
+    d = tempfile.mkdtemp(prefix="shmr_stream_dedup_gate_")
+    src = os.path.join(sf_dir, "events.parquet")
+    if os.path.isdir(src):
+        shutil.copytree(src, os.path.join(d, "events.parquet"))
+    else:
+        shutil.copy(src, d)
+    try:
+        stream = read_events_stream(spark, d).select("user_id", "event_type")
+        return run_stream_to_memory(
+            dedup_stream(stream, ["user_id", "event_type"]),
+            "streaming_dedup_gate",
+            output_mode="append",
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
 # Window-function showcase: lag/lead/rank/ntile over a deterministic
 # order — the full analytic-function surface in one oracled query.
 # --------------------------------------------------------------------------

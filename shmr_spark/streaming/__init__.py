@@ -15,3 +15,4 @@ __all__ = [
     "sessionize_stream",
     "interval_join_stream",
 ]
+from shmr_spark.streaming.dedup import dedup_stream, dedup_stream_watermarked

@@ -415,3 +415,35 @@ def test_sample_frames_flatmap_shape(spark, media_df):
     assert per_media[2] >= 2  # 5000-byte wav → multiple frames
     assert per_media[3] == 1  # null content → 1 placeholder frame
     assert all(n <= 4 for n in per_media.values())
+
+
+def test_resize_nearest_roundtrip_and_degrade(spark):
+    """resize_images: PNG round-trip is lossless, the halved image
+    equals the numpy nearest-neighbor reference, and an undecodable
+    row degrades per-row (err set, others unaffected)."""
+    import numpy as np
+
+    from shmr_spark.multimodal.png import png_decode
+    from shmr_spark.multimodal.resize import _resize_nearest, resize_images
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(20, 14, 3), dtype=np.uint8)
+
+    from shmr_spark.multimodal.png import png_encode
+
+    rows = [
+        (0, bytearray(png_encode(img))),
+        (1, bytearray(b"not an image")),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    out = {r.media_id: r for r in resize_images(df, factor=0.5).collect()}
+
+    ok = out[0]
+    assert ok.err is None and (ok.height, ok.width) == (10, 7)
+    ref = _resize_nearest(img, 0.5)
+    decoded = png_decode(bytes(ok.content))[0]
+    assert (decoded == ref).all()
+    assert ok.px_sum == int(ref.sum(dtype=np.int64))
+
+    bad = out[1]
+    assert bad.err is not None and bad.content is None and bad.px_sum == -1

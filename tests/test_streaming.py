@@ -237,3 +237,29 @@ def test_stream_reads_ltz_written_corpus(spark, sf_dir, tmp_path):
     s = {tuple(r) for r in stream_out.collect()}
     b = {tuple(r) for r in batch_out.collect()}
     assert s == b
+
+
+def test_stream_dedup_equals_batch(spark, sf_dir, tmp_path):
+    """Planted duplicates: every event appears twice in the source;
+    the watermark-bounded streaming dedup must deliver exactly the
+    batch-distinct set (duplicates here arrive in the same file, well
+    inside any watermark)."""
+    from shmr_spark.streaming.dedup import dedup_stream_watermarked
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value",
+        F.lit("{}").alias("props"),
+    )
+    doubled = ev.union(ev)
+    d = tmp_path / "dup_events"
+    d.mkdir()
+    doubled.write.parquet(str(d / "events.parquet"))
+
+    from shmr_spark.streaming import read_events_stream
+
+    deduped = dedup_stream_watermarked(
+        read_events_stream(spark, str(d)), ["event_id"]
+    )
+    out = run_stream_to_memory(deduped, "stream_dedup_test", output_mode="append")
+    assert out.count() == ev.count()
+    assert out.select("event_id").distinct().count() == ev.count()
