@@ -62,6 +62,90 @@ def incremental_dedup_exact(
     return batch_first.join(state.select("__fp"), "__fp", "left_anti")
 
 
+def incremental_dedup_minhash(
+    new_docs: DataFrame,
+    state_docs: DataFrame,
+    threshold: float = 0.5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_size: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """NEAR-duplicate incremental ingest: batch docs accepted iff no
+    exact-Jaccard-verified LSH candidate links them to a state doc or
+    to an EARLIER batch doc (first-wins by id). Returns the accepted
+    rows of ``new_docs``.
+
+    Plan shape: shingle+sign both sides once, then join the BATCH
+    side's band rows (bands small rows per new doc) against the band
+    table of state+batch — never state×state. Verification ships
+    shingle arrays for candidate ids only. At scale the state's band
+    rows and shingle arrays are persisted append-only (see
+    dedup/minhash.band_rows) so each ingest batch shuffles only its
+    own rows; here both are derived from ``state_docs`` for a
+    self-contained operator.
+    """
+    from shmr_spark.dedup.minhash import (
+        band_rows,
+        minhash_signatures_df,
+        shingle_ngrams,
+    )
+
+    batch = new_docs.select(
+        F.col(id_col).alias("__id"), F.col(text_col).alias("__t")
+    )
+    state = state_docs.select(
+        F.col(id_col).alias("__id"), F.col(text_col).alias("__t")
+    )
+    sh_all = (
+        batch.withColumn("__is_new", F.lit(True))
+        .unionByName(state.withColumn("__is_new", F.lit(False)))
+        .select(
+            "__id", "__is_new", shingle_ngrams("__t", shingle_size).alias("__sh")
+        )
+        .localCheckpoint(eager=False)
+    )
+    sigs = minhash_signatures_df(sh_all, "__id", "__sh", num_hashes)
+    flags = sh_all.select("__id", "__is_new")
+    all_bands = band_rows(sigs, "__id", "sig", bands)
+    batch_bands = all_bands.join(
+        flags.filter("__is_new").select("__id"), "__id"
+    )
+
+    cands = (
+        batch_bands.alias("n")
+        .join(
+            all_bands.alias("o"),
+            (F.col("n.band") == F.col("o.band"))
+            & (F.col("n.bh") == F.col("o.bh"))
+            & (F.col("n.__id") != F.col("o.__id")),
+        )
+        .select(F.col("n.__id").alias("new_id"), F.col("o.__id").alias("other_id"))
+        .distinct()
+    )
+    # a candidate blocks the batch doc iff the other side is state, or
+    # an earlier batch doc
+    other_flag = flags.select(
+        F.col("__id").alias("other_id"), F.col("__is_new").alias("other_is_new")
+    )
+    blocking = cands.join(other_flag, "other_id").filter(
+        (~F.col("other_is_new")) | (F.col("other_id") < F.col("new_id"))
+    )
+    sh_n = sh_all.select(F.col("__id").alias("new_id"), F.col("__sh").alias("sh_n"))
+    sh_o = sh_all.select(F.col("__id").alias("other_id"), F.col("__sh").alias("sh_o"))
+    inter = F.size(F.array_intersect("sh_n", "sh_o")).cast("double")
+    union = F.size(F.array_union("sh_n", "sh_o")).cast("double")
+    rejected = (
+        blocking.join(sh_n, "new_id")
+        .join(sh_o, "other_id")
+        .filter((inter / union) >= F.lit(threshold))
+        .select(F.col("new_id").alias(id_col))
+        .distinct()
+    )
+    return new_docs.join(rejected, id_col, "left_anti")
+
+
 def fingerprint_state(
     docs: DataFrame,
     text_col: str = "text",

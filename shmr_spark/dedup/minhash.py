@@ -117,21 +117,21 @@ def minhash_signatures_df(
     )
 
 
-def lsh_candidates(
+def band_rows(
     df: DataFrame,
     id_col: str = "doc_id",
     sig_col: str = "sig",
     bands: int = 16,
 ) -> DataFrame:
-    """Candidate pairs (id_a < id_b) whose signatures collide in at
-    least one LSH band. Input: one row per doc with a minhash
-    signature; output: distinct candidate id pairs.
-
-    The only wide ops are the band-bucket self-join (shuffle on
-    band hash — uniformly distributed, skew-free) and the final
-    distinct."""
+    """(__id, band, bh) rows — ``bands`` small rows per document, the
+    join-ready LSH band table. Materialized (localCheckpoint) because
+    every consumer joins it at least twice and the signature
+    expression is the expensive part; the banded table itself is tiny
+    (~20 bytes × bands per doc). This is also the table an
+    append-only near-dup STATE persists (bucketed by (band, bh)) so
+    ingest batches join against it without recomputing history."""
     r = F.floor(F.size(sig_col) / bands).cast("int")
-    banded = (
+    return (
         df.select(
             F.col(id_col).alias("__id"),
             F.explode(
@@ -147,12 +147,24 @@ def lsh_candidates(
             ).alias("bb"),
         )
         .select("__id", "bb.band", "bb.bh")
-        # materialize: the self-join below would otherwise recompute
-        # the full signature expression for BOTH sides (measured 2×
-        # the whole signature cost); the banded table is tiny
-        # (bands rows × ~20 bytes per doc)
         .localCheckpoint(eager=False)
     )
+
+
+def lsh_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "sig",
+    bands: int = 16,
+) -> DataFrame:
+    """Candidate pairs (id_a < id_b) whose signatures collide in at
+    least one LSH band. Input: one row per doc with a minhash
+    signature; output: distinct candidate id pairs.
+
+    The only wide ops are the band-bucket self-join (shuffle on
+    band hash — uniformly distributed, skew-free) and the final
+    distinct."""
+    banded = band_rows(df, id_col, sig_col, bands)
     left = banded.alias("a")
     right = banded.alias("b")
     return (

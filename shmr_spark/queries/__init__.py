@@ -128,6 +128,7 @@ _PRIORITY: list[str] = [
     "zorder_keys",
     "streaming_dedup",
     "multimodal_resize",
+    "dedup_minhash_incremental",
 ]
 
 

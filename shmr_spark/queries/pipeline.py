@@ -319,3 +319,50 @@ def dedup_incremental(spark, sf_dir):
     return incremental_dedup_exact(batch, state).select(
         "doc_id", F.col("__fp").alias("fp")
     )
+
+
+# --------------------------------------------------------------------------
+# Incremental NEAR-dup ingest (dedup/incremental.py): batch docs
+# rejected when an LSH candidate link to the accepted corpus (or an
+# earlier batch doc) survives exact-Jaccard verification. Gate runs
+# single-row banding (bands = num_hashes = 64), where the candidate
+# set provably covers every Jaccard>=0.5 pair (miss probability
+# (1-j)^64 < 1e-19 — same argument as the dedup_minhash gate), so the
+# SQL twin is the brute-force all-pairs form.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "dedup_minhash_incremental",
+    oracle="""
+WITH grams AS (
+  SELECT doc_id,
+    CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+      list_distinct(list_transform(
+        generate_series(1, len(string_split(text, ' ')) - 2),
+        i -> string_split(text, ' ')[i] || ' ' ||
+             string_split(text, ' ')[i+1] || ' ' ||
+             string_split(text, ' ')[i+2]))
+    ELSE [text] END AS gs
+  FROM documents
+)
+SELECT g.doc_id FROM grams g
+WHERE g.doc_id % 2 = 1
+  AND NOT EXISTS (
+    SELECT 1 FROM grams o
+    WHERE o.doc_id <> g.doc_id
+      AND (o.doc_id % 2 = 0 OR o.doc_id < g.doc_id)
+      AND CAST(len(list_intersect(g.gs, o.gs)) AS DOUBLE) /
+          CAST(len(list_distinct(list_concat(g.gs, o.gs))) AS DOUBLE) >= 0.5
+  )
+""",
+)
+def dedup_minhash_incremental(spark, sf_dir):
+    from shmr_spark.dedup.incremental import incremental_dedup_minhash
+
+    docs = load_table(spark, sf_dir, "documents")
+    state = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    return incremental_dedup_minhash(
+        batch, state, threshold=0.5, num_hashes=64, bands=64
+    ).select("doc_id")

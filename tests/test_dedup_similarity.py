@@ -395,3 +395,32 @@ def test_incremental_dedup_waves_equal_global(spark, sf_dir):
         r.doc_id for r in dedup_exact_keep_first(docs).select("doc_id").collect()
     }
     assert accepted_ids == global_ids
+
+
+def test_incremental_minhash_planted(spark):
+    """Production banding (16x4): a batch doc that is a near-copy of a
+    state doc is rejected, a near-copy of an EARLIER batch doc is
+    rejected, and novel docs pass."""
+    from shmr_spark.dedup.incremental import incremental_dedup_minhash
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    novel1 = "completely different content about spark catalyst optimizer internals " * 5
+    novel2 = "yet another unrelated passage describing parquet encodings in depth " * 5
+    state = spark.createDataFrame(
+        [(0, base), (2, novel1)], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [
+            (1, base + "with a tiny suffix change"),   # near-dup of state 0
+            (3, novel2),                                # novel → accepted
+            (5, novel2 + "slightly extended tail"),     # near-dup of batch 3
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id
+        for r in incremental_dedup_minhash(
+            batch, state, threshold=0.5, num_hashes=64, bands=16
+        ).collect()
+    }
+    assert got == {3}
