@@ -85,6 +85,13 @@ def incremental_dedup_minhash(
     dedup/minhash.band_rows) so each ingest batch shuffles only its
     own rows; here both are derived from ``state_docs`` for a
     self-contained operator.
+
+    Ids must be unique WITHIN each side; the same id may appear on
+    both sides (a re-delivered document). Internally every row gets a
+    side-tagged key, so a batch doc whose id already exists in state
+    is still content-compared against the state copy — an exact
+    re-delivery is rejected like any other near-duplicate rather than
+    slipping through on id equality.
     """
     from shmr_spark.dedup.minhash import (
         band_rows,
@@ -98,19 +105,32 @@ def incremental_dedup_minhash(
     state = state_docs.select(
         F.col(id_col).alias("__id"), F.col(text_col).alias("__t")
     )
+    # side-tagged key: ids may collide across sides (re-delivery), and
+    # an id collision would both merge the two docs' shingles in the
+    # signature groupBy and exempt the pair from the band join's
+    # self-pair guard
+    uid = F.concat(
+        F.when(F.col("__is_new"), F.lit("n:")).otherwise(F.lit("s:")),
+        F.col("__id").cast("string"),
+    ).alias("__uid")
     sh_all = (
         batch.withColumn("__is_new", F.lit(True))
         .unionByName(state.withColumn("__is_new", F.lit(False)))
         .select(
-            "__id", "__is_new", shingle_ngrams("__t", shingle_size).alias("__sh")
+            uid,
+            "__id",
+            "__is_new",
+            shingle_ngrams("__t", shingle_size).alias("__sh"),
         )
         .localCheckpoint(eager=False)
     )
-    sigs = minhash_signatures_df(sh_all, "__id", "__sh", num_hashes)
-    flags = sh_all.select("__id", "__is_new")
-    all_bands = band_rows(sigs, "__id", "sig", bands)
+    sigs = minhash_signatures_df(sh_all, "__uid", "__sh", num_hashes)
+    meta = sh_all.select("__uid", "__id", "__is_new")
+    all_bands = band_rows(sigs, "__uid", "sig", bands).withColumnRenamed(
+        "__id", "__uid"
+    )
     batch_bands = all_bands.join(
-        flags.filter("__is_new").select("__id"), "__id"
+        meta.filter("__is_new").select("__uid"), "__uid"
     )
 
     cands = (
@@ -119,26 +139,35 @@ def incremental_dedup_minhash(
             all_bands.alias("o"),
             (F.col("n.band") == F.col("o.band"))
             & (F.col("n.bh") == F.col("o.bh"))
-            & (F.col("n.__id") != F.col("o.__id")),
+            & (F.col("n.__uid") != F.col("o.__uid")),
         )
-        .select(F.col("n.__id").alias("new_id"), F.col("o.__id").alias("other_id"))
+        .select(
+            F.col("n.__uid").alias("new_uid"), F.col("o.__uid").alias("other_uid")
+        )
         .distinct()
     )
     # a candidate blocks the batch doc iff the other side is state, or
     # an earlier batch doc
-    other_flag = flags.select(
-        F.col("__id").alias("other_id"), F.col("__is_new").alias("other_is_new")
+    new_meta = meta.select(
+        F.col("__uid").alias("new_uid"), F.col("__id").alias("new_id")
     )
-    blocking = cands.join(other_flag, "other_id").filter(
+    other_meta = meta.select(
+        F.col("__uid").alias("other_uid"),
+        F.col("__id").alias("other_id"),
+        F.col("__is_new").alias("other_is_new"),
+    )
+    blocking = cands.join(other_meta, "other_uid").join(new_meta, "new_uid").filter(
         (~F.col("other_is_new")) | (F.col("other_id") < F.col("new_id"))
     )
-    sh_n = sh_all.select(F.col("__id").alias("new_id"), F.col("__sh").alias("sh_n"))
-    sh_o = sh_all.select(F.col("__id").alias("other_id"), F.col("__sh").alias("sh_o"))
+    sh_n = sh_all.select(F.col("__uid").alias("new_uid"), F.col("__sh").alias("sh_n"))
+    sh_o = sh_all.select(
+        F.col("__uid").alias("other_uid"), F.col("__sh").alias("sh_o")
+    )
     inter = F.size(F.array_intersect("sh_n", "sh_o")).cast("double")
     union = F.size(F.array_union("sh_n", "sh_o")).cast("double")
     rejected = (
-        blocking.join(sh_n, "new_id")
-        .join(sh_o, "other_id")
+        blocking.join(sh_n, "new_uid")
+        .join(sh_o, "other_uid")
         .filter((inter / union) >= F.lit(threshold))
         .select(F.col("new_id").alias(id_col))
         .distinct()

@@ -7,6 +7,7 @@ from shmr_spark.multimodal.binary import (
     featurize_audio,
     sample_frames,
 )
+from shmr_spark.multimodal.resize import resize_images
 
 __all__ = [
     "MEDIA_SCHEMA",
@@ -15,6 +16,6 @@ __all__ = [
     "attach_media_metadata",
     "decode_and_featurize",
     "featurize_audio",
+    "resize_images",
     "sample_frames",
 ]
-from shmr_spark.multimodal.resize import resize_images

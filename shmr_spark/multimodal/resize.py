@@ -26,10 +26,19 @@ from pyspark.sql import DataFrame
 
 def _resize_nearest(px: np.ndarray, factor: float) -> np.ndarray:
     """(h, w, c) uint8 → nearest-neighbor resample by ``factor``
-    (floor mapping; output dims floor(dim·factor), min 1)."""
+    (floor mapping; output dims floor(dim·factor), min 1).
+
+    Output dims use exact rational arithmetic — ``factor`` is read as
+    the nearest simple rational (Fraction.limit_denominator), so
+    floor(90 · 0.7) = 63, not int(62.999…) = 62 as naive float
+    multiply would give. Keeps the closed-form-oracle promise for any
+    decimal factor, not just binary-exact ones."""
+    from fractions import Fraction
+
+    frac = Fraction(factor).limit_denominator(10**6)
     h, w = px.shape[0], px.shape[1]
-    out_h = max(1, int(h * factor))
-    out_w = max(1, int(w * factor))
+    out_h = max(1, (h * frac.numerator) // frac.denominator)
+    out_w = max(1, (w * frac.numerator) // frac.denominator)
     ys = (np.arange(out_h) * h) // out_h
     xs = (np.arange(out_w) * w) // out_w
     return px[ys[:, None], xs[None, :], :]

@@ -47,9 +47,10 @@ def query(name: str, oracle: str | None = None, headline: bool = False):
 # Registry emission order. The driver's correctness gate has a budget
 # (rounds 1-3 recorded exactly the first 50 registered queries), so
 # the order below is part of the verification strategy. Round-4
-# window = 7 + 2 + 3 + 38 = 50, in four groups (the list holds 51
-# names: the last canary, zorder_keys, sits at slot 51 — outside the
-# round-4 budget, first in line for round 5's rotation):
+# window = 7 + 2 + 3 + 38 = 50, in four groups; names past slot 50
+# (zorder_keys onward — late-round-4 additions, all parity-checked
+# green locally) sit outside the round-4 budget and lead round 5's
+# rotation:
 #   1. the 7 queries that have never received a CORRECTNESS row
 #      (added in round 3; judge-verified green at sf0.01 but no
 #      driver row yet) — landing these closes the full 131-query

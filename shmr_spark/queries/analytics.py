@@ -286,36 +286,46 @@ def approx_distinct(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 
-@query("streaming_tumbling", oracle=_TUMBLING_ORACLE)
-def streaming_tumbling(spark, sf_dir):
+from contextlib import contextmanager
+
+
+@contextmanager
+def _staged_events_dir(sf_dir, prefix="shmr_stream_gate_"):
+    """Copy the events table into a throwaway directory for
+    file-source stream replay. Handles both corpus shapes (single
+    parquet file in driver testdata, directory of part files in
+    derived corpora). The memory sink is fully materialized before
+    the gate query returns, so the copy is deleted on exit."""
     import os
     import shutil
     import tempfile
 
+    d = tempfile.mkdtemp(prefix=prefix)
+    src = os.path.join(sf_dir, "events.parquet")
+    try:
+        if os.path.isdir(src):
+            shutil.copytree(src, os.path.join(d, "events.parquet"))
+        else:
+            shutil.copy(src, d)
+        yield d
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@query("streaming_tumbling", oracle=_TUMBLING_ORACLE)
+def streaming_tumbling(spark, sf_dir):
     from shmr_spark.streaming import (
         read_events_stream,
         run_stream_to_memory,
         tumbling_window_stream,
     )
 
-    d = tempfile.mkdtemp(prefix="shmr_stream_gate_")
-    src = os.path.join(sf_dir, "events.parquet")
-    # the corpus table may be a single file (driver testdata) or a
-    # directory of part files (derived corpora)
-    if os.path.isdir(src):
-        shutil.copytree(src, os.path.join(d, "events.parquet"))
-    else:
-        shutil.copy(src, d)
-    try:
-        # the memory sink is fully materialized when this returns, so
-        # the source copy can be deleted immediately
+    with _staged_events_dir(sf_dir) as d:
         return run_stream_to_memory(
             tumbling_window_stream(read_events_stream(spark, d)),
             "streaming_tumbling_gate",
             output_mode="complete",
         )
-    finally:
-        shutil.rmtree(d, ignore_errors=True)
 
 
 # --------------------------------------------------------------------------
@@ -334,28 +344,16 @@ def streaming_tumbling(spark, sf_dir):
     oracle="SELECT DISTINCT user_id, event_type FROM events",
 )
 def streaming_dedup(spark, sf_dir):
-    import os
-    import shutil
-    import tempfile
-
     from shmr_spark.streaming import read_events_stream, run_stream_to_memory
     from shmr_spark.streaming.dedup import dedup_stream
 
-    d = tempfile.mkdtemp(prefix="shmr_stream_dedup_gate_")
-    src = os.path.join(sf_dir, "events.parquet")
-    if os.path.isdir(src):
-        shutil.copytree(src, os.path.join(d, "events.parquet"))
-    else:
-        shutil.copy(src, d)
-    try:
+    with _staged_events_dir(sf_dir, prefix="shmr_stream_dedup_gate_") as d:
         stream = read_events_stream(spark, d).select("user_id", "event_type")
         return run_stream_to_memory(
             dedup_stream(stream, ["user_id", "event_type"]),
             "streaming_dedup_gate",
             output_mode="append",
         )
-    finally:
-        shutil.rmtree(d, ignore_errors=True)
 
 
 # --------------------------------------------------------------------------
@@ -620,23 +618,13 @@ FROM events a JOIN events b
 """,
 )
 def streaming_interval_join(spark, sf_dir):
-    import os
-    import shutil
-    import tempfile
-
     from shmr_spark.streaming import (
         interval_join_stream,
         read_events_stream,
         run_stream_to_memory,
     )
 
-    d = tempfile.mkdtemp(prefix="shmr_stream_ij_")
-    src = os.path.join(sf_dir, "events.parquet")
-    if os.path.isdir(src):
-        shutil.copytree(src, os.path.join(d, "events.parquet"))
-    else:
-        shutil.copy(src, d)
-    try:
+    with _staged_events_dir(sf_dir, prefix="shmr_stream_ij_") as d:
         return run_stream_to_memory(
             interval_join_stream(
                 read_events_stream(spark, d), read_events_stream(spark, d)
@@ -644,8 +632,6 @@ def streaming_interval_join(spark, sf_dir):
             "streaming_interval_join_gate",
             output_mode="append",
         )
-    finally:
-        shutil.rmtree(d, ignore_errors=True)
 
 
 # --------------------------------------------------------------------------

@@ -6,6 +6,7 @@ from shmr_spark.streaming.windows import (
 )
 from shmr_spark.streaming.stateful import sessionize_stream
 from shmr_spark.streaming.joins import interval_join_stream
+from shmr_spark.streaming.dedup import dedup_stream, dedup_stream_watermarked
 
 __all__ = [
     "read_events_stream",
@@ -14,5 +15,6 @@ __all__ = [
     "run_stream_to_memory",
     "sessionize_stream",
     "interval_join_stream",
+    "dedup_stream",
+    "dedup_stream_watermarked",
 ]
-from shmr_spark.streaming.dedup import dedup_stream, dedup_stream_watermarked

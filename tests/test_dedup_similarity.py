@@ -424,3 +424,33 @@ def test_incremental_minhash_planted(spark):
         ).collect()
     }
     assert got == {3}
+
+
+def test_incremental_minhash_redelivered_id(spark):
+    """A batch doc that re-uses an id already in state (re-delivery)
+    must still be content-compared against the state copy: an exact
+    re-delivery is rejected, and a same-id row with genuinely novel
+    text is accepted. Regression for the side-tagged-key fix — with a
+    bare id key the two id-7 rows merged into one corrupted signature
+    and the self-pair guard exempted the duplicate."""
+    from shmr_spark.dedup.incremental import incremental_dedup_minhash
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    novel = "completely different content about spark catalyst optimizer internals " * 5
+    state = spark.createDataFrame([(7, base)], "doc_id long, text string")
+
+    redelivered = spark.createDataFrame([(7, base)], "doc_id long, text string")
+    assert (
+        incremental_dedup_minhash(
+            redelivered, state, threshold=0.5, num_hashes=64, bands=16
+        ).count()
+        == 0
+    )
+
+    same_id_novel = spark.createDataFrame([(7, novel)], "doc_id long, text string")
+    assert (
+        incremental_dedup_minhash(
+            same_id_novel, state, threshold=0.5, num_hashes=64, bands=16
+        ).count()
+        == 1
+    )

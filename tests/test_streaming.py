@@ -242,8 +242,10 @@ def test_stream_reads_ltz_written_corpus(spark, sf_dir, tmp_path):
 def test_stream_dedup_equals_batch(spark, sf_dir, tmp_path):
     """Planted duplicates: every event appears twice in the source;
     the watermark-bounded streaming dedup must deliver exactly the
-    batch-distinct set (duplicates here arrive in the same file, well
-    inside any watermark)."""
+    batch-distinct set. coalesce(1) forces ALL rows (both copies)
+    into one part file — one micro-batch — so the dedup state, not
+    watermark-based late-row eviction across micro-batches, is what
+    removes the duplicates."""
     from shmr_spark.streaming.dedup import dedup_stream_watermarked
 
     ev = load_table(spark, sf_dir, "events").select(
@@ -253,7 +255,7 @@ def test_stream_dedup_equals_batch(spark, sf_dir, tmp_path):
     doubled = ev.union(ev)
     d = tmp_path / "dup_events"
     d.mkdir()
-    doubled.write.parquet(str(d / "events.parquet"))
+    doubled.coalesce(1).write.parquet(str(d / "events.parquet"))
 
     from shmr_spark.streaming import read_events_stream
 
