@@ -130,6 +130,7 @@ _PRIORITY: list[str] = [
     "streaming_dedup",
     "multimodal_resize",
     "dedup_minhash_incremental",
+    "rollup_incremental",
 ]
 
 

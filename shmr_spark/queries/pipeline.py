@@ -11,6 +11,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from shmr_spark.catalog import load_table
+from shmr_spark.functions.numeric import sql_dsum
 from shmr_spark.functions.text import (
     lang_id,
     quality_score,
@@ -366,3 +367,41 @@ def dedup_minhash_incremental(spark, sf_dir):
     return incremental_dedup_minhash(
         batch, state, threshold=0.5, num_hashes=64, bands=64
     ).select("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Incremental rollup maintenance (operators/rollup_incremental.py):
+# a daily continuous aggregate kept fresh by merging batch partials
+# into touched-day state rows only. The gate splits events on
+# event_id parity, builds state from the even half, merges the odd
+# half, and reads the merged state out — which must be BIT-IDENTICAL
+# to a full recompute over all events (the oracle). The exact
+# identity holds because the sum partial is the 10^6-scaled int64 of
+# the dsum discipline, not a double.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "rollup_incremental",
+    oracle=f"""
+SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       {sql_dsum('value')} AS sum_value,
+       ({sql_dsum('value')} / CAST(COUNT(*) AS DOUBLE)) AS avg_value,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def rollup_incremental(spark, sf_dir):
+    from shmr_spark.operators.rollup_incremental import (
+        merge_rollup,
+        rollup_events,
+        rollup_readout,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    state = rollup_events(ev.filter(F.col("event_id") % 2 == 0))
+    merged = merge_rollup(state, ev.filter(F.col("event_id") % 2 == 1))
+    return rollup_readout(merged)

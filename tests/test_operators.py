@@ -408,3 +408,61 @@ def test_select_by_token_budget_equals_naive(spark):
     # the straddling doc is KEPT: max start_tok is under budget but its
     # doc may finish past it
     assert got and max(got.values()) < budget
+
+
+def test_rollup_merge_equals_full_recompute(spark, sf_dir):
+    """merge_rollup(state, delta) must be bit-identical to a full
+    rollup over the union — the algebraic-partials identity the
+    continuous aggregate rests on. Split on user parity so most days
+    appear on both sides (exercises the combine path)."""
+    from shmr_spark.operators import merge_rollup, rollup_events, rollup_readout
+
+    ev = load_table(spark, sf_dir, "events")
+    state = rollup_events(ev.filter(F.col("user_id") % 2 == 0))
+    merged = rollup_readout(merge_rollup(state, ev.filter(F.col("user_id") % 2 == 1)))
+    full = rollup_readout(rollup_events(ev))
+    assert {tuple(r) for r in merged.collect()} == {tuple(r) for r in full.collect()}
+
+
+def test_rollup_merge_untouched_days_pass_through(spark):
+    """A delta confined to one day must leave other days' state rows
+    byte-identical (the partition-pruned path) and re-combine only the
+    touched day."""
+    from shmr_spark.operators import merge_rollup, rollup_events
+
+    from datetime import datetime
+
+    ev = spark.createDataFrame(
+        [
+            (1, datetime(2024, 3, 1, 10), "a", 1.25),
+            (2, datetime(2024, 3, 2, 11), "a", 2.5),
+            (3, datetime(2024, 3, 2, 12), "b", 4.0),
+        ],
+        "event_id long, ts timestamp, event_type string, value double",
+    )
+    delta = spark.createDataFrame(
+        [(4, datetime(2024, 3, 2, 13), "a", 0.75)],
+        "event_id long, ts timestamp, event_type string, value double",
+    )
+    state = rollup_events(ev)
+    merged = merge_rollup(state, delta)
+    rows = {(str(r.day), r.event_type): (r.cnt, r.sum_scaled) for r in merged.collect()}
+    assert rows[("2024-03-01", "a")] == (1, 1_250_000)  # untouched
+    assert rows[("2024-03-02", "a")] == (2, 3_250_000)  # combined
+    assert rows[("2024-03-02", "b")] == (1, 4_000_000)  # touched day, other key
+
+
+def test_rollup_merge_associative(spark, sf_dir):
+    """Merging two deltas one at a time equals merging their union —
+    ingest order cannot change the state."""
+    from shmr_spark.operators import merge_rollup, rollup_events
+
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_id") % 3 == 0)
+    b = ev.filter(F.col("event_id") % 3 == 1)
+    c = ev.filter(F.col("event_id") % 3 == 2)
+    one_by_one = merge_rollup(merge_rollup(rollup_events(a), b), c)
+    at_once = merge_rollup(rollup_events(a), b.unionByName(c))
+    assert {tuple(r) for r in one_by_one.collect()} == {
+        tuple(r) for r in at_once.collect()
+    }
