@@ -13,8 +13,11 @@ from shmr_spark.dedup.minhash import (
 )
 from shmr_spark.dedup.simhash import simhash64, simhash60_md5, simhash_near_duplicates
 from shmr_spark.dedup.embedding import embedding_near_duplicates
+from shmr_spark.dedup.spans import duplicate_span_stats, duplicated_ngram_spans
 
 __all__ = [
+    "duplicate_span_stats",
+    "duplicated_ngram_spans",
     "dedup_exact_keep_first",
     "shingle_ngrams",
     "minhash_signature",

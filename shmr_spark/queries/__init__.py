@@ -131,6 +131,7 @@ _PRIORITY: list[str] = [
     "multimodal_resize",
     "dedup_minhash_incremental",
     "rollup_incremental",
+    "duplicate_spans",
 ]
 
 

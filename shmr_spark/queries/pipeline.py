@@ -405,3 +405,53 @@ def rollup_incremental(spark, sf_dir):
     state = rollup_events(ev.filter(F.col("event_id") % 2 == 0))
     merged = merge_rollup(state, ev.filter(F.col("event_id") % 2 == 1))
     return rollup_readout(merged)
+
+
+# --------------------------------------------------------------------------
+# Exact-substring duplicate spans (dedup/spans.py): repeated token
+# 13-grams anywhere in the corpus, merged per document into maximal
+# token spans — the Spark-first equivalent of suffix-array substring
+# dedup (Lee et al.). The oracle rebuilds the same function in SQL:
+# grams by position, HAVING count>=2, islands via the
+# running-max-end window, one row per merged span. Spark carries
+# xxhash64(gram) instead of the gram text; the oracle groups the
+# strings themselves — a hash collision would break parity, which is
+# the point of checking it (none at gate scale).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "duplicate_spans",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), grams AS (
+  SELECT doc_id, i - 1 AS pos, array_to_string(t[i : i + 12], ' ') AS g
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 12)) AS i FROM toks)
+), dup AS (
+  SELECT g FROM grams GROUP BY g HAVING COUNT(*) >= 2
+), hits AS (
+  SELECT doc_id, pos FROM grams WHERE g IN (SELECT g FROM dup)
+), brk AS (
+  SELECT doc_id, pos,
+    CASE WHEN pos > COALESCE(MAX(pos + 12) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) + 1
+         THEN 1 ELSE 0 END AS b
+  FROM hits
+), isl AS (
+  SELECT doc_id, pos,
+         SUM(b) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM brk
+)
+SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+       CAST(MAX(pos) + 12 AS BIGINT) AS span_end,
+       CAST(COUNT(*) AS BIGINT) AS n_grams
+FROM isl GROUP BY doc_id, island
+""",
+)
+def duplicate_spans(spark, sf_dir):
+    from shmr_spark.dedup.spans import duplicated_ngram_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return duplicated_ngram_spans(docs, n=13)

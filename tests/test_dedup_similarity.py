@@ -454,3 +454,77 @@ def test_incremental_minhash_redelivered_id(spark):
         ).count()
         == 1
     )
+
+
+def test_duplicate_spans_planted(spark):
+    """Two docs share an exact 6-token passage at known offsets; a
+    third is all-unique. The merged span must cover exactly the shared
+    passage in both docs (0-based inclusive token indices)."""
+    from shmr_spark.dedup.spans import duplicated_ngram_spans
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, "one two " + shared + " three four five six"),       # span @ 2..7
+            (2, "seven eight nine ten " + shared),                   # span @ 4..9
+            (3, "only unique words appear in this document here ok"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = {
+        r.doc_id: (r.span_start, r.span_end, r.n_grams)
+        for r in duplicated_ngram_spans(docs, n=6).collect()
+    }
+    assert spans == {1: (2, 7, 1), 2: (4, 9, 1)}
+
+
+def test_duplicate_spans_merges_overlaps_and_within_doc(spark):
+    """A doc that repeats its own opening inside itself: overlapping
+    duplicated grams fold into ONE maximal span per region, and
+    within-doc repeats count toward min_count."""
+    from shmr_spark.dedup.spans import duplicated_ngram_spans
+
+    # tokens 0..3 equal tokens 5..8 -> every 3-gram in each region
+    # duplicates; regions merge internally but not across the gap
+    doc = "a b c d X a b c d"
+    docs = spark.createDataFrame([(1, doc)], "doc_id long, text string")
+    spans = sorted(
+        (r.span_start, r.span_end, r.n_grams)
+        for r in duplicated_ngram_spans(docs, n=3).collect()
+    )
+    assert spans == [(0, 3, 2), (5, 8, 2)]
+
+
+def test_duplicate_span_stats_ratio(spark):
+    """Per-doc summary keeps span-free docs with dup_tokens=0 and
+    reports the exact duplicated-token ratio for covered docs."""
+    from shmr_spark.dedup.spans import duplicate_span_stats
+
+    shared = "alpha beta gamma delta epsilon zeta"
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " tail one two"),   # 9 tokens, 6 duplicated
+            (2, shared),                     # 6 tokens, all duplicated
+            (3, "totally different text entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    stats = {
+        r.doc_id: (r.n_tokens, r.dup_tokens, r.dup_ratio)
+        for r in duplicate_span_stats(docs, n=6).collect()
+    }
+    assert stats[1] == (9, 6, 6 / 9)
+    assert stats[2] == (6, 6, 1.0)
+    assert stats[3] == (4, 0, 0.0)
+
+
+def test_duplicate_spans_short_docs_skipped(spark):
+    """Docs with fewer than n tokens produce no grams and no spans —
+    the sequence() guard must not emit a descending range."""
+    from shmr_spark.dedup.spans import duplicated_ngram_spans
+
+    docs = spark.createDataFrame(
+        [(1, "too short"), (2, "too short")],
+        "doc_id long, text string",
+    )
+    assert duplicated_ngram_spans(docs, n=5).count() == 0
