@@ -132,6 +132,7 @@ _PRIORITY: list[str] = [
     "dedup_minhash_incremental",
     "rollup_incremental",
     "duplicate_spans",
+    "streaming_enrich",
 ]
 
 

@@ -357,6 +357,48 @@ def streaming_dedup(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Stream-static enrichment through the correctness gate: the events
+# stream broadcast-joins the customer dimension per micro-batch, then
+# aggregates per (market segment, event type). Must hash-match the
+# batch join+aggregate oracle — the stream-side partitioning carries
+# no extra shuffle (broadcast join), and the incremental agg across
+# micro-batches must compose to exactly the batch answer.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "streaming_enrich",
+    oracle=f"""
+SELECT c.c_mktsegment AS mktsegment, e.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       {sql_dsum('e.value')} AS sum_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2
+""",
+)
+def streaming_enrich(spark, sf_dir):
+    from shmr_spark.streaming import (
+        enrich_stream,
+        read_events_stream,
+        run_stream_to_memory,
+    )
+
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    with _staged_events_dir(sf_dir, prefix="shmr_stream_enrich_gate_") as d:
+        enriched = enrich_stream(
+            read_events_stream(spark, d), dim, on="user_id", how="inner"
+        )
+        agg = enriched.groupBy(
+            F.col("c_mktsegment").alias("mktsegment"), "event_type"
+        ).agg(F.count("*").alias("n"), dsum("value").alias("sum_value"))
+        return run_stream_to_memory(
+            agg, "streaming_enrich_gate", output_mode="complete"
+        )
+
+
+# --------------------------------------------------------------------------
 # Window-function showcase: lag/lead/rank/ntile over a deterministic
 # order — the full analytic-function surface in one oracled query.
 # --------------------------------------------------------------------------

@@ -7,8 +7,10 @@ from shmr_spark.streaming.windows import (
 from shmr_spark.streaming.stateful import sessionize_stream
 from shmr_spark.streaming.joins import interval_join_stream
 from shmr_spark.streaming.dedup import dedup_stream, dedup_stream_watermarked
+from shmr_spark.streaming.enrich import enrich_stream
 
 __all__ = [
+    "enrich_stream",
     "read_events_stream",
     "tumbling_window_stream",
     "sliding_window_stream",

@@ -265,3 +265,40 @@ def test_stream_dedup_equals_batch(spark, sf_dir, tmp_path):
     out = run_stream_to_memory(deduped, "stream_dedup_test", output_mode="append")
     assert out.count() == ev.count()
     assert out.select("event_id").distinct().count() == ev.count()
+
+
+def test_stream_enrich_equals_batch_and_keeps_unmatched(spark, sf_dir, tmp_path):
+    """Stream-static broadcast enrichment ≡ the batch join on the same
+    data, and the default LEFT join keeps stream rows whose key is
+    missing from the dimension (enrichment must not drop events)."""
+    from shmr_spark.streaming import (
+        enrich_stream,
+        read_events_stream,
+        run_stream_to_memory,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    d = tmp_path / "enrich_events"
+    d.mkdir()
+    ev.coalesce(2).write.parquet(str(d / "events.parquet"))
+
+    # dim covers only even user ids — odd ids must survive with nulls
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 2 == 0)
+        .select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    )
+    enriched = enrich_stream(
+        read_events_stream(spark, str(d)).select("event_id", "user_id"),
+        dim,
+        on="user_id",
+    )
+    out = run_stream_to_memory(enriched, "enrich_left_test", output_mode="append")
+    assert out.count() == ev.count()  # no rows dropped
+    nulls = out.filter(F.col("c_mktsegment").isNull())
+    assert nulls.count() == ev.filter(F.col("user_id") % 2 == 1).count()
+
+    batch = ev.select("event_id", "user_id").join(dim, "user_id", "left")
+    assert {tuple(r) for r in out.select("event_id", "c_mktsegment").collect()} == {
+        tuple(r) for r in batch.select("event_id", "c_mktsegment").collect()
+    }
