@@ -133,6 +133,7 @@ _PRIORITY: list[str] = [
     "rollup_incremental",
     "duplicate_spans",
     "streaming_enrich",
+    "bpe_pair_counts",
 ]
 
 

@@ -875,3 +875,45 @@ def doc_token_overlap(spark, sf_dir):
         a.join(b, F.col("doc_b") == F.col("doc_a") + 1)
         .select("doc_a", "doc_b", shared.alias("n_shared"), uni.alias("n_union"))
     )
+
+
+# --------------------------------------------------------------------------
+# BPE training, iteration 0 (functions/bpe.py): corpus-weighted
+# adjacent character-pair counts over the word-frequency table — the
+# aggregation every merge iteration of tokenizer training repeats on
+# the (vocab-sized) symbol table. Top 200 by (count desc, pair asc) —
+# a total order, so the LIMIT is deterministic.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "bpe_pair_counts",
+    oracle="""
+WITH words AS (
+  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+), wc AS (
+  SELECT w, COUNT(*) AS c FROM words WHERE len(w) >= 2 GROUP BY w
+), pairs AS (
+  SELECT substr(w, i, 1) AS a, substr(w, i + 1, 1) AS b, c
+  FROM (SELECT w, c, unnest(generate_series(1, len(w) - 1)) AS i FROM wc)
+)
+SELECT a, b, CAST(SUM(c) AS BIGINT) AS n
+FROM pairs GROUP BY a, b
+ORDER BY n DESC, a, b LIMIT 200
+""",
+)
+def bpe_pair_counts(spark, sf_dir):
+    from shmr_spark.functions.bpe import (
+        _char_split,
+        adjacent_pair_counts,
+        word_counts,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    wc = word_counts(docs)
+    syms = wc.select(_char_split(F.col("word")).alias("syms"), "n")
+    return (
+        adjacent_pair_counts(syms)
+        .orderBy(F.desc("n"), "a", "b")
+        .limit(200)
+    )

@@ -116,3 +116,49 @@ def test_unigram_logprob_matches_python(spark, sf_dir):
         toks = docs[doc_id].split(" ")
         want = sum(math.log(vocab[t] / total) for t in toks) / len(toks)
         assert abs(got[doc_id] - want) < 2e-6
+
+
+def test_bpe_train_matches_reference_merges(spark):
+    """Sennrich toy corpus: merge sequence must equal the
+    hand-computed reference run, including both count ties broken
+    lexicographically ((e,s) over (s,t) at 9; (l,o) over (o,w) at 7)."""
+    from shmr_spark.functions.bpe import train_bpe
+
+    text = " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3)
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    assert train_bpe(docs, num_merges=6) == [
+        ("e", "s"),
+        ("es", "t"),
+        ("l", "o"),
+        ("lo", "w"),
+        ("e", "w"),
+        ("ew", "est"),
+    ]
+
+
+def test_bpe_merge_fold_non_overlapping(spark):
+    """Left-to-right non-overlapping rule: 'aaaa' under merge (a,a)
+    becomes [aa, aa]; 'aaa' becomes [aa, a]."""
+    from pyspark.sql import functions as F
+
+    from shmr_spark.functions.bpe import _char_split, _merge_fold
+
+    df = spark.createDataFrame([("aaaa",), ("aaa",)], "word string").select(
+        "word", _char_split(F.col("word")).alias("syms")
+    )
+    got = {r.word: r.m for r in df.select("word", _merge_fold("a", "a").alias("m")).collect()}
+    assert got == {"aaaa": ["aa", "aa"], "aaa": ["aa", "a"]}
+
+
+def test_bpe_encode_roundtrip_and_counts(spark):
+    """Encoding concatenates back to the original words, and the
+    token count equals the trained segmentation's symbol count."""
+    from shmr_spark.functions.bpe import encode_bpe, train_bpe
+
+    text = " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3)
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    merges = train_bpe(docs, num_merges=6)
+    r = encode_bpe(docs, merges).collect()[0]
+    # low=1 tok ×5, lower=3 ×2, newest=2 ×6 (n+ewest), widest=4 ×3
+    assert r.n_tokens == 5 * 1 + 2 * 3 + 6 * 2 + 3 * 4
+    assert "".join(r.tokens) == text.replace(" ", "")
