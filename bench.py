@@ -131,6 +131,10 @@ def main() -> None:
     # number: ~1M rows / 8 batches at sf1 vs 100k / 1 batch at base —
     # HIGHER throughput at scale. A ~10x wall ratio here is batch
     # accounting, not a scale cliff.
+    # duplicate_spans: corpus-sized explode + count + join-back — the
+    # exact-substring dedup path; its scale ratio reads like
+    # dedup_minhash_prod's (the derived corpus replicates texts n×, so
+    # duplicated-gram hits grow superlinearly in rows).
     scale_extra = {
         n: registry[n]
         for n in (
@@ -138,6 +142,8 @@ def main() -> None:
             "heavy_hitters_tokens",
             "sessionize",
             "streaming_tumbling",
+            "duplicate_spans",
+            "rollup_incremental",
         )
         if n in registry
     }

@@ -61,10 +61,14 @@ def duplicated_ngram_spans(
     by token n-grams that occur ≥ ``min_count`` times corpus-wide
     (within-doc repeats count). Token indices are 0-based inclusive;
     n_grams is how many duplicated grams the span merged."""
+    # materialized because both the duplicate-count aggregation and
+    # the join-back consume it — without this the scan + gram build
+    # (the expensive part: |tokens| string slices + hashes per doc)
+    # runs twice. Measured 3× at sf0.1 (7.5 s → 2.6 s). 16 bytes/row.
     g = docs.select(
         F.col(id_col),
         F.posexplode(_gram_hashes(text_col, n)).alias("pos", "gh"),
-    )
+    ).localCheckpoint(eager=False)
     dup = (
         g.groupBy("gh")
         .agg(F.count("*").alias("__c"))
