@@ -176,3 +176,49 @@ def test_token_budget_select_no_global_window_on_data(spark, sf_dir):
     assert "BroadcastHashJoin" in tree or "BroadcastExchange" in plan
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_rollup_merge_broadcasts_day_list_and_partial_agg(spark, sf_dir):
+    """merge_rollup: the touched/untouched split must join on a
+    BROADCAST of the delta's distinct days (partition pruning when the
+    state is day-partitioned — a shuffled join would defeat it), and
+    the partial aggregations keep their map-side combine."""
+    plan = _plan(spark, sf_dir, "rollup_incremental")
+    tree = _tree(plan)
+    assert tree.count("BroadcastHashJoin") >= 2  # touched + untouched
+    assert "CartesianProduct" not in tree
+    assert "partial_sum" in plan
+
+
+def test_duplicate_spans_no_cartesian_and_doc_partitioned_window(spark, sf_dir):
+    """duplicate_spans: the join back onto duplicated gram hashes must
+    be an equi-join (never a cross product), and the island-merge
+    window must be PARTITIONED by document — a global window here
+    would serialize the corpus through one task."""
+    plan = _plan(spark, sf_dir, "duplicate_spans")
+    tree = _tree(plan)
+    assert "CartesianProduct" not in tree and "BroadcastNestedLoopJoin" not in tree
+    # the Window node carries the doc_id partition spec
+    win = [ln for ln in plan.splitlines() if "Window" in ln or "windowspecdefinition" in ln]
+    assert any("doc_id" in ln for ln in win)
+
+
+def test_streaming_enrich_uses_broadcast_join(spark, sf_dir):
+    """Stream-static enrichment must keep the dim on the broadcast
+    side — a shuffle added to the unbounded side per micro-batch is
+    the anti-pattern this operator exists to avoid. (Checked on the
+    batch twin of the join: streaming plans only materialize inside
+    the query execution.)"""
+    from pyspark.sql import functions as F
+
+    from shmr_spark.catalog import load_table
+    from shmr_spark.streaming.enrich import enrich_stream
+
+    ev = load_table(spark, sf_dir, "events")
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    df = enrich_stream(ev, dim, on="user_id")  # batch DF through same code path
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = df._jdf.queryExecution().explainString(jmode)
+    assert "BroadcastHashJoin" in _tree(plan)
