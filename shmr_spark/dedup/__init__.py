@@ -13,6 +13,7 @@ from shmr_spark.dedup.minhash import (
 )
 from shmr_spark.dedup.simhash import simhash64, simhash60_md5, simhash_near_duplicates
 from shmr_spark.dedup.embedding import embedding_near_duplicates
+from shmr_spark.dedup.semantic import semantic_dedup
 from shmr_spark.dedup.spans import duplicate_span_stats, duplicated_ngram_spans
 
 __all__ = [
@@ -27,4 +28,5 @@ __all__ = [
     "simhash60_md5",
     "simhash_near_duplicates",
     "embedding_near_duplicates",
+    "semantic_dedup",
 ]

@@ -300,6 +300,34 @@ def dedup_embedding_lsh(spark, sf_dir):
     return embedding_near_duplicates(emb, threshold=0.4, n_planes=0)
 
 
+@query(
+    "dedup_semantic",
+    oracle=f"""
+SELECT e.vec_id, e.label
+FROM embeddings e
+WHERE NOT EXISTS (
+  SELECT 1 FROM embeddings d
+  WHERE d.vec_id < e.vec_id
+    AND {_SQL_COS.format(a='d.embedding', b='e.embedding')} >= 0.4
+)
+ORDER BY e.vec_id
+""",
+)
+def dedup_semantic_q(spark, sf_dir):
+    """SemDeDup-style semantic dedup: the KEPT corpus after greedy
+    smaller-id-wins pruning of >= tau cosine pairs. Gate runs the
+    exact n_clusters=1 setting (provably equals the NOT EXISTS
+    all-pairs oracle); the production k-means-clustered setting —
+    the O(sum cell^2) scale path — is pinned by superset + recall
+    tests in tests/test_dedup_similarity.py. tau=0.4 for the same
+    corpus-sim reason as dedup_embedding_lsh above."""
+    from shmr_spark.dedup.semantic import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    kept = semantic_dedup(emb, tau=0.4, n_clusters=1)
+    return kept.select("vec_id", "label").orderBy("vec_id")
+
+
 # --------------------------------------------------------------------------
 # Batch kNN join: top-k neighbors for every probe in one job. Exact
 # tier oracled via a DuckDB window over the cross join; LSH tier

@@ -528,3 +528,82 @@ def test_duplicate_spans_short_docs_skipped(spark):
         "doc_id long, text string",
     )
     assert duplicated_ngram_spans(docs, n=5).count() == 0
+
+
+def test_semantic_dedup_exact_setting(spark, sf_dir):
+    """n_clusters=1 equals the greedy-by-id all-pairs rule computed
+    independently here via a pair join."""
+    from shmr_spark.dedup.semantic import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    kept = {r.vec_id for r in semantic_dedup(emb, tau=0.4, n_clusters=1).collect()}
+
+    a = emb.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("eb"))
+    sim = F.round(cosine_similarity(F.col("ea"), F.col("eb")), 6)
+    dropped = {
+        r.ib
+        for r in a.join(b, F.col("ia") < F.col("ib"))
+        .filter(sim >= 0.4)
+        .select("ib")
+        .distinct()
+        .collect()
+    }
+    all_ids = {r.vec_id for r in emb.select("vec_id").collect()}
+    assert kept == all_ids - dropped
+
+
+def test_semantic_dedup_clustered_recall(spark, sf_dir):
+    """The k-means-clustered scale path: (a) it only MISSES drops
+    (kept set is a superset of the exact kept set — clustering never
+    invents a pair), and (b) at the borderline tau=0.4 (this corpus
+    has no true near-dups; its max pairwise cosine is ~0.5, so the
+    test threshold sits right at the noise floor where co-clustering
+    is structurally weakest) a 2-cell split still recovers most of
+    the exact dropped set. True near-dup recall — the production
+    case — is pinned separately by the planted-copy test below."""
+    from shmr_spark.dedup.semantic import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    all_ids = {r.vec_id for r in emb.select("vec_id").collect()}
+    kept_exact = {
+        r.vec_id for r in semantic_dedup(emb, tau=0.4, n_clusters=1).collect()
+    }
+    dropped_exact = all_ids - kept_exact
+    assert dropped_exact
+    for k, bound in ((2, 0.6), (4, 0.35)):
+        kept_clustered = {
+            r.vec_id
+            for r in semantic_dedup(
+                emb, tau=0.4, n_clusters=k, kmeans_iters=2
+            ).collect()
+        }
+        assert kept_clustered >= kept_exact
+        dropped_clustered = all_ids - kept_clustered
+        recall = len(dropped_clustered & dropped_exact) / len(dropped_exact)
+        assert recall >= bound, (k, recall)
+
+
+def test_semantic_dedup_planted_copies(spark, sf_dir):
+    """Planted exact vector copies (cosine 1.0 — the production
+    near-dup regime) are ALL dropped even at k=8 clustering: an
+    identical vector always lands in the same k-means cell as its
+    original, so clustering costs zero recall on true duplicates."""
+    from shmr_spark.dedup.semantic import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    copies = emb.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(copies)
+    kept = {
+        r.vec_id
+        for r in semantic_dedup(
+            corpus, tau=0.95, n_clusters=8, kmeans_iters=2
+        ).collect()
+    }
+    planted = {100000 + i for i in range(5)}
+    assert not (kept & planted)
+    # the originals survive: this corpus's max natural pairwise
+    # cosine (~0.5) is far below tau=0.95
+    assert {i for i in range(5)} <= kept
