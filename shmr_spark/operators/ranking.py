@@ -1,0 +1,116 @@
+"""Distributed global rank and equi-depth range sharding — the
+"write the corpus globally sorted in N balanced shards" step of a
+dataset export (sorted parquet for binary-searchable lookups,
+curriculum-ordered training shards, ...).
+
+Scale design: a bare ``row_number() OVER (ORDER BY key)`` funnels the
+whole table through ONE task. This module reuses the two-phase scan
+from operators/packing.py: an order-preserving coarse bucket of the
+sort key splits the corpus; one small aggregate counts each bucket; a
+window over the BUCKET TOTALS (thousands of rows) yields each
+bucket's global offset; a broadcast join plus a per-bucket
+row_number finishes the rank with every bucket scanning in parallel.
+The bucket granularity affects only parallelism, never the result.
+
+``range_shards`` then cuts ranks into N equal-population shards with
+pure integer arithmetic — ``((rank-1) * n) div total`` — so shard
+assignment is reproducible across engines (no float division at the
+boundaries). This is the deterministic equivalent of
+``repartitionByRange(N)`` (whose sampled boundaries are not
+reproducible) and the natural pre-step for
+``sortWithinPartitions(key).write`` sorted exports.
+
+Reference scope note: the reference engine (/root/reference/shmr) has
+no ordering operators at all (its partitions are unordered line
+files); this module is extension surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+N_BUCKETS = 4096
+
+
+def _auto_bucket(df: DataFrame, key_col: str) -> Column:
+    """Order-preserving coarsening of a numeric key into at most
+    N_BUCKETS fixed-width cells: floor((key - min) / width). One
+    cheap min/max scan-aggregate sizes the width (two doubles to the
+    driver — kmeans economics), so the bucket-totals table stays
+    O(N_BUCKETS) no matter how large or how unique the corpus keys
+    are. A naive floor(key) bucket would make the totals table O(N)
+    for near-unique float keys and single-task its offsets window —
+    the exact failure this module exists to avoid.
+
+    Monotonicity (not placement) is what correctness needs: IEEE
+    subtract/divide by positive constants and floor are all monotone
+    non-decreasing, so equal keys share a bucket and larger keys
+    never get a smaller one, regardless of rounding at cell edges.
+    """
+    lo, hi = df.groupBy().agg(
+        F.min(F.col(key_col).cast("double")), F.max(F.col(key_col).cast("double"))
+    ).first()
+    if lo is None or hi is None or lo == hi:
+        return F.lit(0).cast("long")
+    width = (hi - lo) / N_BUCKETS
+    return F.least(
+        F.floor((F.col(key_col).cast("double") - F.lit(lo)) / F.lit(width)),
+        F.lit(N_BUCKETS - 1),
+    ).cast("long")
+
+
+def global_rank(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    bucket: Column | None = None,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Add a 1-based dense global row number by (key_col, id_col).
+
+    ``bucket`` must be an order-preserving coarsening of ``key_col``
+    (same bucket ordering as key ordering); default: fixed-width
+    cells sized from a min/max scan (numeric keys — see
+    _auto_bucket; pass an explicit bucket for strings/dates).
+    (key_col, id_col) pairs must be unique per row — the rank is
+    then total-order deterministic.
+    """
+    if bucket is None:
+        bucket = _auto_bucket(df, key_col)
+    rows = df.withColumn("__bucket", bucket)
+
+    totals = rows.groupBy("__bucket").agg(F.count(F.lit(1)).alias("__bcnt"))
+    w_b = Window.orderBy("__bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "__bucket",
+        F.coalesce(F.sum("__bcnt").over(w_b), F.lit(0)).alias("__boff"),
+    )
+
+    w_in = Window.partitionBy("__bucket").orderBy(key_col, id_col)
+    return (
+        rows.join(F.broadcast(offsets), "__bucket")
+        .withColumn(rank_col, F.col("__boff") + F.row_number().over(w_in))
+        .drop("__bucket", "__boff")
+    )
+
+
+def range_shards(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    n_shards: int,
+    bucket: Column | None = None,
+) -> DataFrame:
+    """Assign every row to one of ``n_shards`` equal-population,
+    key-contiguous shards. Output: input columns + ``shard_id``
+    (0-based; populations differ by at most 1 row)."""
+    ranked = global_rank(df, key_col, id_col, bucket=bucket)
+    total = ranked.groupBy().agg(F.count(F.lit(1)).alias("__total"))
+    shard = F.expr(f"(rank - 1) * {int(n_shards)} div __total")
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .withColumn("shard_id", shard)
+        .drop("rank", "__total")
+    )

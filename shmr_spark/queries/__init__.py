@@ -95,20 +95,9 @@ _PRIORITY: list[str] = [
     "flat_map_tokens",
     "filter_orders",
     "distinct_keys",
-    "distinct_first",
-    "count_lineitem",
-    "head_sorted",
-    "reduce_global",
     "join_inner",
-    "join_left",
-    "join_semi",
-    "join_anti",
     "join_grouped",
     "split_by_key_buckets",
-    "concat_union",
-    "coalesce_count",
-    "set_intersect",
-    "set_except",
     "count_distinct",
     "q14_promo_share",
     "q10_returned_top_customers",
@@ -124,8 +113,10 @@ _PRIORITY: list[str] = [
     "window_functions",
     "correlation",
     "outlier_filter",
-    # ---- slot 51+: outside the round-4 budget, first in line for
-    #      round 5 (all parity-checked green locally)
+    # ---- group 3b: late round-4 additions, pulled inside the
+    #      window for their first driver rows (11); the 11 canaries
+    #      they displaced (head/count/reduce/set-op/join-variant
+    #      trivia, all r1-green) lead round 5 instead
     "zorder_keys",
     "streaming_dedup",
     "multimodal_resize",
@@ -134,6 +125,14 @@ _PRIORITY: list[str] = [
     "duplicate_spans",
     "streaming_enrich",
     "bpe_pair_counts",
+    "dedup_semantic",
+    "corpus_snapshot_diff",
+    "range_shards_orders",
+    # ---- slot 51+: outside the round-4 budget, first in line for
+    #      round 5: the 11 displaced canaries (distinct_first,
+    #      head_sorted, reduce_global, join_left/semi/anti,
+    #      set_intersect/except, coalesce_count, concat_union,
+    #      count_lineitem), then anything newer
 ]
 
 

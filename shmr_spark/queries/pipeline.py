@@ -455,3 +455,104 @@ def duplicate_spans(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return duplicated_ngram_spans(docs, n=13)
+
+
+# --------------------------------------------------------------------------
+# Incremental-ingest change detection + deterministic range sharding.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "corpus_snapshot_diff",
+    oracle="""
+WITH new_docs AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 101 = 0 THEN text || ' [rev2]' ELSE text END AS text,
+         lang, source
+  FROM documents WHERE doc_id % 97 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text, lang, source
+  FROM documents WHERE doc_id % 103 = 0
+)
+SELECT doc_id, status FROM (
+  SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+         CASE WHEN o.doc_id IS NULL THEN 'added'
+              WHEN n.doc_id IS NULL THEN 'removed'
+              WHEN o.text <> n.text OR o.lang <> n.lang
+                   OR o.source <> n.source THEN 'changed'
+         END AS status
+  FROM documents o FULL OUTER JOIN new_docs n ON o.doc_id = n.doc_id
+) WHERE status IS NOT NULL
+ORDER BY doc_id
+""",
+)
+def corpus_snapshot_diff(spark, sf_dir):
+    """Diff two corpus snapshots (operators/diff.py): v2 is v1 with a
+    deterministic delete (%97), edit (%101, ' [rev2]' suffix), and
+    insert (%103, id+1e6) wave. The operator compares (id, xxhash64)
+    projections only — payloads never cross the shuffle — and the
+    oracle recomputes the same three-way status from raw equality,
+    so a hash-discipline bug on either side breaks parity."""
+    from shmr_spark.operators.diff import snapshot_diff
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    edited = F.when(
+        F.col("doc_id") % 101 == 0, F.concat(F.col("text"), F.lit(" [rev2]"))
+    ).otherwise(F.col("text"))
+    new = (
+        docs.filter(F.col("doc_id") % 97 != 0)
+        .select("doc_id", edited.alias("text"), "lang", "source")
+        .unionByName(
+            docs.filter(F.col("doc_id") % 103 == 0).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"),
+                "text",
+                "lang",
+                "source",
+            )
+        )
+    )
+    return snapshot_diff(docs, new, ["doc_id"], ["text", "lang", "source"]).orderBy(
+        "doc_id"
+    )
+
+
+@query(
+    "range_shards_orders",
+    oracle="""
+WITH ranked AS (
+  SELECT o_totalprice,
+         row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rn,
+         count(*) OVER () AS n
+  FROM orders
+)
+SELECT CAST((rn - 1) * 8 // n AS BIGINT) AS shard_id,
+       CAST(count(*) AS BIGINT) AS cnt,
+       min(o_totalprice) AS min_price,
+       max(o_totalprice) AS max_price
+FROM ranked
+GROUP BY 1 ORDER BY shard_id
+""",
+)
+def range_shards_orders(spark, sf_dir):
+    """Equal-population, key-contiguous sharding of orders by total
+    price via the distributed two-phase rank (operators/ranking.py) —
+    the deterministic, oracle-checkable stand-in for
+    repartitionByRange + sorted export. Shard populations differ by
+    at most one row; min/max per shard prove key contiguity. The
+    oracle's single-task row_number() is the semantics spec; the
+    Spark side never funnels through one partition."""
+    from shmr_spark.operators.ranking import range_shards
+
+    orders = load_table(spark, sf_dir, "orders")
+    sharded = range_shards(orders, "o_totalprice", "o_orderkey", n_shards=8)
+    return (
+        sharded.groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+        .orderBy("shard_id")
+    )

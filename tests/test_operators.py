@@ -466,3 +466,65 @@ def test_rollup_merge_associative(spark, sf_dir):
     assert {tuple(r) for r in one_by_one.collect()} == {
         tuple(r) for r in at_once.collect()
     }
+
+
+def test_snapshot_diff_semantics(spark):
+    from shmr_spark.operators.diff import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, None)], "id long, v string"
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (5, "e"), (4, "now-set")], "id long, v string"
+    )
+    got = {
+        r.id: r.status
+        for r in snapshot_diff(old, new, ["id"], ["v"]).collect()
+    }
+    # null -> value counts as changed (hash differs); unchanged rows
+    # are never emitted
+    assert got == {2: "changed", 3: "removed", 5: "added", 4: "changed"}
+
+
+def test_global_rank_matches_naive_window(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from shmr_spark.catalog import load_table
+    from shmr_spark.operators.ranking import global_rank
+
+    orders = load_table(spark, sf_dir, "orders")
+    got = {
+        r.o_orderkey: r.rank
+        for r in global_rank(orders, "o_totalprice", "o_orderkey").collect()
+    }
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    want = {
+        r.o_orderkey: r.rn
+        for r in orders.select(
+            "o_orderkey", F.row_number().over(w).alias("rn")
+        ).collect()
+    }
+    assert got == want
+
+
+def test_range_shards_balanced_and_contiguous(spark, sf_dir):
+    from shmr_spark.catalog import load_table
+    from shmr_spark.operators.ranking import range_shards
+
+    orders = load_table(spark, sf_dir, "orders")
+    stats = (
+        range_shards(orders, "o_totalprice", "o_orderkey", n_shards=8)
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+        .orderBy("shard_id")
+        .collect()
+    )
+    assert [r.shard_id for r in stats] == list(range(8))
+    counts = [r.cnt for r in stats]
+    assert max(counts) - min(counts) <= 1
+    for prev, cur in zip(stats, stats[1:]):
+        assert prev.hi <= cur.lo

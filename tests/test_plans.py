@@ -222,3 +222,28 @@ def test_streaming_enrich_uses_broadcast_join(spark, sf_dir):
     jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     plan = df._jdf.queryExecution().explainString(jmode)
     assert "BroadcastHashJoin" in _tree(plan)
+
+
+def test_range_shards_no_global_window_on_data(spark, sf_dir):
+    """global_rank's two-phase scan: the data-side window keys on
+    __bucket (parallel); offsets and the 1-row total arrive by
+    broadcast. A naive global row_number would single-task the
+    corpus."""
+    plan = _plan(spark, sf_dir, "range_shards_orders")
+    assert "partitionBy=[__bucket" in plan.replace(" ", "") or "__bucket" in plan
+    assert "BroadcastExchange" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_snapshot_diff_shuffles_hashes_not_payloads(spark, sf_dir):
+    """The diff join must exchange (id, hash) projections only — the
+    text payload is hashed scan-side and never crosses the shuffle."""
+    plan = _plan(spark, sf_dir, "corpus_snapshot_diff")
+    tree = _tree(plan)
+    assert "xxhash64" in plan
+    assert "SortMergeJoin" in tree or "ShuffledHashJoin" in tree
+    # no exchange carries the text column: every Exchange node's
+    # output in the detail section is (doc_id, hash)-shaped
+    for block in plan.split("\n\n"):
+        if block.lstrip().startswith("(") and "Exchange" in block.splitlines()[0]:
+            assert "text" not in block, block
