@@ -91,7 +91,6 @@ _PRIORITY: list[str] = [
     "interval_join_events",
     "rolling_user_window",
     "monthly_trend",
-    "map_project",
     "flat_map_tokens",
     "filter_orders",
     "distinct_keys",
@@ -128,11 +127,12 @@ _PRIORITY: list[str] = [
     "dedup_semantic",
     "corpus_snapshot_diff",
     "range_shards_orders",
+    "streaming_topk_trending",
     # ---- slot 51+: outside the round-4 budget, first in line for
     #      round 5: the 11 displaced canaries (distinct_first,
     #      head_sorted, reduce_global, join_left/semi/anti,
     #      set_intersect/except, coalesce_count, concat_union,
-    #      count_lineitem), then anything newer
+    #      count_lineitem, map_project), then anything newer
 ]
 
 

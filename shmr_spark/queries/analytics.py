@@ -1303,3 +1303,44 @@ def order_value_deciles(spark, sf_dir):
             F.max("o_totalprice").alias("hi"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming trending top-k through the gate: the stream maintains
+# watermarked (window, event_type) counts; the top-3 cut is the
+# stateless finish pass over the materialized sink. Stream counts +
+# batch rank must together hash-match the all-batch oracle.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "streaming_topk_trending",
+    oracle="""
+WITH counts AS (
+  SELECT CAST(epoch(time_bucket(INTERVAL 1 HOUR, ts)) AS BIGINT) AS window_start,
+         event_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), ranked AS (
+  SELECT *, CAST(row_number() OVER (
+           PARTITION BY window_start ORDER BY n DESC, event_type
+         ) AS INT) AS rk
+  FROM counts
+)
+SELECT window_start, event_type, n, rk FROM ranked WHERE rk <= 3
+""",
+)
+def streaming_topk_trending(spark, sf_dir):
+    from shmr_spark.streaming import (
+        read_events_stream,
+        run_stream_to_memory,
+        trending_topk_finish,
+        trending_topk_stream,
+    )
+
+    with _staged_events_dir(sf_dir, prefix="shmr_stream_topk_gate_") as d:
+        counts = run_stream_to_memory(
+            trending_topk_stream(read_events_stream(spark, d)),
+            "streaming_topk_gate",
+            output_mode="complete",
+        )
+    return trending_topk_finish(counts, k=3)

@@ -9,6 +9,7 @@ from shmr_spark.sources.readers import (
 from shmr_spark.sources.shmr_datasource import ShmrDataSource
 from shmr_spark.sources.writers import (
     write_parquet,
+    write_sorted_shards,
     write_ndjson,
     write_csv,
     write_orc,
@@ -24,6 +25,7 @@ __all__ = [
     "read_text",
     "ShmrDataSource",
     "write_parquet",
+    "write_sorted_shards",
     "write_ndjson",
     "write_csv",
     "write_orc",

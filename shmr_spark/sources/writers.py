@@ -125,3 +125,40 @@ def manifest(spark, path: str):
         md = pq.ParquetFile(f).metadata
         rows.append((os.path.relpath(f, path), md.num_rows, os.path.getsize(f)))
     return spark.createDataFrame(rows, "file string, n_rows long, n_bytes long")
+
+
+def write_sorted_shards(
+    df,
+    path: str,
+    key_col: str,
+    id_col: str,
+    n_shards: int,
+    mode: str = "overwrite",
+    compression: str = "snappy",
+) -> None:
+    """Globally sorted export: N equal-population, key-contiguous
+    parquet shards, each internally sorted by (key, id) — the layout
+    a binary-searchable lookup table or a curriculum-ordered training
+    corpus wants.
+
+    Built on operators/ranking.range_shards (deterministic two-phase
+    rank — see that module for why repartitionByRange's sampled
+    boundaries are not used), then one hash repartition on shard_id
+    and a sortWithinPartitions: parquet min/max column stats per
+    shard file line up with the shard ranges, so later range filters
+    on key_col prune at the row-group level. partitionBy(shard_id)
+    keeps shard identity in the directory layout.
+    """
+    from pyspark.sql import functions as F
+
+    from shmr_spark.operators.ranking import range_shards
+
+    sharded = range_shards(df, key_col, id_col, n_shards)
+    (
+        sharded.repartition(n_shards, F.col("shard_id"))
+        .sortWithinPartitions(key_col, id_col)
+        .write.mode(mode)
+        .option("compression", compression)
+        .partitionBy("shard_id")
+        .parquet(path)
+    )

@@ -2,6 +2,8 @@ from shmr_spark.streaming.windows import (
     read_events_stream,
     tumbling_window_stream,
     sliding_window_stream,
+    trending_topk_stream,
+    trending_topk_finish,
     run_stream_to_memory,
 )
 from shmr_spark.streaming.stateful import sessionize_stream
@@ -14,6 +16,8 @@ __all__ = [
     "read_events_stream",
     "tumbling_window_stream",
     "sliding_window_stream",
+    "trending_topk_stream",
+    "trending_topk_finish",
     "run_stream_to_memory",
     "sessionize_stream",
     "interval_join_stream",

@@ -118,6 +118,46 @@ def sliding_window_stream(
     )
 
 
+def trending_topk_stream(
+    events: DataFrame,
+    key_col: str = "event_type",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Windowed per-key counts — the STATEFUL half of a streaming
+    trending-top-k. Streaming can't rank over its own aggregate
+    (a window-over-agg needs the window closed), so the design every
+    production trending pipeline uses applies: the stream maintains
+    (window, key) counts with watermark-bounded state, and the
+    top-k cut is a stateless post-pass on the sink —
+    ``trending_topk_finish`` here, or the same expression inside a
+    foreachBatch sink writer. State per window is O(|keys|), evicted
+    at the watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), key_col)
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("window.start").cast("long").alias("window_start"),
+            key_col,
+            "n",
+        )
+    )
+
+
+def trending_topk_finish(counts: DataFrame, key_col: str = "event_type", k: int = 3) -> DataFrame:
+    """Rank the materialized windowed counts to top-k per window —
+    deterministic tie-break by key. Partitioned window: parallel per
+    window_start, never a global sort."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("window_start").orderBy(F.desc("n"), F.asc(key_col))
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+    )
+
+
 def run_stream_to_memory(sdf: DataFrame, name: str, output_mode: str = "complete") -> DataFrame:
     """Drive a streaming DF to completion into an in-memory table
     (test/smoke harness): processAllAvailable → stop → return the

@@ -528,3 +528,36 @@ def test_range_shards_balanced_and_contiguous(spark, sf_dir):
     assert max(counts) - min(counts) <= 1
     for prev, cur in zip(stats, stats[1:]):
         assert prev.hi <= cur.lo
+
+
+def test_write_sorted_shards_layout(spark, sf_dir, tmp_path):
+    """Sorted export: shard directories exist, each shard's rows are
+    (key, id)-sorted on read-back in file order, populations are
+    balanced, and shard key ranges are contiguous."""
+    import os
+
+    from shmr_spark.catalog import load_table
+    from shmr_spark.sources import write_sorted_shards
+
+    orders = load_table(spark, sf_dir, "orders")
+    out = str(tmp_path / "sorted_orders")
+    write_sorted_shards(orders, out, "o_totalprice", "o_orderkey", n_shards=4)
+
+    dirs = sorted(d for d in os.listdir(out) if d.startswith("shard_id="))
+    assert dirs == [f"shard_id={i}" for i in range(4)]
+
+    bounds = []
+    counts = []
+    for d in dirs:
+        pdf = (
+            spark.read.parquet(os.path.join(out, d))
+            .select("o_totalprice", "o_orderkey")
+            .toPandas()
+        )
+        keys = list(zip(pdf.o_totalprice, pdf.o_orderkey))
+        assert keys == sorted(keys), d
+        counts.append(len(keys))
+        bounds.append((keys[0][0], keys[-1][0]))
+    assert max(counts) - min(counts) <= 1
+    for (prev_lo, prev_hi), (lo, hi) in zip(bounds, bounds[1:]):
+        assert prev_hi <= lo
