@@ -10,6 +10,7 @@ from shmr_spark.sources.shmr_datasource import ShmrDataSource
 from shmr_spark.sources.writers import (
     write_parquet,
     write_sorted_shards,
+    compact_dataset,
     write_ndjson,
     write_csv,
     write_orc,
@@ -26,6 +27,7 @@ __all__ = [
     "ShmrDataSource",
     "write_parquet",
     "write_sorted_shards",
+    "compact_dataset",
     "write_ndjson",
     "write_csv",
     "write_orc",

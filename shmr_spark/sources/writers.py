@@ -162,3 +162,61 @@ def write_sorted_shards(
         .partitionBy("shard_id")
         .parquet(path)
     )
+
+
+def compact_dataset(
+    spark,
+    path: str,
+    target_file_mb: int = 128,
+    compression: str = "snappy",
+) -> dict:
+    """Compact a parquet directory's many small files into ~target-size
+    files — the maintenance pass every incremental-ingest / streaming
+    sink needs (each micro-batch and each upsert wave leaves small
+    files; scan cost at 100 TB is dominated by file-open overhead once
+    the average file drops below a few MB).
+
+    Sizing comes from the existing footers (manifest() — metadata
+    only, no data scan): target partition count =
+    ceil(total_bytes / target_mb). The rewrite is one coalesce-free
+    repartition(n) — an all-to-all exchange, the price of re-chunking,
+    paid once per compaction cycle. The write goes to a sibling
+    temp dir first and atomically replaces the input only after
+    success, so a failed compaction never loses data.
+
+    The distributed-write analog of the reference's
+    partitions.coalesce (/root/reference/shmr/partitions.py:81-123),
+    sized by bytes instead of records and without its sequential
+    driver-side copy. Returns {files_before, files_after, bytes}.
+    """
+    import math
+    import os
+    import shutil
+    import uuid
+
+    files = manifest(spark, path).collect()
+    n_before = len(files)
+    total_bytes = sum(f["n_bytes"] for f in files)
+    n_parts = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
+
+    tmp = os.path.join(
+        os.path.dirname(os.path.abspath(path)),
+        f".compact_{uuid.uuid4().hex[:12]}",
+    )
+    (
+        spark.read.parquet(path)
+        .repartition(n_parts)
+        .write.mode("overwrite")
+        .option("compression", compression)
+        .parquet(tmp)
+    )
+    old = path.rstrip("/") + f".old_{uuid.uuid4().hex[:8]}"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    n_after = manifest(spark, path).count()
+    return {
+        "files_before": n_before,
+        "files_after": int(n_after),
+        "bytes": total_bytes,
+    }

@@ -561,3 +561,26 @@ def test_write_sorted_shards_layout(spark, sf_dir, tmp_path):
     assert max(counts) - min(counts) <= 1
     for (prev_lo, prev_hi), (lo, hi) in zip(bounds, bounds[1:]):
         assert prev_hi <= lo
+
+
+def test_compact_dataset(spark, sf_dir, tmp_path):
+    """Many small files in, few right-sized files out, content
+    identical, original preserved on the happy path only via the
+    atomic swap."""
+    from shmr_spark.catalog import load_table
+    from shmr_spark.sources import compact_dataset
+
+    orders = load_table(spark, sf_dir, "orders")
+    path = str(tmp_path / "fragmented")
+    orders.repartition(40).write.parquet(path)
+
+    before = orders.count()
+    stats = compact_dataset(spark, path, target_file_mb=64)
+    assert stats["files_before"] >= 40
+    assert stats["files_after"] < stats["files_before"]
+    after_df = spark.read.parquet(path)
+    assert after_df.count() == before
+    # content equality, not just count
+    assert (
+        after_df.exceptAll(load_table(spark, sf_dir, "orders")).count() == 0
+    )

@@ -302,3 +302,54 @@ def test_stream_enrich_equals_batch_and_keeps_unmatched(spark, sf_dir, tmp_path)
     assert {tuple(r) for r in out.select("event_id", "c_mktsegment").collect()} == {
         tuple(r) for r in batch.select("event_id", "c_mktsegment").collect()
     }
+
+
+def test_streaming_dedup_checkpoint_recovery(spark, sf_dir, tmp_path):
+    """Kill-and-restart with a checkpoint: the dedup state must
+    survive the restart. Run 1 processes wave A and stops; wave B
+    replays every wave-A key plus new ones; run 2 (same checkpoint)
+    must emit ONLY the new keys — if state were lost, wave A's keys
+    would re-emit and the sink would hold duplicates."""
+    import os
+
+    from shmr_spark.catalog import load_table
+    from shmr_spark.streaming import read_events_stream
+    from shmr_spark.streaming.dedup import dedup_stream
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    chk = str(tmp_path / "chk")
+    os.makedirs(src)
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    wave_a = ev.filter(F.col("user_id") % 2 == 0)
+    wave_a.coalesce(1).write.parquet(os.path.join(src, "wave_a.parquet"))
+
+    def run_once():
+        stream = read_events_stream(spark, src).select("user_id", "event_type")
+        q = (
+            dedup_stream(stream, ["user_id", "event_type"])
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    n_wave_a = spark.read.parquet(sink).count()
+    assert n_wave_a == wave_a.select("user_id", "event_type").distinct().count()
+
+    # wave B: the FULL corpus — every wave-A key again, plus the odd
+    # users
+    ev.coalesce(1).write.parquet(os.path.join(src, "wave_b.parquet"))
+    run_once()
+
+    out = spark.read.parquet(sink)
+    want = ev.select("user_id", "event_type").distinct().count()
+    assert out.count() == want
+    assert out.distinct().count() == want
