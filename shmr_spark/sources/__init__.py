@@ -2,6 +2,7 @@ from shmr_spark.sources.readers import (
     read_parquet,
     read_parquet_evolved,
     read_ndjson,
+    read_ndjson_tolerant,
     read_csv,
     read_orc,
     read_text,
@@ -21,6 +22,7 @@ __all__ = [
     "read_parquet",
     "read_parquet_evolved",
     "read_ndjson",
+    "read_ndjson_tolerant",
     "read_csv",
     "read_orc",
     "read_text",

@@ -69,3 +69,41 @@ def read_text(spark: SparkSession, path: str) -> Dataset:
     trailing newline stripped — matching
     /root/reference/shmr/funcs.py:23-25."""
     return Dataset(spark.read.text(path))
+
+
+def read_ndjson_tolerant(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str,
+    corrupt_col: str = "_corrupt_record",
+) -> tuple[Dataset, Dataset]:
+    """ND-JSON ingest that QUARANTINES malformed lines instead of
+    failing the job or silently dropping them — what a web-crawl
+    ingest needs: at 100 TB some lines are always truncated or
+    mis-encoded, and a single bad byte must cost one row, not a task.
+
+    PERMISSIVE mode parses what it can; unparseable lines land whole
+    in ``corrupt_col``. Returns (good, quarantined) — good rows
+    without the corrupt column, quarantined raw lines for a re-parse
+    or audit sink. A schema is mandatory: inference would silently
+    adopt the corrupt shape.
+
+    Spark caveat handled here: a query that selects ONLY the corrupt
+    column is disallowed against raw JSON, so the reader caches the
+    parsed form before splitting.
+    """
+    from pyspark.sql.types import StringType
+
+    full = (
+        StructType.fromDDL(schema) if isinstance(schema, str) else schema
+    ).add(corrupt_col, StringType())
+    df = (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+        .cache()
+    )
+    good = df.filter(df[corrupt_col].isNull()).drop(corrupt_col)
+    bad = df.filter(df[corrupt_col].isNotNull()).select(corrupt_col)
+    return Dataset(good), Dataset(bad)

@@ -87,3 +87,24 @@ def test_token_counts_on_degenerate_text(spark):
     assert rows[2] == (4, 0)  # "   " -> 4 empty fields, 0 regex tokens
     assert rows[3] == (1, 1)
     assert rows[4][0] is None and rows[4][1] is None  # null propagates
+
+
+def test_read_ndjson_tolerant_quarantines_bad_lines(spark, tmp_path):
+    """One corrupt byte costs one row: good lines parse, malformed
+    lines land raw in the quarantine side, nothing is dropped."""
+    from shmr_spark.sources import read_ndjson_tolerant
+
+    p = tmp_path / "in.json"
+    p.write_text(
+        '{"id": 1, "text": "ok"}\n'
+        '{"id": 2, "text": "also ok"}\n'
+        '{"id": 3, "text": "truncat\n'
+        "not json at all\n"
+        '{"id": 4, "text": "fine"}\n'
+    )
+    good, bad = read_ndjson_tolerant(spark, str(p), "id long, text string")
+    assert {r.id for r in good.df.collect()} == {1, 2, 4}
+    bad_lines = [r[0] for r in bad.df.collect()]
+    assert len(bad_lines) == 2
+    assert any("truncat" in l for l in bad_lines)
+    assert any("not json" in l for l in bad_lines)
