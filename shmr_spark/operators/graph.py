@@ -1,0 +1,80 @@
+"""Distributed PageRank over an edge DataFrame — iterative graph
+analytics expressed as pure DataFrame joins/aggregates (the pattern
+GraphX/GraphFrames use under the hood, without the dependency).
+
+Scale design: each iteration is ONE shuffle-join of edges with the
+current rank vector on src (co-partitioned after the first round —
+AQE reuses the exchange) plus one map-side-combinable aggregate on
+dst. Rank state is (node, double) — 16 bytes/vertex. Lineage is
+truncated per round with a lazy localCheckpoint, the same pattern as
+the connected-components loop (dedup/clusters.py); without it the
+plan doubles per iteration.
+
+Determinism discipline (what lets a float iteration carry a DuckDB
+hash oracle): ranks are ROUNDED TO 6 DECIMALS at the end of every
+iteration, and inflow sums go through dsum (exact scaled-int64
+accumulation — order-insensitive). Identical rounded inputs + IEEE
+division + exact sums + identical final rounding ⇒ bit-identical
+ranks on both engines, every iteration. Works on the SCALED rank
+(r·N, r0 = 1.0): PageRank is linear, so the N-scaling propagates and
+keeps values O(1) — comfortably inside the 1e-6 resolution of the
+scaled-sum discipline (raw 1/N ranks would carry ~2 significant
+digits at N=10^6).
+
+Reference scope note: the reference engine (/root/reference/shmr)
+has no iterative or graph operators; this module is extension
+surface alongside dedup/clusters.py's connected components.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from shmr_spark.functions.numeric import dsum
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 2,
+    damping: float = 0.85,
+    base: float = 0.15,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Scaled PageRank (r·N) after ``iters`` rounds over directed
+    ``edges``. Every node must have out-degree ≥ 1 (feed a
+    symmetrized edge list for bipartite graphs — dangling-mass
+    redistribution is out of scope). Returns (node, rank).
+
+    ``base`` is passed explicitly rather than computed as
+    1 - damping: the Python expression 1 - 0.85 is
+    0.15000000000000002, which is NOT the double the SQL literal
+    0.15 denotes — a cross-engine mismatch the final rounding could
+    leak on boundary values.
+    """
+    deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("__deg"))
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    ranks = nodes.select("node", F.lit(1.0).alias("rank"))
+    for _ in range(iters):
+        contrib = (
+            edges.join(ranks, edges[src] == ranks["node"])
+            .join(deg, src)
+            .select(
+                F.col(dst).alias("node"),
+                (F.col("rank") / F.col("__deg")).alias("__c"),
+            )
+        )
+        inflow = contrib.groupBy("node").agg(dsum("__c").alias("__in"))
+        ranks = nodes.join(inflow, "node", "left").select(
+            "node",
+            F.round(
+                F.lit(base) + F.lit(damping) * F.coalesce("__in", F.lit(0.0)), 6
+            ).alias("rank"),
+        )
+        ranks = ranks.localCheckpoint(eager=False)
+    return ranks

@@ -91,7 +91,6 @@ _PRIORITY: list[str] = [
     "interval_join_events",
     "rolling_user_window",
     "monthly_trend",
-    "flat_map_tokens",
     "filter_orders",
     "distinct_keys",
     "join_inner",
@@ -128,11 +127,12 @@ _PRIORITY: list[str] = [
     "corpus_snapshot_diff",
     "range_shards_orders",
     "streaming_topk_trending",
+    "pagerank_trade_graph",
     # ---- slot 51+: outside the round-4 budget, first in line for
     #      round 5: the 11 displaced canaries (distinct_first,
     #      head_sorted, reduce_global, join_left/semi/anti,
     #      set_intersect/except, coalesce_count, concat_union,
-    #      count_lineitem, map_project), then anything newer
+    #      count_lineitem, map_project, flat_map_tokens), then anything newer
 ]
 
 

@@ -1057,3 +1057,77 @@ def multimodal_resize(spark, sf_dir):
     planted = media.mapInPandas(plant, schema="media_id long, content binary")
     resized = resize_images(planted, factor=0.5)
     return resized.select("media_id", "width", "height", "px_sum")
+
+
+# --------------------------------------------------------------------------
+# Iterative graph analytics through the gate: 2 PageRank rounds over
+# the symmetrized customer<->supplier trade graph. The float
+# iteration carries a hash oracle via the determinism discipline in
+# operators/graph.py (per-round 6-decimal rounding + dsum inflow) —
+# the DuckDB twin unrolls the same two rounds as CTEs.
+# --------------------------------------------------------------------------
+
+_PR_INFLOW = sql_dsum("r.rank / d.d")
+
+_PAGERANK_ORACLE = f"""
+WITH e0 AS (
+  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+), edges AS (
+  SELECT 'c' || CAST(c AS VARCHAR) AS src, 's' || CAST(s AS VARCHAR) AS dst FROM e0
+  UNION ALL
+  SELECT 's' || CAST(s AS VARCHAR), 'c' || CAST(c AS VARCHAR) FROM e0
+), deg AS (
+  SELECT src, count(*) AS d FROM edges GROUP BY src
+), nodes AS (
+  SELECT DISTINCT src AS node FROM edges
+  UNION
+  SELECT DISTINCT dst FROM edges
+), r0 AS (
+  SELECT node, CAST(1.0 AS DOUBLE) AS rank FROM nodes
+), r1 AS (
+  SELECT n.node,
+         round(CAST(0.15 AS DOUBLE)
+               + CAST(0.85 AS DOUBLE) * COALESCE(i.v, 0), 6) AS rank
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, {_PR_INFLOW} AS v
+    FROM edges e JOIN r0 r ON e.src = r.node JOIN deg d ON e.src = d.src
+    GROUP BY e.dst
+  ) i ON n.node = i.node
+), r2 AS (
+  SELECT n.node,
+         round(CAST(0.15 AS DOUBLE)
+               + CAST(0.85 AS DOUBLE) * COALESCE(i.v, 0), 6) AS rank
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, {_PR_INFLOW} AS v
+    FROM edges e JOIN r1 r ON e.src = r.node JOIN deg d ON e.src = d.src
+    GROUP BY e.dst
+  ) i ON n.node = i.node
+)
+SELECT node, rank FROM r2 ORDER BY rank DESC, node LIMIT 20
+"""
+
+
+@query("pagerank_trade_graph", oracle=_PAGERANK_ORACLE)
+def pagerank_trade_graph(spark, sf_dir):
+    """Top-20 PageRank nodes of the customer<->supplier graph (edge =
+    the pair traded, both directions so no node dangles). Per-round
+    rounding + dsum make two engines' float iterations bit-identical
+    — see operators/graph.py."""
+    from shmr_spark.operators.graph import pagerank
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("cn"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("sn"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("cn").alias("src"), F.col("sn").alias("dst")).union(
+        pairs.select(F.col("sn").alias("src"), F.col("cn").alias("dst"))
+    )
+    ranks = pagerank(edges, iters=2)
+    return ranks.orderBy(F.desc("rank"), F.asc("node")).limit(20)

@@ -584,3 +584,29 @@ def test_compact_dataset(spark, sf_dir, tmp_path):
     assert (
         after_df.exceptAll(load_table(spark, sf_dir, "orders")).count() == 0
     )
+
+
+def test_pagerank_hand_graph(spark):
+    """Hub graph, by hand: b,c,d -> a and a -> b, one round.
+    r1(a) = 0.15 + 0.85*(1+1+1) = 2.7; r1(b) = 0.15 + 0.85*1 = 1.0;
+    r1(c) = r1(d) = 0.15 (no inbound)."""
+    from shmr_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("b", "a"), ("c", "a"), ("d", "a"), ("a", "b")],
+        "src string, dst string",
+    )
+    got = {r.node: r.rank for r in pagerank(edges, iters=1).collect()}
+    assert got == {"a": 2.7, "b": 1.0, "c": 0.15, "d": 0.15}
+
+
+def test_pagerank_cycle_fixed_point(spark):
+    """A directed cycle is PageRank's fixed point: every node keeps
+    rank 1.0 (scaled) at any iteration count."""
+    from shmr_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string"
+    )
+    got = {r.node: r.rank for r in pagerank(edges, iters=3).collect()}
+    assert got == {"a": 1.0, "b": 1.0, "c": 1.0}
