@@ -78,3 +78,34 @@ def pagerank(
         )
         ranks = ranks.localCheckpoint(eager=False)
     return ranks
+
+
+def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Global triangle count of the UNDIRECTED graph induced by
+    ``edges``. 1-row output (n_triangles).
+
+    The join order uses the standard degree-ordering-free
+    canonicalization: every undirected edge is kept once as (lo, hi)
+    with lo < hi, and a triangle {a<b<c} is counted exactly once as
+    the path a-b, b-c closed by a-c. Two equi-joins, each a hash
+    shuffle on a vertex key — no cross products. Skewed hub vertices
+    make the first join's b-key hot; AQE skew splitting applies, and
+    at extreme skew the degree-ordering optimization (orient edges
+    low-degree → high-degree) drops in without changing results.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("lo"),
+            F.greatest(F.col(src), F.col(dst)).alias("hi"),
+        )
+        .filter(F.col("lo") != F.col("hi"))
+        .distinct()
+    )
+    ab = e.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+    bc = e.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
+    ac = e.select(F.col("lo").alias("a"), F.col("hi").alias("c"))
+    return (
+        ab.join(bc, "b")
+        .join(ac, ["a", "c"])
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )

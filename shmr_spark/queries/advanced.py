@@ -1131,3 +1131,57 @@ def pagerank_trade_graph(spark, sf_dir):
     )
     ranks = pagerank(edges, iters=2)
     return ranks.orderBy(F.desc("rank"), F.asc("node")).limit(20)
+
+
+@query(
+    "triangle_count_trade",
+    oracle="""
+WITH e0 AS (
+  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+), pe AS (
+  SELECT DISTINCT 'c' || CAST(c AS VARCHAR) AS u, 's' || CAST(s AS VARCHAR) AS v
+  FROM e0
+), ss AS (
+  SELECT DISTINCT a.v AS x, b.v AS y FROM pe a JOIN pe b ON a.u = b.u AND a.v < b.v
+), e AS (
+  SELECT CASE WHEN u < v THEN u ELSE v END AS lo,
+         CASE WHEN u < v THEN v ELSE u END AS hi FROM pe
+  UNION
+  SELECT x, y FROM ss
+)
+SELECT CAST(count(*) AS BIGINT) AS n_triangles
+FROM e ab JOIN e bc ON ab.hi = bc.lo JOIN e ac
+  ON ac.lo = ab.lo AND ac.hi = bc.hi
+""",
+)
+def triangle_count_trade(spark, sf_dir):
+    """Triangles of the trade graph: customer-supplier edges plus
+    supplier-supplier 'co-traded with the same customer' edges (a
+    pure bipartite graph has no triangles, so the projection edge set
+    makes the count meaningful). Oracle repeats the same
+    canonicalized two-join count in SQL."""
+    from shmr_spark.operators.graph import triangle_count
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("u"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("v"),
+        )
+        .distinct()
+    )
+    a = pairs.select(F.col("u").alias("cu"), F.col("v").alias("x"))
+    b = pairs.select(F.col("u").alias("cu"), F.col("v").alias("y"))
+    supp_pairs = (
+        a.join(b, "cu")
+        .filter(F.col("x") < F.col("y"))
+        .select(F.col("x").alias("src"), F.col("y").alias("dst"))
+        .distinct()
+    )
+    edges = pairs.select(F.col("u").alias("src"), F.col("v").alias("dst")).union(
+        supp_pairs
+    )
+    return triangle_count(edges)

@@ -610,3 +610,21 @@ def test_pagerank_cycle_fixed_point(spark):
     )
     got = {r.node: r.rank for r in pagerank(edges, iters=3).collect()}
     assert got == {"a": 1.0, "b": 1.0, "c": 1.0}
+
+
+def test_triangle_count_hand_graphs(spark):
+    """K4 has 4 triangles; a square (4-cycle) has none; duplicate and
+    self edges don't change the count."""
+    from shmr_spark.operators.graph import triangle_count
+
+    k4 = [(a, b) for a in "abcd" for b in "abcd" if a < b]
+    k4_df = spark.createDataFrame(
+        k4 + [("a", "a"), ("b", "a")], "src string, dst string"
+    )
+    assert triangle_count(k4_df).first().n_triangles == 4
+
+    square = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")],
+        "src string, dst string",
+    )
+    assert triangle_count(square).first().n_triangles == 0
