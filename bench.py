@@ -80,20 +80,17 @@ def main() -> None:
     _sess_src_cache: dict[str, str] = {}
 
     def _sessionize_stream_prod(spark, sf_dir):
-        import shutil
         import tempfile
 
         from pyspark.sql import functions as F
+
+        from shmr_spark.queries.analytics import stage_events_copy
         from shmr_spark.streaming import read_events_stream, sessionize_stream
 
         d = _sess_src_cache.get(sf_dir)
         if d is None:
             d = tempfile.mkdtemp(prefix="shmr_bench_sess_")
-            src = os.path.join(sf_dir, "events.parquet")
-            if os.path.isdir(src):
-                shutil.copytree(src, os.path.join(d, "events.parquet"))
-            else:
-                shutil.copy(src, d)
+            stage_events_copy(sf_dir, d)
             _sess_src_cache[sf_dir] = d
         q = (
             sessionize_stream(read_events_stream(spark, d))

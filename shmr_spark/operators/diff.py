@@ -39,12 +39,21 @@ def snapshot_diff(
     Unchanged rows are filtered before the exchange wherever the
     planner can, and never emitted.
     """
-    h_old = old.select(
-        *id_cols, F.xxhash64(*[F.col(c) for c in compare_cols]).alias("__h_old")
-    )
-    h_new = new.select(
-        *id_cols, F.xxhash64(*[F.col(c) for c in compare_cols]).alias("__h_new")
-    )
+    # xxhash64 SKIPS null inputs (the running hash passes through), so
+    # hashing bare columns would let a value "move" between columns —
+    # (text='en', lang=NULL) vs (text=NULL, lang='en') — fold the same
+    # byte stream and masquerade as unchanged. Interleaving a per-column
+    # null flag (never null itself) fixes the arity: the flag pattern
+    # alone separates any two rows with different null layouts.
+    def _h(cols):
+        parts = []
+        for c in cols:
+            parts.append(F.col(c))
+            parts.append(F.col(c).isNull().cast("int"))
+        return F.xxhash64(*parts)
+
+    h_old = old.select(*id_cols, _h(compare_cols).alias("__h_old"))
+    h_new = new.select(*id_cols, _h(compare_cols).alias("__h_new"))
     joined = h_old.join(h_new, on=id_cols, how="full_outer")
     status = (
         F.when(F.col("__h_old").isNull(), F.lit("added"))

@@ -289,6 +289,24 @@ def approx_distinct(spark, sf_dir):
 from contextlib import contextmanager
 
 
+
+
+def stage_events_copy(sf_dir, dest_dir):
+    """Copy the events table into ``dest_dir`` for file-source stream
+    replay — the ONE place that knows both corpus shapes (single
+    parquet file in driver testdata, directory of part files in
+    derived corpora). bench.py's cached staging uses it too, so a
+    future corpus-shape change can't silently diverge there."""
+    import os
+    import shutil
+
+    src = os.path.join(sf_dir, "events.parquet")
+    if os.path.isdir(src):
+        shutil.copytree(src, os.path.join(dest_dir, "events.parquet"))
+    else:
+        shutil.copy(src, dest_dir)
+
+
 @contextmanager
 def _staged_events_dir(sf_dir, prefix="shmr_stream_gate_"):
     """Copy the events table into a throwaway directory for
@@ -301,12 +319,8 @@ def _staged_events_dir(sf_dir, prefix="shmr_stream_gate_"):
     import tempfile
 
     d = tempfile.mkdtemp(prefix=prefix)
-    src = os.path.join(sf_dir, "events.parquet")
     try:
-        if os.path.isdir(src):
-            shutil.copytree(src, os.path.join(d, "events.parquet"))
-        else:
-            shutil.copy(src, d)
+        stage_events_copy(sf_dir, d)
         yield d
     finally:
         shutil.rmtree(d, ignore_errors=True)

@@ -155,18 +155,47 @@ def similarity_indexed_topk(spark, sf_dir):
         f"|cells=8|iters=2"
     )
     slug = hashlib.md5(key.encode()).hexdigest()[:12]
-    d = os.path.join(tempfile.gettempdir(), f"shmr_ivf_{slug}")
+    base = tempfile.gettempdir()
+    d = os.path.join(base, f"shmr_ivf_{slug}")
     marker = os.path.join(d, "_BUILT")
+
     def _marker_valid():
         try:
             with open(marker) as f:
                 return f.read() == key
         except OSError:
             return False
+
     if not _marker_valid():
-        build_ivf_index(emb, d, n_cells=8, kmeans_iters=2)
-        with open(marker, "w") as f:
+        import shutil
+        import uuid
+
+        # evict stale index versions of THIS corpus path (every
+        # regeneration changes the mtime slug; without eviction each
+        # one leaks a full index copy in tmp forever)
+        prefix = f"{os.path.abspath(src)}|"
+        for name in os.listdir(base):
+            if not name.startswith("shmr_ivf_"):
+                continue
+            try:
+                with open(os.path.join(base, name, "_BUILT")) as f:
+                    k = f.read()
+            except OSError:
+                continue
+            if k.startswith(prefix) and k != key:
+                shutil.rmtree(os.path.join(base, name), ignore_errors=True)
+        # build into a private dir, then one atomic rename publishes
+        # it — a concurrent builder can't hand a reader a
+        # half-overwritten index; whoever loses the rename race uses
+        # the winner's (identical, content-keyed) build
+        tmpd = os.path.join(base, f".shmr_ivf_build_{uuid.uuid4().hex[:12]}")
+        build_ivf_index(emb, tmpd, n_cells=8, kmeans_iters=2)
+        with open(os.path.join(tmpd, "_BUILT"), "w") as f:
             f.write(key)
+        try:
+            os.rename(tmpd, d)
+        except OSError:
+            shutil.rmtree(tmpd, ignore_errors=True)
     out = search_ivf_index(spark, d, probe_vec, k=11, n_probe=8)
     rows = [r for r in out.collect() if r.vec_id != 0][:10]
     return spark.createDataFrame(rows, "vec_id long, sim double")

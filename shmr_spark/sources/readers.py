@@ -82,28 +82,36 @@ def read_ndjson_tolerant(
     ingest needs: at 100 TB some lines are always truncated or
     mis-encoded, and a single bad byte must cost one row, not a task.
 
-    PERMISSIVE mode parses what it can; unparseable lines land whole
-    in ``corrupt_col``. Returns (good, quarantined) — good rows
-    without the corrupt column, quarantined raw lines for a re-parse
-    or audit sink. A schema is mandatory: inference would silently
-    adopt the corrupt shape.
+    PERMISSIVE parsing; unparseable lines land whole in
+    ``corrupt_col``. Returns (good, quarantined) — good rows without
+    the corrupt column, quarantined raw lines for a re-parse or audit
+    sink. A schema is mandatory: inference would silently adopt the
+    corrupt shape.
 
-    Spark caveat handled here: a query that selects ONLY the corrupt
-    column is disallowed against raw JSON, so the reader caches the
-    parsed form before splitting.
+    Built as from_json over a text scan rather than the JSON reader:
+    the reader path disallows corrupt-column-only queries and the
+    standard workaround (.cache() before splitting) pins a full copy
+    of every ingested input in executor storage for the session —
+    the wrong trade at ingest scale. Each returned branch re-scans
+    the text (two scans total if both are consumed; scans are the
+    cheap part of ingest) and holds no state.
     """
+    from pyspark.sql import functions as F
     from pyspark.sql.types import StringType
 
     full = (
         StructType.fromDDL(schema) if isinstance(schema, str) else schema
     ).add(corrupt_col, StringType())
-    df = (
-        spark.read.schema(full)
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", corrupt_col)
-        .json(path)
-        .cache()
+    parsed = spark.read.text(path).select(
+        F.from_json(
+            "value", full, {"columnNameOfCorruptRecord": corrupt_col}
+        ).alias("__r"),
+        F.col("value"),
     )
-    good = df.filter(df[corrupt_col].isNull()).drop(corrupt_col)
-    bad = df.filter(df[corrupt_col].isNotNull()).select(corrupt_col)
+    # from_json yields a NULL struct (not a corrupt record) for empty
+    # lines and the literal `null` — those are quarantine material
+    # too, not all-null "good" rows
+    ok = F.col("__r").isNotNull() & F.col(f"__r.{corrupt_col}").isNull()
+    good = parsed.filter(ok).select("__r.*").drop(corrupt_col)
+    bad = parsed.filter(~ok).select(F.col("value").alias(corrupt_col))
     return Dataset(good), Dataset(bad)

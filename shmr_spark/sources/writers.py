@@ -154,8 +154,14 @@ def write_sorted_shards(
     from shmr_spark.operators.ranking import range_shards
 
     sharded = range_shards(df, key_col, id_col, n_shards)
+    # repartitionByRange, not hash repartition: hash(shard_id) % n is
+    # not a bijection, so hash routing piles several shards into one
+    # task and leaves others empty (correct output — partitionBy still
+    # splits directories — but a third of the write parallelism lost).
+    # Range partitioning on an already-balanced 0..n-1 key gives one
+    # shard per task.
     (
-        sharded.repartition(n_shards, F.col("shard_id"))
+        sharded.repartitionByRange(n_shards, F.col("shard_id"))
         .sortWithinPartitions(key_col, id_col)
         .write.mode(mode)
         .option("compression", compression)
@@ -180,9 +186,13 @@ def compact_dataset(
     only, no data scan): target partition count =
     ceil(total_bytes / target_mb). The rewrite is one coalesce-free
     repartition(n) — an all-to-all exchange, the price of re-chunking,
-    paid once per compaction cycle. The write goes to a sibling
-    temp dir first and atomically replaces the input only after
-    success, so a failed compaction never loses data.
+    paid once per compaction cycle. The write goes to a sibling temp
+    dir first and is ROW-COUNT VALIDATED against the input footers
+    before any rename touches the original, so a failed or lossy
+    rewrite leaves the input untouched. The swap itself is two
+    renames (POSIX has no atomic directory exchange); a crash between
+    them leaves the full original data under the ``<path>.old_*``
+    sibling — nothing is deleted until the new directory is in place.
 
     The distributed-write analog of the reference's
     partitions.coalesce (/root/reference/shmr/partitions.py:81-123),
@@ -210,6 +220,16 @@ def compact_dataset(
         .option("compression", compression)
         .parquet(tmp)
     )
+    rows_before = sum(f["n_rows"] for f in files)
+    rows_tmp = sum(
+        f["n_rows"] for f in manifest(spark, tmp).collect()
+    )
+    if rows_tmp != rows_before:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise RuntimeError(
+            f"compaction dropped rows ({rows_before} -> {rows_tmp}); "
+            f"input left untouched at {path}"
+        )
     old = path.rstrip("/") + f".old_{uuid.uuid4().hex[:8]}"
     os.rename(path, old)
     os.rename(tmp, path)

@@ -100,11 +100,13 @@ def test_read_ndjson_tolerant_quarantines_bad_lines(spark, tmp_path):
         '{"id": 2, "text": "also ok"}\n'
         '{"id": 3, "text": "truncat\n'
         "not json at all\n"
+        "null\n"
         '{"id": 4, "text": "fine"}\n'
     )
     good, bad = read_ndjson_tolerant(spark, str(p), "id long, text string")
     assert {r.id for r in good.df.collect()} == {1, 2, 4}
     bad_lines = [r[0] for r in bad.df.collect()]
-    assert len(bad_lines) == 2
+    assert len(bad_lines) == 3
+    assert "null" in bad_lines
     assert any("truncat" in l for l in bad_lines)
     assert any("not json" in l for l in bad_lines)

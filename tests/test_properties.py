@@ -171,18 +171,26 @@ def test_dsum_hint_below_threshold_keeps_fast_path(spark):
     assert a == b
 
 
-def test_dsum_decimal_overflow_gate_is_beyond_fast_path(spark):
+def test_dsum_decimal_overflow_gate_is_beyond_fast_path(spark, sf_dir):
     """The dsum_decimal_overflow gate query's magnitude claim: the same
     expression through the int64 fast path raises, so the gate really
-    exercises the beyond-int64 decimal route, not a comfortable sum."""
+    exercises the beyond-int64 decimal route, not a comfortable sum.
+    The multiplier adapts to the fixture corpus (the gate's fixed
+    10000x is calibrated to sf0.01; smaller fixtures need a larger
+    factor for the sum to cross the cap) so the property holds at any
+    SHMR_TEST_SF_DIR instead of hardcoding one path."""
+    import math
+
     import pytest
     from pyspark.sql import functions as F
 
     from shmr_spark.catalog import load_table
-    from shmr_spark.functions.numeric import dsum
+    from shmr_spark.functions.numeric import INT64_SAFE_ABS_SUM, dsum
 
-    li = load_table(spark, "/root/testdata/sf0.01", "lineitem")
-    big = F.col("l_extendedprice") * F.lit(10000.0)
+    li = load_table(spark, sf_dir, "lineitem")
+    total = li.agg(F.sum("l_extendedprice")).first()[0]
+    factor = float(10 ** (math.ceil(math.log10(INT64_SAFE_ABS_SUM / total)) + 1))
+    big = F.col("l_extendedprice") * F.lit(factor)
     with pytest.raises(Exception) as exc:
         li.agg(dsum(big).alias("s")).collect()
     assert "overflow" in str(exc.value).lower()
