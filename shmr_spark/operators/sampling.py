@@ -64,3 +64,48 @@ def stratified_sample_exact(
         .filter(F.col("__rn") <= F.ceil(F.col("__n") * F.lit(fraction)))
         .drop("__rn", "__n")
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+    test_fraction: float = 0.1,
+    buckets: int = 10_000,
+    split_col: Column | None = None,
+) -> DataFrame:
+    """Train/test split that can't leak near-duplicates across the
+    boundary: every near-dup CLUSTER (connected components over
+    ``pairs``) lands wholly on one side, because the split hash is
+    taken over the cluster representative (min id), not the document
+    id. Documents in no pair split on their own id as usual.
+
+    This is the split a pretraining pipeline actually needs — an
+    id-hash split puts two near-identical documents on opposite
+    sides and the eval set silently overlaps the training set.
+
+    Adds ``group_id`` (the cluster representative) and ``split``
+    ('train'/'test') to ``df``. One extra join vs the plain split —
+    components are (node, comp) pairs, tiny next to the corpus.
+    """
+    from pyspark.sql import functions as F
+
+    from shmr_spark.dedup.clusters import connected_components
+
+    comps = connected_components(pairs, src, dst)
+    grouped = (
+        df.join(comps, df[id_col] == comps["node"], "left")
+        .withColumn("group_id", F.coalesce(F.col("comp"), F.col(id_col)))
+        .drop("node", "comp")
+    )
+    bucket = (
+        split_col
+        if split_col is not None
+        else hash_split_col(F.col("group_id"), buckets)
+    )
+    side = F.when(bucket < int(test_fraction * buckets), F.lit("test")).otherwise(
+        F.lit("train")
+    )
+    return grouped.withColumn("split", side)

@@ -917,3 +917,65 @@ def bpe_pair_counts(spark, sf_dir):
         .orderBy(F.desc("n"), "a", "b")
         .limit(200)
     )
+
+
+@query(
+    "leakage_safe_split",
+    oracle="""
+WITH RECURSIVE grams AS (
+  SELECT doc_id,
+    CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+      list_distinct(list_transform(
+        generate_series(1, len(string_split(text, ' ')) - 2),
+        i -> string_split(text, ' ')[i] || ' ' ||
+             string_split(text, ' ')[i+1] || ' ' ||
+             string_split(text, ' ')[i+2]))
+    ELSE [text] END AS gs
+  FROM documents
+), pairs AS (
+  SELECT a.doc_id AS u, b.doc_id AS v
+  FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE) /
+        CAST(len(list_distinct(list_concat(a.gs, b.gs))) AS DOUBLE) >= 0.5
+), edges AS (
+  SELECT u, v FROM pairs UNION SELECT v, u FROM pairs
+), reach (node, reached) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT r.node, e.v FROM reach r JOIN edges e ON r.reached = e.u
+), comp AS (
+  SELECT node, MIN(reached) AS comp FROM reach GROUP BY node
+), grouped AS (
+  SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS group_id
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+)
+SELECT doc_id, group_id,
+       CASE WHEN CAST('0x' || substr(md5(CAST(group_id AS VARCHAR)), 1, 15) AS BIGINT)
+                 % 10000 < 2000
+            THEN 'test' ELSE 'train' END AS split
+FROM grouped
+ORDER BY doc_id
+""",
+)
+def leakage_safe_split_q(spark, sf_dir):
+    """Near-dup-aware train/test split (operators/sampling.py
+    leakage_safe_split): MinHash pairs -> connected components ->
+    split on the md5 bucket of the CLUSTER representative, so
+    near-duplicates can never straddle the train/test boundary. The
+    oracle replays pair generation, a recursive-CTE components pass,
+    and the same md5 bucket."""
+    from shmr_spark.dedup import minhash_near_duplicates
+    from shmr_spark.operators.sampling import (
+        hash_split_col_md5,
+        leakage_safe_split,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_near_duplicates(docs, threshold=0.5, num_hashes=64, bands=64)
+    out = leakage_safe_split(
+        docs,
+        pairs,
+        test_fraction=0.2,
+        split_col=hash_split_col_md5("group_id"),
+    )
+    return out.select("doc_id", "group_id", "split").orderBy("doc_id")

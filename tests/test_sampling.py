@@ -45,3 +45,39 @@ def test_stratified_exact_fraction(spark, sf_dir):
     got = {r.l_returnflag: r.n for r in out.groupBy("l_returnflag").agg(F.count("*").alias("n")).collect()}
     for k, n in per.items():
         assert got[k] == math.ceil(n * 0.1)
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark, sf_dir):
+    """Every near-dup cluster lands wholly on one side, including
+    planted near-copies whose own id-hashes would split them."""
+    from shmr_spark.dedup import minhash_near_duplicates
+    from shmr_spark.operators.sampling import leakage_safe_split
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    near = docs.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 500000).alias("doc_id"),
+        F.concat("text", F.lit(" zz")).alias("text"),
+    )
+    corpus = docs.unionByName(near)
+    pairs = minhash_near_duplicates(corpus, threshold=0.5, num_hashes=64, bands=64)
+    out = leakage_safe_split(corpus, pairs, test_fraction=0.3).select(
+        "doc_id", "group_id", "split"
+    )
+    # (a) no group straddles sides
+    straddlers = (
+        out.groupBy("group_id")
+        .agg(F.count_distinct("split").alias("n_sides"))
+        .filter(F.col("n_sides") > 1)
+        .count()
+    )
+    assert straddlers == 0
+    # (b) each planted near-copy shares a group (and hence a side)
+    # with its original
+    rows = {r.doc_id: (r.group_id, r.split) for r in out.collect()}
+    linked = [i for i in range(20) if rows[i][0] == rows[i + 500000][0]]
+    assert len(linked) >= 15  # minhash at 0.5 catches nearly all
+    for i in linked:
+        assert rows[i][1] == rows[i + 500000][1]
+    # (c) both sides populated
+    sides = {s for (_, s) in rows.values()}
+    assert sides == {"train", "test"}
