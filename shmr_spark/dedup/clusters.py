@@ -88,3 +88,40 @@ def dedup_keep_cluster_representative(
         F.col("node").alias(id_col)
     )
     return df.join(losers, id_col, "left_anti")
+
+
+def dedup_keep_best_in_cluster(
+    df: DataFrame,
+    pairs: DataFrame,
+    quality_col: str,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Near-dup dedup keeping the HIGHEST-QUALITY member of each
+    cluster (ties -> smallest id) instead of the smallest id — what a
+    production pipeline wants: when a document survives in several
+    crawls or mirrors, keep the cleanest copy, not the
+    lexicographically first one. ``quality_col`` must be numeric;
+    documents in no pair survive untouched.
+
+    One aggregate per cluster (max_by over a (quality, -id) struct —
+    struct ordering gives the deterministic tie-break) and one
+    anti-join; components are tiny next to the corpus.
+    """
+    comps = connected_components(pairs, src, dst)
+    scored = comps.join(
+        df.select(F.col(id_col).alias("node"), F.col(quality_col).alias("__q")),
+        "node",
+    )
+    winners = scored.groupBy("comp").agg(
+        F.max_by(
+            "node", F.struct(F.col("__q"), (-F.col("node")).alias("__t"))
+        ).alias("__winner")
+    )
+    losers = (
+        comps.join(winners, "comp")
+        .filter(F.col("node") != F.col("__winner"))
+        .select(F.col("node").alias(id_col))
+    )
+    return df.join(losers, id_col, "left_anti")

@@ -979,3 +979,60 @@ def leakage_safe_split_q(spark, sf_dir):
         split_col=hash_split_col_md5("group_id"),
     )
     return out.select("doc_id", "group_id", "split").orderBy("doc_id")
+
+
+@query(
+    "dedup_keep_best_quality",
+    oracle="""
+WITH RECURSIVE grams AS (
+  SELECT doc_id,
+    CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+      list_distinct(list_transform(
+        generate_series(1, len(string_split(text, ' ')) - 2),
+        i -> string_split(text, ' ')[i] || ' ' ||
+             string_split(text, ' ')[i+1] || ' ' ||
+             string_split(text, ' ')[i+2]))
+    ELSE [text] END AS gs
+  FROM documents
+), pairs AS (
+  SELECT a.doc_id AS u, b.doc_id AS v
+  FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE) /
+        CAST(len(list_distinct(list_concat(a.gs, b.gs))) AS DOUBLE) >= 0.5
+), edges AS (
+  SELECT u, v FROM pairs UNION SELECT v, u FROM pairs
+), reach (node, reached) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT r.node, e.v FROM reach r JOIN edges e ON r.reached = e.u
+), comp AS (
+  SELECT node, MIN(reached) AS comp FROM reach GROUP BY node
+), keep AS (
+  SELECT node FROM (
+    SELECT c.node,
+           row_number() OVER (
+             PARTITION BY c.comp ORDER BY d.n_chars DESC, c.node
+           ) AS rk
+    FROM comp c JOIN documents d ON c.node = d.doc_id
+  ) WHERE rk = 1
+)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT node FROM comp)
+   OR doc_id IN (SELECT node FROM keep)
+ORDER BY doc_id
+""",
+)
+def dedup_keep_best_quality(spark, sf_dir):
+    """dedup_corpus_neardup's production variant: within each
+    near-dup cluster keep the longest document (n_chars as the
+    quality signal; ties -> smallest id) instead of the smallest id.
+    Same pair + component machinery; only representative selection
+    changes — and the oracle's row_number twin checks exactly that
+    selection."""
+    from shmr_spark.dedup import minhash_near_duplicates
+    from shmr_spark.dedup.clusters import dedup_keep_best_in_cluster
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_near_duplicates(docs, threshold=0.5, num_hashes=64, bands=64)
+    survivors = dedup_keep_best_in_cluster(docs, pairs, quality_col="n_chars")
+    return survivors.select("doc_id").orderBy("doc_id")

@@ -51,3 +51,31 @@ def test_empty_pairs_keeps_everything(spark):
     docs = spark.createDataFrame([(i, "t") for i in range(5)], "doc_id long, text string")
     pairs = spark.createDataFrame([], "id_a long, id_b long")
     assert dedup_keep_cluster_representative(docs, pairs).count() == 5
+
+
+def test_keep_best_in_cluster_picks_quality_not_id(spark):
+    """In a cluster {1,2,3} where 2 has the best quality, min-id
+    keeps 1 but keep-best keeps 2; ties break to the smaller id;
+    unpaired docs survive."""
+    from shmr_spark.dedup.clusters import (
+        dedup_keep_best_in_cluster,
+        dedup_keep_cluster_representative,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 99), (3, 10), (7, 5), (8, 5), (9, 1)],
+        "doc_id long, quality long",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], "id_a long, id_b long"
+    )
+    best = {
+        r.doc_id
+        for r in dedup_keep_best_in_cluster(docs, pairs, "quality").collect()
+    }
+    assert best == {2, 7, 9}  # 2 wins on quality; 7 wins the 5-5 tie; 9 unpaired
+    minid = {
+        r.doc_id
+        for r in dedup_keep_cluster_representative(docs, pairs).collect()
+    }
+    assert minid == {1, 7, 9}
