@@ -1358,3 +1358,46 @@ def streaming_topk_trending(spark, sf_dir):
             output_mode="complete",
         )
     return trending_topk_finish(counts, k=3)
+
+
+@query(
+    "ewma_customer_orders",
+    oracle="""
+WITH o AS (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         lag(o_totalprice, 1) OVER w AS l1,
+         lag(o_totalprice, 2) OVER w AS l2,
+         lag(o_totalprice, 3) OVER w AS l3,
+         lag(o_totalprice, 4) OVER w AS l4
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+)
+SELECT o_custkey, o_orderkey,
+       round((((o_totalprice + 0.5 * COALESCE(l1, 0))
+               + 0.25 * COALESCE(l2, 0))
+               + 0.125 * COALESCE(l3, 0))
+               + 0.0625 * COALESCE(l4, 0), 6) AS ewma
+FROM o
+""",
+)
+def ewma_customer_orders(spark, sf_dir):
+    """Exponentially weighted moving average of order value per
+    customer — as EXPLICIT lag terms, not a frame aggregate: a
+    window SUM over doubles has engine-defined accumulation order,
+    but a fixed left-associated expression over lag() values is the
+    same IEEE evaluation on both engines, so the float result
+    hash-matches without the scaled-sum machinery. The window
+    partitions by customer — parallel, never global."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    orders = load_table(spark, sf_dir, "orders")
+    p = F.col("o_totalprice")
+    terms = (
+        (
+            (p + F.lit(0.5) * F.coalesce(F.lag(p, 1).over(w), F.lit(0.0)))
+            + F.lit(0.25) * F.coalesce(F.lag(p, 2).over(w), F.lit(0.0))
+        )
+        + F.lit(0.125) * F.coalesce(F.lag(p, 3).over(w), F.lit(0.0))
+    ) + F.lit(0.0625) * F.coalesce(F.lag(p, 4).over(w), F.lit(0.0))
+    return orders.select(
+        "o_custkey", "o_orderkey", F.round(terms, 6).alias("ewma")
+    )
