@@ -121,6 +121,15 @@ class Dataset:
         /root/reference/shmr/partition.py:102-112). Distributed foreach."""
         self.df.foreach(fn)
 
+    def apply_partitions(self, fn: Callable[[Any], None]) -> None:
+        """Side-effect iteration with one call per PARTITION (an
+        iterator of rows) — the distributed form of the reference's
+        apply over a whole partition file
+        (/root/reference/shmr/partition.py:102-112: the fn sees every
+        record of one file). Lets the side effect amortize per-split
+        setup (open one sink connection/file per task, not per row)."""
+        self.df.foreachPartition(fn)
+
     # -- dedup ------------------------------------------------------------
 
     def distinct(self, keys: list[str] | None = None) -> "Dataset":

@@ -92,7 +92,6 @@ _PRIORITY: list[str] = [
     "rolling_user_window",
     "monthly_trend",
     "filter_orders",
-    "distinct_keys",
     "join_inner",
     "join_grouped",
     "split_by_key_buckets",
@@ -128,11 +127,12 @@ _PRIORITY: list[str] = [
     "range_shards_orders",
     "streaming_topk_trending",
     "pagerank_trade_graph",
+    "apply_side_effect",
     # ---- slot 51+: outside the round-4 budget, first in line for
     #      round 5: the 11 displaced canaries (distinct_first,
     #      head_sorted, reduce_global, join_left/semi/anti,
     #      set_intersect/except, coalesce_count, concat_union,
-    #      count_lineitem, map_project, flat_map_tokens), then anything newer
+    #      count_lineitem, map_project, flat_map_tokens, distinct_keys), then anything newer
 ]
 
 

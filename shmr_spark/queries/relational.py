@@ -758,3 +758,60 @@ def q18_large_orders(spark, sf_dir):
         .orderBy(F.desc("o_totalprice"), "o_orderkey")
         .limit(20)
     )
+
+
+@query(
+    "apply_side_effect",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(l_quantity * 100 AS BIGINT)) AS BIGINT) AS qty_cents
+FROM lineitem
+""",
+)
+def apply_side_effect(spark, sf_dir):
+    """partition.apply (/root/reference/shmr/partition.py:102-112)
+    under the hash gate: the side-effect op has no output partition,
+    so the gate OBSERVES the side effect instead — every task writes
+    its partition's (row count, exact quantity cents) to a scratch
+    file, and the query returns the re-aggregated totals, which must
+    equal the direct-scan oracle. Proves the foreachPartition
+    execution visited every record exactly once, distributed.
+
+    The scratch dir is driver-local (works on local[*] where
+    executors share the FS); on a real cluster the same fn targets
+    shared storage or an external sink — the operator contract is
+    identical. Cents stay exact: quantities are integral doubles, so
+    q*100 is integer-exact on both engines."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from shmr_spark.dataset import Dataset
+
+    d = tempfile.mkdtemp(prefix="shmr_apply_gate_")
+    li = Dataset(load_table(spark, sf_dir, "lineitem").select("l_quantity"))
+
+    def per_partition(rows):
+        n = 0
+        cents = 0
+        for r in rows:
+            n += 1
+            cents += int(r.l_quantity * 100)
+        if n:
+            path = os.path.join(d, f"part_{uuid.uuid4().hex}.csv")
+            with open(path, "w") as f:
+                f.write(f"{n},{cents}\n")
+
+    li.apply_partitions(per_partition)
+    try:
+        parts = []
+        for p in glob.glob(os.path.join(d, "part_*.csv")):
+            with open(p) as f:
+                n, cents = f.read().strip().split(",")
+                parts.append((int(n), int(cents)))
+        total = (sum(p[0] for p in parts), sum(p[1] for p in parts))
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.createDataFrame([total], "n_rows long, qty_cents long")
