@@ -628,3 +628,29 @@ def test_triangle_count_hand_graphs(spark):
         "src string, dst string",
     )
     assert triangle_count(square).first().n_triangles == 0
+
+
+def test_with_audit_single_pass_metrics(spark, sf_dir, tmp_path):
+    """Metrics ride the write action itself — counts for the
+    filtered stream arrive without a second scan, and a before/after
+    pair on one plan measures the filter's selectivity."""
+    from shmr_spark.catalog import load_table
+    from shmr_spark.operators.audit import with_audit
+
+    orders = load_table(spark, sf_dir, "orders")
+    pre, obs_pre = with_audit(orders, "pre", rows=F.count(F.lit(1)))
+    filtered = pre.filter(F.col("o_totalprice") > 100000)
+    post, obs_post = with_audit(
+        filtered,
+        "post",
+        rows=F.count(F.lit(1)),
+        max_price=F.max("o_totalprice"),
+    )
+    post.write.mode("overwrite").parquet(str(tmp_path / "out"))
+
+    n_all = orders.count()
+    n_kept = orders.filter(F.col("o_totalprice") > 100000).count()
+    assert obs_pre.get["rows"] == n_all
+    assert obs_post.get["rows"] == n_kept
+    assert obs_post.get["max_price"] == orders.agg(F.max("o_totalprice")).first()[0]
+    assert spark.read.parquet(str(tmp_path / "out")).count() == n_kept

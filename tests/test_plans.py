@@ -247,3 +247,28 @@ def test_snapshot_diff_shuffles_hashes_not_payloads(spark, sf_dir):
     for block in plan.split("\n\n"):
         if block.lstrip().startswith("(") and "Exchange" in block.splitlines()[0]:
             assert "text" not in block, block
+
+
+def test_new_graph_and_split_queries_stay_jvm_side(spark, sf_dir):
+    """No Python-UDF nodes in the round-4 additions: graph,
+    leakage-safe split, keep-best dedup, EWMA, semantic dedup."""
+    for name in (
+        "pagerank_trade_graph",
+        "triangle_count_trade",
+        "leakage_safe_split",
+        "dedup_keep_best_quality",
+        "ewma_customer_orders",
+        "dedup_semantic",
+    ):
+        plan = _plan(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+
+
+def test_ewma_window_is_partitioned(spark, sf_dir):
+    """The EWMA lags run over a customer-partitioned window — never a
+    global single-partition sort."""
+    plan = _plan(spark, sf_dir, "ewma_customer_orders")
+    flat = plan.replace(" ", "")
+    assert "partitionBy=[o_custkey" in flat or "o_custkey" in flat
+    assert "SinglePartition" not in _tree(plan)
