@@ -10,6 +10,11 @@ from shmr_spark.streaming.stateful import sessionize_stream
 from shmr_spark.streaming.joins import interval_join_stream
 from shmr_spark.streaming.dedup import dedup_stream, dedup_stream_watermarked
 from shmr_spark.streaming.enrich import enrich_stream
+from shmr_spark.streaming.sinks import (
+    idempotent_batch_writer,
+    stream_foreach_batch,
+    stream_to_parquet,
+)
 
 __all__ = [
     "enrich_stream",
@@ -23,4 +28,7 @@ __all__ = [
     "interval_join_stream",
     "dedup_stream",
     "dedup_stream_watermarked",
+    "idempotent_batch_writer",
+    "stream_foreach_batch",
+    "stream_to_parquet",
 ]

@@ -45,3 +45,35 @@ def stream_foreach_batch(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def idempotent_batch_writer(out_dir: str) -> Callable[[DataFrame, int], None]:
+    """foreachBatch callback with the standard exactly-once recipe:
+    each micro-batch lands under ``batch_id=<epoch>/`` via dynamic
+    partition overwrite, so a RETRIED epoch (sink failure after a
+    partial write, restart before the checkpoint commit) REPLACES its
+    partial output instead of appending a duplicate. Readers see
+    ``spark.read.parquet(out_dir)`` as usual; the batch_id column
+    doubles as an audit trail of which epoch delivered each row.
+
+    This is the contract stream_foreach_batch's docstring asks of
+    callbacks ("key it on epoch_id"), packaged.
+    """
+
+    def write(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            from pyspark.sql import functions as F
+
+            (
+                batch_df.withColumn("batch_id", F.lit(int(epoch_id)))
+                .write.mode("overwrite")
+                .partitionBy("batch_id")
+                .parquet(out_dir)
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    return write

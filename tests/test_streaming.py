@@ -353,3 +353,67 @@ def test_streaming_dedup_checkpoint_recovery(spark, sf_dir, tmp_path):
     want = ev.select("user_id", "event_type").distinct().count()
     assert out.count() == want
     assert out.distinct().count() == want
+
+
+def test_idempotent_batch_writer_replaces_on_replay(spark, sf_dir, tmp_path):
+    """Exactly-once via dynamic partition overwrite: re-delivering an
+    epoch (simulated sink retry) REPLACES its output instead of
+    appending duplicates, and a partial first attempt leaves no
+    residue."""
+    from shmr_spark.catalog import load_table
+    from shmr_spark.streaming import idempotent_batch_writer
+
+    out = str(tmp_path / "sink")
+    write = idempotent_batch_writer(out)
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+
+    batch0 = ev.filter(F.col("event_id") % 3 == 0)
+    batch1 = ev.filter(F.col("event_id") % 3 == 1)
+    write(batch0, 0)
+    write(batch1, 1)
+    n0, n1 = batch0.count(), batch1.count()
+    assert spark.read.parquet(out).count() == n0 + n1
+
+    # retry epoch 0 with a DIFFERENT (partial) payload — the recipe
+    # must replace epoch 0's partition wholesale, leaving epoch 1
+    # untouched
+    partial = batch0.limit(5)
+    write(partial, 0)
+    got = spark.read.parquet(out)
+    assert got.filter(F.col("batch_id") == 0).count() == 5
+    assert got.filter(F.col("batch_id") == 1).count() == n1
+    assert got.count() == 5 + n1
+
+
+def test_foreach_batch_stream_with_idempotent_sink(spark, sf_dir, tmp_path):
+    """End-to-end: a replayed file stream through foreachBatch +
+    idempotent writer delivers exactly the batch row set."""
+    import os
+
+    from shmr_spark.catalog import load_table
+    from shmr_spark.queries.analytics import stage_events_copy
+    from shmr_spark.streaming import (
+        idempotent_batch_writer,
+        read_events_stream,
+        stream_foreach_batch,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    stage_events_copy(sf_dir, src)
+    out = str(tmp_path / "sink")
+    chk = str(tmp_path / "chk")
+
+    stream = read_events_stream(spark, src).select("event_id", "user_id")
+    q = stream_foreach_batch(
+        stream, idempotent_batch_writer(out), chk, output_mode="append"
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    want = load_table(spark, sf_dir, "events").count()
+    got = spark.read.parquet(out)
+    assert got.count() == want
+    assert got.select("event_id").distinct().count() == want
