@@ -149,6 +149,30 @@ def test_diff_map_gzip_in_and_out(spark, fixture_dir, tmp_path):
     assert _meta(rp) == _meta(op) == 100
 
 
+def test_diff_filter_bz2_in_and_out(spark, fixture_dir, tmp_path):
+    """bz2 on both ends (the reference's other codec,
+    shmr/misc.py:6-20), through FILTER so the raw-line-copy path is
+    exercised under compression too — byte-equal after decompress."""
+    import bz2
+
+    src = f"{fixture_dir}/people.00.csv"
+    bz_in = f"{fixture_dir}/people.00.csv.bz2"
+    with open(src, "rb") as f, bz2.open(bz_in, "wb") as g:
+        g.write(f.read())
+
+    tail = lambda d: [  # noqa: E731
+        "-i", bz_in, *CSV[:4], "-s", "shmr.str_dumps",
+        "partition.filter", "--fn", "tests.cli_fixture_fns.is_adult",
+    ]
+    rp, op = _diff_one_output(spark, fixture_dir, tmp_path, tail, "adults.csv.bz2")
+    with bz2.open(rp) as f:
+        ref_bytes = f.read()
+    with bz2.open(op) as f:
+        our_bytes = f.read()
+    assert ref_bytes == our_bytes
+    assert _meta(rp) == _meta(op)
+
+
 def test_diff_flat_map(spark, fixture_dir, tmp_path):
     tail = lambda d: [  # noqa: E731
         "-i", f"{d}/people.00.csv", *CSV,
