@@ -132,7 +132,11 @@ _PRIORITY: list[str] = [
     #      round 5: the 11 displaced canaries (distinct_first,
     #      head_sorted, reduce_global, join_left/semi/anti,
     #      set_intersect/except, coalesce_count, concat_union,
-    #      count_lineitem, map_project, flat_map_tokens, distinct_keys), then anything newer
+    #      count_lineitem, map_project, flat_map_tokens, distinct_keys),
+    #      then the four late-session additions with local parity
+    #      greens but no driver row (triangle_count_trade,
+    #      leakage_safe_split, dedup_keep_best_quality,
+    #      ewma_customer_orders), then anything newer
 ]
 
 
