@@ -31,3 +31,54 @@ def validate(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
         F.expr(f"stack({len(rules)}, {stack}) AS (rule, n_violations)"),
         F.col("__n").alias("n_rows"),
     )
+
+
+def schema_drift(actual: "DataFrame | object", expected: object) -> list[dict]:
+    """Data-contract check: diff a DataFrame's schema (or any
+    StructType) against the expected StructType. Returns one dict per
+    drift — ``{"column", "kind", "expected", "actual"}`` with kind ∈
+    {missing, extra, type_changed, nullability_tightened} — empty
+    list = contract holds.
+
+    Run it BEFORE a backfill or merge: at 100 TB a silently-widened
+    column poisons every downstream partition before anyone looks.
+    Metadata-only (schemas come from parquet footers) — zero data
+    scan. nullability loosened (required -> nullable) is NOT flagged:
+    readers that accepted nulls still work; the reverse direction is
+    (a required column built from a nullable source can break the
+    writer mid-job).
+    """
+    from pyspark.sql import DataFrame as _DF
+    from pyspark.sql.types import StructType
+
+    act: StructType = actual.schema if isinstance(actual, _DF) else actual
+    exp: StructType = expected  # type: ignore[assignment]
+    a = {f.name: f for f in act.fields}
+    e = {f.name: f for f in exp.fields}
+    drifts: list[dict] = []
+    for name, ef in e.items():
+        af = a.get(name)
+        if af is None:
+            drifts.append(
+                {"column": name, "kind": "missing",
+                 "expected": ef.dataType.simpleString(), "actual": None}
+            )
+            continue
+        if af.dataType != ef.dataType:
+            drifts.append(
+                {"column": name, "kind": "type_changed",
+                 "expected": ef.dataType.simpleString(),
+                 "actual": af.dataType.simpleString()}
+            )
+        if ef.nullable and not af.nullable:
+            drifts.append(
+                {"column": name, "kind": "nullability_tightened",
+                 "expected": "nullable", "actual": "required"}
+            )
+    for name, af in a.items():
+        if name not in e:
+            drifts.append(
+                {"column": name, "kind": "extra",
+                 "expected": None, "actual": af.dataType.simpleString()}
+            )
+    return drifts

@@ -654,3 +654,41 @@ def test_with_audit_single_pass_metrics(spark, sf_dir, tmp_path):
     assert obs_post.get["rows"] == n_kept
     assert obs_post.get["max_price"] == orders.agg(F.max("o_totalprice")).first()[0]
     assert spark.read.parquet(str(tmp_path / "out")).count() == n_kept
+
+
+def test_schema_drift_detects_all_kinds(spark, sf_dir):
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from shmr_spark.catalog import load_table
+    from shmr_spark.operators.validate import schema_drift
+
+    expected = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("lang", StringType()),
+            StructField("source", StringType()),
+            StructField("n_chars", LongType()),
+        ]
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    assert schema_drift(docs, expected) == []
+
+    drifted = docs.drop("lang").withColumn(
+        "n_chars", F.col("n_chars").cast("double")
+    ).withColumn("crawl_date", F.lit("2026-01-01"))
+    got = {(d["column"], d["kind"]) for d in schema_drift(drifted, expected)}
+    assert got == {
+        ("lang", "missing"),
+        ("n_chars", "type_changed"),
+        ("crawl_date", "extra"),
+    }
+    bad = schema_drift(drifted, expected)
+    tc = next(d for d in bad if d["kind"] == "type_changed")
+    assert tc["expected"] == "bigint" and tc["actual"] == "double"
