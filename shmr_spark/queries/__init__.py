@@ -136,7 +136,14 @@ _PRIORITY: list[str] = [
     #      then the four late-session additions with local parity
     #      greens but no driver row (triangle_count_trade,
     #      leakage_safe_split, dedup_keep_best_quality,
-    #      ewma_customer_orders), then anything newer
+    #      ewma_customer_orders), then the TPC-H completion batch
+    #      (q4_order_priority, q7_nation_volume, q8_market_share,
+    #      q9_profit_by_nation, q13_customer_distribution,
+    #      q15_top_supplier, q16_supplier_part_variety,
+    #      q17_small_quantity_revenue, q19_disjunctive_revenue,
+    #      q21_single_fault_suppliers, q22_dormant_customers — all
+    #      parity-green locally at sf0.001 + sf0.01), then anything
+    #      newer
 ]
 
 
@@ -150,6 +157,7 @@ def load_all() -> dict[str, QuerySpec]:
     from shmr_spark.queries import vectors  # noqa: F401
     from shmr_spark.queries import advanced  # noqa: F401
     from shmr_spark.queries import pipeline  # noqa: F401
+    from shmr_spark.queries import tpch  # noqa: F401
 
     ordered: dict[str, QuerySpec] = {}
     for name in _PRIORITY:

@@ -1,0 +1,637 @@
+"""TPC-H query-shape completion — the 11 dbgen query shapes not yet
+in the registry (Q4, Q7, Q8, Q9, Q13, Q15, Q16, Q17, Q19, Q21, Q22),
+adapted to this corpus's reduced schema (no partsupp table, no
+commit/receipt dates, no phone/comment columns — see TESTDATA.md).
+Together with reduce_by_key_q1 (Q1), q3/q5/q6/q10/q14/q18 in
+relational.py, this covers all 22 TPC-H query *shapes*:
+
+- Q4  — EXISTS-gated group-count (semi join)
+- Q7  — two-sided dimension pair (supplier nation × customer nation)
+- Q8  — conditional-aggregate market share with a ratio output
+- Q9  — profit roll-up by nation × year (cost proxied from
+        p_retailprice since partsupp.ps_supplycost does not exist)
+- Q13 — left-join count distribution (two-level aggregation)
+- Q15 — aggregate → scalar-max filter (top revenue supplier)
+- Q16 — NOT-IN exclusion + COUNT(DISTINCT) variety count
+- Q17 — correlated per-group average threshold (window rewrite)
+- Q19 — disjunction of conjunctive predicates (OR pushdown)
+- Q21 — multi-EXISTS "sole fault" detection (aggregate rewrite)
+- Q22 — scalar-average threshold + anti join (dormant customers)
+
+Scale notes: nation/region are FIXED-cardinality dimensions (25/5
+rows at any SF) and are broadcast explicitly; customer/part/supplier
+grow with SF and stay on shuffle joins (AQE may still broadcast them
+at small SF). Every double aggregate goes through the exact
+scaled-int64 dsum discipline; thresholds that classic TPC-H computes
+as AVG(double) are computed as exact scaled averages on BOTH sides so
+the comparison never straddles a last-bit divergence.
+
+Reference parity: the reference engine (/root/reference/shmr) has no
+relational optimizer — each of these shapes would be a multi-pass
+reduce_by_key/split_by_key/join pipeline there (SURVEY.md §3); here
+each is one Catalyst plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from shmr_spark.catalog import load_table
+from shmr_spark.dataset import bounded_sort
+from shmr_spark.functions.numeric import dsum, sql_dsum
+from shmr_spark.queries import query
+
+_VOLUME = "l_extendedprice * (1 - l_discount)"
+
+
+def _volume() -> F.Column:
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+def _sql_scaled_avg(expr: str, scale: int = 100) -> str:
+    """Exact order-free average: int64 sum of the 10²-scaled column
+    divided by (scale · count). Both engines produce identical doubles
+    (same discipline as functions.numeric, inlined for subqueries)."""
+    return (
+        f"CAST(CAST(SUM(CAST(floor(({expr}) * {scale} + 0.5) AS BIGINT)) AS BIGINT)"
+        f" AS DOUBLE) / ({scale}.0 * COUNT(*))"
+    )
+
+
+def _scaled_avg(col, scale: int = 100):
+    s = F.sum(F.floor(F.col(col) * scale + F.lit(0.5)).cast("long")).cast("double")
+    return s / (scale * F.count(col))
+
+
+# --------------------------------------------------------------------------
+# Q4 — order-priority checking: orders in a quarter having at least one
+# returned lineitem, counted per priority. EXISTS → left-semi join.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q4_order_priority",
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def q4_order_priority(spark, sf_dir):
+    """Semi join keeps orders single-sided (no row multiplication from
+    multi-lineitem orders); the date filter is pushed to the orders
+    scan before the shuffle."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01 00:00:00"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01 00:00:00"))
+    )
+    returned = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    agg = (
+        orders.join(
+            returned, orders.o_orderkey == returned.l_orderkey, "left_semi"
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+    # fixed 5-value priority domain at any SF
+    return bounded_sort(agg, "o_orderpriority")
+
+
+# --------------------------------------------------------------------------
+# Q7 — volume shipping between two nations, by direction and year.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q7_nation_volume",
+    oracle=f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INTEGER) AS l_year,
+       {sql_dsum(_VOLUME)} AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n1 ON n1.n_nationkey = s_nationkey
+JOIN nation n2 ON n2.n_nationkey = c_nationkey
+WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+""",
+)
+def q7_nation_volume(spark, sf_dir):
+    """Both nation copies broadcast (25 rows at any SF); their filters
+    reduce supplier/customer to 1/25 each BEFORE the fact joins, so the
+    big lineitem-orders shuffle carries only qualifying rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = F.broadcast(
+        nation.filter(F.col("n_name").isin("NATION_1", "NATION_2")).select(
+            F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    n2 = F.broadcast(
+        nation.filter(F.col("n_name").isin("NATION_1", "NATION_2")).select(
+            F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+        )
+    )
+    supp2 = supp.join(n1, supp.s_nationkey == F.col("n1_key")).select(
+        "s_suppkey", "supp_nation"
+    )
+    cust2 = cust.join(n2, cust.c_nationkey == F.col("n2_key")).select(
+        "c_custkey", "cust_nation"
+    )
+    agg = (
+        li.join(supp2, li.l_suppkey == supp2.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust2, orders.o_custkey == cust2.c_custkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(dsum(_volume()).alias("revenue"), F.count("*").alias("n_items"))
+    )
+    # 2 directions × ~7 shipping years: bounded
+    return bounded_sort(agg, "supp_nation", "cust_nation", "l_year")
+
+
+# --------------------------------------------------------------------------
+# Q8 — national market share: of all ECONOMY-part revenue sold to ASIA
+# customers, the fraction supplied by NATION_5, per order year.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q8_market_share",
+    oracle=f"""
+WITH vol AS (
+  SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+         {sql_dsum(f"CASE WHEN sn.n_name = 'NATION_5' THEN {_VOLUME} ELSE 0.0 END")}
+           AS nation_revenue,
+         {sql_dsum(_VOLUME)} AS total_revenue
+  FROM lineitem
+  JOIN part     ON p_partkey = l_partkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation cn ON cn.n_nationkey = c_nationkey
+  JOIN region   ON r_regionkey = cn.n_regionkey
+  JOIN nation sn ON sn.n_nationkey = s_nationkey
+  WHERE p_type = 'ECONOMY' AND r_name = 'ASIA'
+  GROUP BY 1)
+SELECT o_year, nation_revenue, total_revenue,
+       CAST(nation_revenue / total_revenue AS DOUBLE) AS mkt_share
+FROM vol ORDER BY o_year
+""",
+)
+def q8_market_share(spark, sf_dir):
+    """The share divides two dsum outputs — identical doubles on both
+    engines, so the ratio is hash-stable without rounding. Region and
+    both nation roles broadcast; the part filter (1/6 selectivity)
+    prunes the fact side before the orders shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asia_nations = F.broadcast(
+        nation.join(region, nation.n_regionkey == region.r_regionkey).select(
+            F.col("n_nationkey").alias("cn_key")
+        )
+    )
+    supp_nation = F.broadcast(
+        nation.select(
+            F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    cust2 = cust.join(asia_nations, cust.c_nationkey == F.col("cn_key")).select(
+        "c_custkey"
+    )
+    supp2 = supp.join(supp_nation, supp.s_nationkey == F.col("sn_key")).select(
+        "s_suppkey", "supp_nation"
+    )
+    vol = _volume()
+    agg = (
+        li.join(part.select("p_partkey"), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust2, orders.o_custkey == cust2.c_custkey)
+        .join(supp2, li.l_suppkey == supp2.s_suppkey)
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            dsum(
+                F.when(F.col("supp_nation") == "NATION_5", vol).otherwise(F.lit(0.0))
+            ).alias("nation_revenue"),
+            dsum(vol).alias("total_revenue"),
+        )
+        .select(
+            "o_year",
+            "nation_revenue",
+            "total_revenue",
+            (F.col("nation_revenue") / F.col("total_revenue"))
+            .cast("double")
+            .alias("mkt_share"),
+        )
+    )
+    return bounded_sort(agg, "o_year")  # ≤ ~7 order years
+
+
+# --------------------------------------------------------------------------
+# Q9 — product-type profit by nation and year. partsupp.ps_supplycost
+# does not exist in this corpus; cost is proxied as 40% of retail price
+# (documented adaptation — the SHAPE under test is the 4-table join +
+# two-key rollup, not the cost model).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q9_profit_by_nation",
+    oracle=f"""
+SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       {sql_dsum(f"{_VOLUME} - p_retailprice * CAST(0.4 AS DOUBLE) * l_quantity")}
+         AS profit,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN part     ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN nation   ON n_nationkey = s_nationkey
+WHERE p_name LIKE '%gear%'
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+)
+def q9_profit_by_nation(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    profit = _volume() - F.col("p_retailprice") * F.lit(0.4).cast("double") * F.col(
+        "l_quantity"
+    )
+    agg = (
+        li.join(part.select("p_partkey", "p_retailprice"), li.l_partkey == part.p_partkey)
+        .join(supp.select("s_suppkey", "s_nationkey"), li.l_suppkey == supp.s_suppkey)
+        .join(orders.select("o_orderkey", "o_orderdate"), li.l_orderkey == orders.o_orderkey)
+        .join(nation, F.col("s_nationkey") == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
+        )
+        .agg(dsum(profit).alias("profit"), F.count("*").alias("n_items"))
+    )
+    # 25 nations × ~7 years — fixed dimension domain, bounded
+    return bounded_sort(agg, "nation", "o_year")
+
+
+# --------------------------------------------------------------------------
+# Q13 — customer order-count distribution: LEFT join (keeping
+# zero-order customers) → per-customer count → histogram of counts.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q13_customer_distribution",
+    oracle="""
+SELECT c_count, COUNT(*) AS custdist
+FROM (SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o
+        ON o.o_custkey = c.c_custkey
+       AND o.o_orderpriority <> '4-NOT SPECIFIED'
+      GROUP BY c.c_custkey)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""",
+)
+def q13_customer_distribution(spark, sf_dir):
+    """Two-level aggregation; the priority predicate lives in the JOIN
+    condition (not a WHERE) so customers whose every order is filtered
+    still appear with count 0 — the left-join-then-count shape."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "4-NOT SPECIFIED"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy(cust.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    agg = per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+    # distinct per-customer order counts ≈ O(max orders/customer): bounded
+    return bounded_sort(agg, F.desc("custdist"), F.desc("c_count"))
+
+
+# --------------------------------------------------------------------------
+# Q15 — top supplier by quarterly revenue: aggregate, then filter on
+# the scalar max (ties kept, like the reference SQL's view form).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q15_top_supplier",
+    oracle=f"""
+WITH rev AS (
+  SELECT l_suppkey, {sql_dsum(_VOLUME)} AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN rev ON s_suppkey = l_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+ORDER BY s_suppkey
+""",
+)
+def q15_top_supplier(spark, sf_dir):
+    """The scalar max is a 1-row broadcast joined back against the
+    aggregate (no second scan, no window over an unpartitioned frame);
+    the max compares dsum outputs — identical doubles on both engines,
+    so the equality filter is hash-stable."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00"))
+    )
+    rev = li.groupBy("l_suppkey").agg(dsum(_volume()).alias("total_revenue"))
+    mx = rev.agg(F.max("total_revenue").alias("__mx"))
+    top = rev.join(F.broadcast(mx), F.col("total_revenue") == F.col("__mx")).drop(
+        "__mx"
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    out = supp.join(F.broadcast(top), supp.s_suppkey == top.l_suppkey).select(
+        "s_suppkey", "s_name", "total_revenue"
+    )
+    return bounded_sort(out, "s_suppkey")  # ties only — near-singleton
+
+
+# --------------------------------------------------------------------------
+# Q16 — supplier variety per part group, excluding flagged suppliers.
+# partsupp is proxied by the DISTINCT (partkey, suppkey) pairs observed
+# in lineitem; the exclusion list (negative account balance) plays
+# Q16's "complaints" NOT IN role.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q16_supplier_part_variety",
+    oracle="""
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#5'
+  AND p_size IN (1, 9, 17, 25, 33, 41, 49)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+""",
+)
+def q16_supplier_part_variety(spark, sf_dir):
+    """NOT IN → broadcast anti join (the exclusion list is a filtered
+    scan of supplier — small at any SF since it's a fraction of an
+    already-SF-proportional table, and Spark's NAAJ handles it);
+    COUNT(DISTINCT) is a two-phase partial-distinct aggregate."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_size").isin(1, 9, 17, 25, 33, 41, 49))
+    )
+    bad = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0.0
+    ).select("s_suppkey")
+    agg = (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(
+            part.select("p_partkey", "p_brand", "p_type", "p_size"),
+            li.l_partkey == part.p_partkey,
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+    # ≤ 24 brands × 6 types × 7 sizes — fixed domain, bounded
+    return bounded_sort(agg, F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+
+
+# --------------------------------------------------------------------------
+# Q17 — small-quantity revenue: lineitems of one brand whose quantity
+# is below half that part's average quantity. The correlated AVG
+# subquery becomes a window over the brand-pruned slice; the threshold
+# average is computed in exact scaled-int space on BOTH sides so the
+# `<` comparison never straddles a float divergence.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q17_small_quantity_revenue",
+    oracle=f"""
+WITH pq AS (
+  SELECT l_partkey, {_sql_scaled_avg('l_quantity')} AS avg_qty
+  FROM lineitem GROUP BY l_partkey)
+SELECT {sql_dsum('l_extendedprice')} AS total_revenue, COUNT(*) AS n_small
+FROM lineitem l
+JOIN part ON p_partkey = l.l_partkey
+JOIN pq   ON pq.l_partkey = l.l_partkey
+WHERE p_brand = 'Brand#3'
+  AND l.l_quantity < CAST(0.5 AS DOUBLE) * avg_qty
+""",
+)
+def q17_small_quantity_revenue(spark, sf_dir):
+    """The per-part average only matters for Brand#3 parts, so the
+    inner join against the brand filter runs FIRST and the window
+    computes averages over that pruned slice only (equal per-part
+    result, ~1/25 the shuffle). One shuffle by l_partkey serves both
+    the window and the correlated comparison."""
+    li = load_table(spark, sf_dir, "lineitem")
+    brand_parts = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#3"
+    ).select("p_partkey")
+    w = Window.partitionBy("l_partkey")
+    scaled = F.sum(
+        F.floor(F.col("l_quantity") * 100 + F.lit(0.5)).cast("long")
+    ).over(w).cast("double")
+    avg_qty = scaled / (100.0 * F.count("l_quantity").over(w))
+    pruned = li.join(brand_parts, li.l_partkey == brand_parts.p_partkey).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    small = pruned.withColumn("avg_qty", avg_qty).filter(
+        F.col("l_quantity") < F.lit(0.5).cast("double") * F.col("avg_qty")
+    )
+    return small.agg(
+        dsum("l_extendedprice").alias("total_revenue"),
+        F.count("*").alias("n_small"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q19 — discounted revenue under OR'd brand/size/quantity triplets:
+# tests disjunctive predicate pushdown (one scan, one join, the OR
+# evaluated post-join without re-scans).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q19_disjunctive_revenue",
+    oracle=f"""
+SELECT {sql_dsum(_VOLUME)} AS revenue, COUNT(*) AS n
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 16 AND 30
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#4' AND p_size BETWEEN 31 AND 50
+       AND l_quantity BETWEEN 20 AND 30)
+""",
+)
+def q19_disjunctive_revenue(spark, sf_dir):
+    """The part side pre-filters on the union of brand/size branches
+    (derivable from the disjunction — Catalyst does not infer it, so
+    it is stated explicitly) before the join; the full triplet
+    predicate applies post-join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    b1 = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 11)
+    )
+    b2 = (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(16, 30)
+        & F.col("l_quantity").between(10, 20)
+    )
+    b3 = (
+        (F.col("p_brand") == "Brand#4")
+        & F.col("p_size").between(31, 50)
+        & F.col("l_quantity").between(20, 30)
+    )
+    part_pruned = part.filter(
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(16, 30))
+        | ((F.col("p_brand") == "Brand#4") & F.col("p_size").between(31, 50))
+    ).select("p_partkey", "p_brand", "p_size")
+    return (
+        li.join(F.broadcast(part_pruned), li.l_partkey == F.col("p_partkey"))
+        .filter(b1 | b2 | b3)
+        .agg(dsum(_volume()).alias("revenue"), F.count("*").alias("n"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q21 — "sole fault" suppliers: in finished multi-supplier orders,
+# count per supplier the orders where it is the ONLY supplier with a
+# returned item. Classic Q21's EXISTS / NOT EXISTS pair collapses to
+# one aggregation over (order → distinct suppliers, distinct returned
+# suppliers) — same result set, one shuffle instead of three joins.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q21_single_fault_suppliers",
+    oracle="""
+WITH per_order AS (
+  SELECT l_orderkey,
+         COUNT(DISTINCT l_suppkey) AS n_supp,
+         COUNT(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_suppkey END) AS n_ret,
+         MAX(CASE WHEN l_returnflag = 'R' THEN l_suppkey END) AS ret_supp
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  WHERE o_orderstatus = 'F'
+  GROUP BY l_orderkey)
+SELECT s_name, COUNT(*) AS numwait
+FROM per_order JOIN supplier ON s_suppkey = ret_supp
+WHERE n_supp > 1 AND n_ret = 1
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+""",
+)
+def q21_single_fault_suppliers(spark, sf_dir):
+    """When n_ret = 1 the MAX over the returned-supplier CASE IS that
+    sole supplier — no second pass to recover it. Top-20 via
+    orderBy+limit (TakeOrderedAndProject, no global sort)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey")
+    ret_supp = F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+    per_order = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.count_distinct("l_suppkey").alias("n_supp"),
+            F.count_distinct(ret_supp).alias("n_ret"),
+            F.max(ret_supp).alias("ret_supp"),
+        )
+        .filter((F.col("n_supp") > 1) & (F.col("n_ret") == 1))
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        per_order.join(supp, per_order.ret_supp == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q22 — dormant high-balance customers: above-average positive balance,
+# a target nation set, and NO order since the cutoff (classic Q22's
+# "no orders at all" never fires on this corpus — every customer has
+# orders — so dormancy is time-bounded; the anti-join + scalar-average
+# shape is identical). Nation keys stand in for phone prefixes.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q22_dormant_customers",
+    oracle=f"""
+WITH avg_bal AS (
+  SELECT {_sql_scaled_avg('c_acctbal')} AS a
+  FROM customer WHERE c_acctbal > CAST(0.0 AS DOUBLE))
+SELECT c_nationkey AS nationkey, COUNT(*) AS numcust,
+       {sql_dsum('c_acctbal')} AS totacctbal
+FROM customer c, avg_bal
+WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+  AND c_acctbal > a
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+""",
+)
+def q22_dormant_customers(spark, sf_dir):
+    """The scalar average is a 1-row broadcast cross join; NOT EXISTS
+    is a left-anti join against the date-pruned orders scan. Both
+    sides compute the threshold in exact scaled-int space so the `>`
+    never straddles a float divergence."""
+    cust = load_table(spark, sf_dir, "customer")
+    recent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1999-01-01 00:00:00")
+    ).select("o_custkey")
+    avg_bal = F.broadcast(
+        cust.filter(F.col("c_acctbal") > F.lit(0.0).cast("double")).agg(
+            _scaled_avg("c_acctbal").alias("__a")
+        )
+    )
+    agg = (
+        cust.filter(F.col("c_nationkey").isin(1, 3, 5, 7, 9, 11, 13))
+        .crossJoin(avg_bal)
+        .filter(F.col("c_acctbal") > F.col("__a"))
+        .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("numcust"), dsum("c_acctbal").alias("totacctbal"))
+    )
+    return bounded_sort(agg, "nationkey")  # ≤ 7 target nations
