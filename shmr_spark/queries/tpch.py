@@ -558,20 +558,33 @@ LIMIT 20
 )
 def q21_single_fault_suppliers(spark, sf_dir):
     """When n_ret = 1 the MAX over the returned-supplier CASE IS that
-    sole supplier — no second pass to recover it. Top-20 via
-    orderBy+limit (TakeOrderedAndProject, no global sort)."""
+    sole supplier — no second pass to recover it. The two DISTINCTs
+    range over different expressions, which a single groupBy would
+    plan through Expand (3× the shuffle rows); a two-level aggregate —
+    dedup to (order, supplier) pairs first, then count plain — keeps
+    both shuffles at deduped width instead. Top-20 via orderBy+limit
+    (TakeOrderedAndProject, no global sort)."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderstatus") == "F"
     ).select("o_orderkey")
-    ret_supp = F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
-    per_order = (
+    per_pair = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .groupBy("l_orderkey")
+        .groupBy("l_orderkey", "l_suppkey")
         .agg(
-            F.count_distinct("l_suppkey").alias("n_supp"),
-            F.count_distinct(ret_supp).alias("n_ret"),
-            F.max(ret_supp).alias("ret_supp"),
+            F.max(
+                F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+            ).alias("ret")
+        )
+    )
+    per_order = (
+        per_pair.groupBy("l_orderkey")
+        .agg(
+            F.count("*").alias("n_supp"),
+            F.sum("ret").alias("n_ret"),
+            F.max(F.when(F.col("ret") == 1, F.col("l_suppkey"))).alias(
+                "ret_supp"
+            ),
         )
         .filter((F.col("n_supp") > 1) & (F.col("n_ret") == 1))
     )
