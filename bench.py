@@ -141,6 +141,12 @@ def main() -> None:
             "streaming_tumbling",
             "duplicate_spans",
             "rollup_incremental",
+            # TPC-H completion batch representatives: the two heaviest
+            # shapes — Q21 (join + two-level distinct-pair aggregate)
+            # and Q9 (4-table join rollup) — so the new relational
+            # plans carry measured 10x evidence like the pipeline ops
+            "q21_single_fault_suppliers",
+            "q9_profit_by_nation",
         )
         if n in registry
     }
