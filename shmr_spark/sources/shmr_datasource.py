@@ -36,6 +36,9 @@ Usage:
     df = (spark.read.format("shmr").schema("a int, b string")
           .option("codec", "json").load("/data/part-*.json.gz"))
     df.write.format("shmr").option("codec", "json").save("/out")
+    # incremental ingest of a growing partition directory:
+    sdf = (spark.readStream.format("shmr").schema("a int, b string")
+           .load("/data/incoming"))   # one task per NEW file per batch
 """
 
 from __future__ import annotations
@@ -50,6 +53,7 @@ from collections.abc import Iterator, Sequence
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
@@ -105,6 +109,39 @@ def _caster(simple_type: str):
     return cast
 
 
+def _decode_file(
+    path: str, schema: StructType, codec: str, skip_nrows: int
+) -> Iterator[tuple]:
+    """Per-file decode loop shared by the batch and stream readers —
+    the reference's line-at-a-time record model under every codec."""
+    import csv as csvmod
+    import io as iomod
+
+    names = schema.fieldNames()
+    casts = [_caster(f.dataType.simpleString()) for f in schema.fields]
+    with _open_by_ext(path, "rb") as f:
+        for _ in range(skip_nrows):
+            next(f, None)
+        if codec == "json":
+            for line in f:
+                rec = json.loads(line)
+                yield tuple(c(rec.get(n)) for n, c in zip(names, casts))
+        elif codec == "csv":
+            for line in f:
+                row = next(csvmod.reader(iomod.StringIO(line.decode())))
+                if len(row) != len(names):
+                    raise ValueError(
+                        f"malformed CSV record in {path}: "
+                        f"{len(row)} fields, schema has {len(names)}"
+                    )
+                yield tuple(c(v) for v, c in zip(row, casts))
+        elif codec == "text":
+            for line in f:
+                yield (line.decode().rstrip("\r\n"),)
+        else:
+            raise ValueError(f"unknown codec: {codec}")
+
+
 class ShmrReader(DataSourceReader):
     def __init__(self, schema: StructType, options: dict):
         self.schema_ = schema
@@ -117,32 +154,90 @@ class ShmrReader(DataSourceReader):
         return [_FilePartition(p) for p in self.paths]
 
     def read(self, partition: _FilePartition) -> Iterator[tuple]:
-        import csv as csvmod
-        import io as iomod
+        yield from _decode_file(
+            partition.path, self.schema_, self.codec, self.skip_nrows
+        )
 
-        names = self.schema_.fieldNames()
-        casts = [_caster(f.dataType.simpleString()) for f in self.schema_.fields]
-        with _open_by_ext(partition.path, "rb") as f:
-            for _ in range(self.skip_nrows):
-                next(f, None)
-            if self.codec == "json":
-                for line in f:
-                    rec = json.loads(line)
-                    yield tuple(c(rec.get(n)) for n, c in zip(names, casts))
-            elif self.codec == "csv":
-                for line in f:
-                    row = next(csvmod.reader(iomod.StringIO(line.decode())))
-                    if len(row) != len(names):
-                        raise ValueError(
-                            f"malformed CSV record in {partition.path}: "
-                            f"{len(row)} fields, schema has {len(names)}"
-                        )
-                    yield tuple(c(v) for v, c in zip(row, casts))
-            elif self.codec == "text":
-                for line in f:
-                    yield (line.decode().rstrip("\r\n"),)
-            else:
-                raise ValueError(f"unknown codec: {self.codec}")
+
+class ShmrStreamReader(DataSourceStreamReader):
+    """Incremental ingest of a GROWING reference partition directory —
+    ``spark.readStream.format("shmr")`` turns the reference's batch
+    file model into a Structured Streaming source: each micro-batch
+    picks up the partition files that appeared since the last one, one
+    Spark task per new file (the reference's parallelism unit), with
+    exactly-once delivery through Spark's offset log.
+
+    Offset design (O(1) state, not O(files)): the reference CLI names
+    partition files with a monotonically increasing stem
+    (``part-00000…``, /root/reference/shmr/partitions.py template
+    expansion), so the SORTED file list is an append-only log and the
+    offset is just ``{"hw": <last filename>, "n": <count ≤ hw>}``.
+    The count double-checks the contract: a file that materializes
+    BELOW the high-water name (out-of-order writer, clock-skewed copy)
+    would be silently skipped by a name-only watermark — here it fails
+    the query loudly with a clear message instead.
+
+    Files must be moved into the directory atomically (write elsewhere
+    + rename, which is exactly what the reference's partition writer
+    and this module's ShmrWriter do) — a file observed mid-write would
+    be read short.
+    """
+
+    def __init__(self, schema: StructType, options: dict):
+        self.schema_ = schema
+        self.codec = options.get("codec", "json")
+        self.skip_nrows = int(options.get("skip_nrows", 0))
+        self.path = options["path"]
+
+    def _files(self) -> list[str]:
+        pattern = self.path
+        if not any(c in pattern for c in "*?["):
+            # directory → the reference's default dataset layout
+            pattern = os.path.join(pattern, "*")
+        # .meta sidecars and in-progress temp files are not records
+        return sorted(
+            p
+            for p in globmod.glob(pattern)
+            if not p.endswith(".meta")
+            and not os.path.basename(p).startswith(".")
+            and os.path.isfile(p)
+        )
+
+    def initialOffset(self) -> dict:
+        return {"hw": "", "n": 0}
+
+    def latestOffset(self) -> dict:
+        files = self._files()
+        return {"hw": files[-1] if files else "", "n": len(files)}
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        files = self._files()
+        below_start = [p for p in files if start["hw"] and p <= start["hw"]]
+        if len(below_start) > start["n"]:
+            extra = set(below_start) - set(below_start[: start["n"]])
+            raise ValueError(
+                "shmr stream: partition file(s) appeared BELOW the "
+                f"committed high-water name {start['hw']!r}: "
+                f"{sorted(extra)[:3]} — the source requires files to "
+                "arrive in sorted-name order (the reference CLI's "
+                "part-NNNNN naming); re-shard or rename the late files"
+            )
+        batch = [
+            p
+            for p in files
+            if (not start["hw"] or p > start["hw"])
+            and end["hw"]
+            and p <= end["hw"]
+        ]
+        return [_FilePartition(p) for p in batch]
+
+    def read(self, partition: _FilePartition) -> Iterator[tuple]:
+        yield from _decode_file(
+            partition.path, self.schema_, self.codec, self.skip_nrows
+        )
+
+    def commit(self, end: dict) -> None:
+        pass
 
 
 class _WroteFile(WriterCommitMessage):
@@ -333,3 +428,8 @@ class ShmrDataSource(DataSource):
         if isinstance(schema, str):
             schema = _parse_datatype_string(schema)
         return ShmrWriter(schema, dict(self.options), overwrite)
+
+    def streamReader(self, schema) -> ShmrStreamReader:
+        if isinstance(schema, str):
+            schema = _parse_datatype_string(schema)
+        return ShmrStreamReader(schema, dict(self.options))

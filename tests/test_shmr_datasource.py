@@ -268,3 +268,104 @@ def test_csv_typed_read_and_malformed_error(registered, tmp_path):
 
     with _pytest.raises(Exception, match="malformed|MALFORMED|fields"):
         bad.collect()
+
+
+def test_stream_reader_incremental_files(registered, tmp_path):
+    """readStream over a growing partition directory: the first batch
+    ingests the existing files, later batches pick up ONLY the new
+    ones (exactly-once: no re-reads of committed files)."""
+    import json as jsonmod
+    import time
+
+    spark = registered
+    d = tmp_path / "stream_in"
+    d.mkdir()
+    for i in range(2):
+        with open(d / f"part-{i:05d}.json", "w") as f:
+            for j in range(5):
+                f.write(jsonmod.dumps({"x": i, "y": i * 5 + j}) + "\n")
+
+    sdf = (
+        spark.readStream.format("shmr")
+        .schema("x bigint, y bigint")
+        .option("codec", "json")
+        .load(str(d))
+    )
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("shmr_stream_test")
+        .outputMode("append")
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+
+    def _wait_for(n, timeout=30):
+        deadline = time.time() + timeout
+        while time.time() < deadline:
+            rows = spark.sql("SELECT * FROM shmr_stream_test").collect()
+            if len(rows) >= n:
+                return rows
+            time.sleep(0.3)
+        raise AssertionError(
+            f"stream did not reach {n} rows in {timeout}s "
+            f"(got {len(rows)})"
+        )
+
+    try:
+        rows = _wait_for(10)
+        assert len(rows) == 10
+        # a new file sorting AFTER the high-water name streams in
+        with open(d / "part-00002.json", "w") as f:
+            for j in range(3):
+                f.write(jsonmod.dumps({"x": 2, "y": 100 + j}) + "\n")
+        rows = _wait_for(13)
+        got = {(r.x, r.y) for r in rows}
+        assert (2, 100) in got and (2, 102) in got
+        assert len(rows) == 13  # earlier files not re-read
+    finally:
+        q.stop()
+
+
+def test_stream_reader_rejects_out_of_order_file(registered, tmp_path):
+    """A file materializing BELOW the committed high-water name would
+    be silently skipped by a name-watermark source; ours fails the
+    query with a clear message instead."""
+    import json as jsonmod
+    import time
+
+    spark = registered
+    d = tmp_path / "stream_ooo"
+    d.mkdir()
+    with open(d / "part-00005.json", "w") as f:
+        f.write(jsonmod.dumps({"x": 1}) + "\n")
+
+    sdf = (
+        spark.readStream.format("shmr")
+        .schema("x bigint")
+        .load(str(d))
+    )
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("shmr_stream_ooo")
+        .outputMode("append")
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            if spark.sql("SELECT * FROM shmr_stream_ooo").count() >= 1:
+                break
+            time.sleep(0.3)
+        # late file BELOW the committed high-water name
+        with open(d / "part-00001.json", "w") as f:
+            f.write(jsonmod.dumps({"x": 2}) + "\n")
+        deadline = time.time() + 30
+        while q.isActive and time.time() < deadline:
+            time.sleep(0.3)
+        assert not q.isActive, "query should fail on out-of-order file"
+        err = str(q.exception())
+        assert "sorted-name order" in err or "BELOW" in err
+    finally:
+        if q.isActive:
+            q.stop()
