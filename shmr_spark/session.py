@@ -43,6 +43,10 @@ def get_spark(
         # worker — the conf the multimodal module's memory contract
         # relies on (Spark default is 10000)
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        # lets Python DataSource readers claim filters (Spark 4.1);
+        # the shmr source's pushdown tier requires it (and hard-errors
+        # without it, hence that tier is opt-in per read)
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )

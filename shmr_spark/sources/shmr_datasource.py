@@ -21,7 +21,11 @@ This source maps that model onto Spark's:
   the reference CLI itself (and for our compat CLI's memoized count).
 
 Options (read): ``path`` (file or glob), ``codec`` = json|csv|text
-(default json), ``skip_nrows`` (per file, default 0).
+(default json), ``skip_nrows`` (per file, default 0), ``pushdown`` =
+true|false (default false — evaluate claimed filters source-side,
+before Arrow serialization; requires
+``spark.sql.python.filterPushdown.enabled``, which ``get_spark``
+sets).
 CSV parsing is LINE-based, matching the reference's one-record-per-
 line model (/root/reference/shmr/partition.py:126-132): RFC-4180
 quoted fields containing embedded newlines are NOT supported and
@@ -55,7 +59,21 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     DataSourceStreamReader,
     DataSourceWriter,
+    EqualNullSafe,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
     InputPartition,
+    IsNotNull,
+    IsNull,
+    LessThan,
+    LessThanOrEqual,
+    Not,
+    StringContains,
+    StringEndsWith,
+    StringStartsWith,
     WriterCommitMessage,
 )
 from pyspark.sql.types import StructType, _parse_datatype_string
@@ -142,21 +160,145 @@ def _decode_file(
             raise ValueError(f"unknown codec: {codec}")
 
 
+_CMP_OPS = {
+    GreaterThan: lambda v, x: v > x,
+    GreaterThanOrEqual: lambda v, x: v >= x,
+    LessThan: lambda v, x: v < x,
+    LessThanOrEqual: lambda v, x: v <= x,
+    EqualTo: lambda v, x: v == x,
+}
+
+_STR_OPS = {
+    StringStartsWith: str.startswith,
+    StringEndsWith: str.endswith,
+    StringContains: str.__contains__,
+}
+
+_SIMPLE_TYPES = frozenset(
+    ("tinyint", "smallint", "int", "bigint", "float", "double", "string", "boolean")
+)
+
+
+def _compile_filter(f: Filter, schema: StructType):
+    """Compile a Catalyst pushed filter into a three-valued evaluator
+    ``row_tuple -> True | False | None`` (None = SQL UNKNOWN: a NULL
+    operand — the row is dropped, and under NOT stays dropped, exactly
+    Spark's semantics). Returns None if the filter is one this source
+    does not handle (it then stays Spark-side — correctness never
+    depends on the pushdown)."""
+    if isinstance(f, Not):
+        inner = _compile_filter(f.child, schema)
+        if inner is None:
+            return None
+        return lambda row: (lambda r: None if r is None else not r)(inner(row))
+
+    attr = getattr(f, "attribute", None)
+    if not isinstance(attr, tuple) or len(attr) != 1:
+        return None  # nested paths stay Spark-side
+    names = schema.fieldNames()
+    if attr[0] not in names:
+        return None
+    idx = names.index(attr[0])
+    typ = schema.fields[idx].dataType.simpleString()
+    if typ not in _SIMPLE_TYPES:
+        return None
+
+    if isinstance(f, IsNull):
+        return lambda row: row[idx] is None
+    if isinstance(f, IsNotNull):
+        return lambda row: row[idx] is not None
+
+    def _plain(v):
+        return isinstance(v, (int, float, str, bool)) and not (
+            typ == "string" and not isinstance(v, str)
+        )
+
+    if isinstance(f, In):
+        if not all(_plain(v) or v is None for v in f.value):
+            return None
+        vals = tuple(v for v in f.value if v is not None)
+        has_null = any(v is None for v in f.value)
+        # SQL IN: TRUE on match; else UNKNOWN if the probe or any list
+        # element is NULL, else FALSE
+        return lambda row: (
+            None
+            if row[idx] is None
+            else True
+            if row[idx] in vals
+            else (None if has_null else False)
+        )
+    if isinstance(f, EqualNullSafe):
+        if not (_plain(f.value) or f.value is None):
+            return None
+        return lambda row: row[idx] == f.value or (
+            row[idx] is None and f.value is None
+        )
+    for klass, fn in _STR_OPS.items():
+        if isinstance(f, klass):
+            if typ != "string" or not isinstance(f.value, str):
+                return None
+            return lambda row, fn=fn: (
+                None if row[idx] is None else fn(row[idx], f.value)
+            )
+    for klass, fn in _CMP_OPS.items():
+        if isinstance(f, klass):
+            if not _plain(f.value):
+                return None
+            return lambda row, fn=fn: (
+                None if row[idx] is None else fn(row[idx], f.value)
+            )
+    return None
+
+
 class ShmrReader(DataSourceReader):
     def __init__(self, schema: StructType, options: dict):
         self.schema_ = schema
         self.codec = options.get("codec", "json")
         self.skip_nrows = int(options.get("skip_nrows", 0))
         self.paths = _expand(options["path"])
+        self._pushed = []  # evaluators applied in read()
 
     def partitions(self) -> Sequence[InputPartition]:
         # one task per file — the reference's parallelism unit
         return [_FilePartition(p) for p in self.paths]
 
     def read(self, partition: _FilePartition) -> Iterator[tuple]:
-        yield from _decode_file(
+        rows = _decode_file(
             partition.path, self.schema_, self.codec, self.skip_nrows
         )
+        if not self._pushed:
+            yield from rows
+            return
+        for row in rows:
+            if all(ev(row) is True for ev in self._pushed):
+                yield row
+
+
+class ShmrPushdownReader(ShmrReader):
+    """ShmrReader + row-level filter pushdown (Spark 4.1 Python
+    DataSource API), selected by ``.option("pushdown", "true")``.
+
+    The source decodes every line anyway (line-oriented formats have
+    no statistics layer to skip I/O), but evaluating claimed
+    predicates HERE drops rows before Arrow serialization and the
+    Python→JVM transfer — on a selective scan that is the bulk of the
+    data movement. Filters the source can't evaluate exactly (nested
+    paths, non-scalar types) are yielded back and stay Spark-side.
+
+    Opt-in rather than default because Spark 4.1 hard-errors ANY read
+    through a reader that merely implements pushFilters() while
+    ``spark.sql.python.filterPushdown.enabled`` is false — a bare
+    session must still be able to read the format. ``get_spark``
+    enables the conf, so sessions built by this repo can always opt
+    in."""
+
+    def pushFilters(self, filters: list) -> Iterator[Filter]:
+        for f in filters:
+            ev = _compile_filter(f, self.schema_)
+            if ev is None:
+                yield f
+            else:
+                self._pushed.append(ev)
 
 
 class ShmrStreamReader(DataSourceStreamReader):
@@ -422,7 +564,12 @@ class ShmrDataSource(DataSource):
     def reader(self, schema) -> ShmrReader:
         if isinstance(schema, str):
             schema = _parse_datatype_string(schema)
-        return ShmrReader(schema, dict(self.options))
+        cls = (
+            ShmrPushdownReader
+            if str(self.options.get("pushdown", "false")).lower() == "true"
+            else ShmrReader
+        )
+        return cls(schema, dict(self.options))
 
     def writer(self, schema, overwrite: bool) -> ShmrWriter:
         if isinstance(schema, str):

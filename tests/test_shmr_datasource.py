@@ -439,3 +439,77 @@ def test_stream_pipeline_checkpoint_restart_exactly_once(registered, tmp_path):
         assert {200, 201, 202} <= got
     finally:
         q.stop()
+
+
+def test_pushdown_filters_match_spark_side_evaluation(registered, tmp_path):
+    """The pushdown tier must be semantics-invisible: every filter
+    evaluated source-side (incl. three-valued NULL logic under NOT /
+    IN) returns exactly the rows the plain reader + Spark-side filter
+    returns on the same data."""
+    import json as jsonmod
+
+    spark = registered
+    d = tmp_path / "push"
+    d.mkdir()
+    recs = [
+        {"x": 1, "s": "apple"},
+        {"x": 2, "s": "banana"},
+        {"x": None, "s": "pear"},
+        {"x": 5, "s": None},
+        {"x": 7, "s": "plum"},
+        {"x": -3, "s": ""},
+        {"x": None, "s": None},
+    ]
+    with open(d / "part-00000.json", "w") as f:
+        for r in recs:
+            f.write(jsonmod.dumps(r) + "\n")
+
+    def rd(push):
+        r = spark.read.format("shmr").schema("x bigint, s string")
+        if push:
+            r = r.option("pushdown", "true")
+        return r.load(str(d / "part-*.json"))
+
+    predicates = [
+        "x > 1",
+        "NOT (x > 1)",
+        "x IN (2, 7)",
+        "NOT (x IN (2, 7))",
+        "x IS NULL",
+        "s IS NOT NULL",
+        "s <=> NULL",
+        "s LIKE 'p%'",
+        "s LIKE '%m'",
+        "s LIKE '%an%'",
+        "x >= 2 AND x <= 5",
+        "x = 5 OR s = 'apple'",  # OR: not pushable, stays Spark-side
+    ]
+    for p in predicates:
+        pushed = sorted(map(tuple, rd(True).filter(p).collect()), key=repr)
+        plain = sorted(map(tuple, rd(False).filter(p).collect()), key=repr)
+        assert pushed == plain, f"pushdown diverged on {p!r}"
+
+
+def test_pushdown_appears_in_plan_and_cuts_transfer(registered, tmp_path):
+    import json as jsonmod
+
+    spark = registered
+    d = tmp_path / "push_plan"
+    d.mkdir()
+    with open(d / "part-00000.json", "w") as f:
+        for i in range(100):
+            f.write(jsonmod.dumps({"x": i}) + "\n")
+    df = (
+        spark.read.format("shmr")
+        .schema("x bigint")
+        .option("pushdown", "true")
+        .load(str(d / "part-*.json"))
+        .filter("x > 90")
+    )
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "PushedFilters" in plan and "GreaterThan(x,90)" in plan
+    assert df.count() == 9
