@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from shmr_spark.catalog import load_table
 from shmr_spark.functions.zorder import sql_zorder_key
-from shmr_spark.dataset import Dataset
+from shmr_spark.dataset import Dataset, bounded_sort
 from shmr_spark.functions.numeric import dsum, sql_dsum
 from shmr_spark.queries import query
 
@@ -631,6 +631,48 @@ def approx_percentiles(spark, sf_dir):
     return agg.select(
         "l_returnflag", "n", ok.alias("within_bound")
     ).orderBy("l_returnflag")
+
+
+# --------------------------------------------------------------------------
+# Mergeable HLL distinct sketches (operators/distinct_sketch.py): build
+# fine-grained sketches, roll them up WITHOUT rescanning rows, check
+# the estimate against the exact count — the tolerance-oracle
+# discipline (exact keys/counts + within_bound), as approx_percentiles.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "distinct_sketch_rollup",
+    oracle="""
+SELECT lang, COUNT(text) AS n_rows,
+       CAST(COUNT(DISTINCT text) AS BIGINT) AS n_distinct,
+       TRUE AS within_bound
+FROM documents GROUP BY lang ORDER BY lang
+""",
+)
+def distinct_sketch_rollup(spark, sf_dir):
+    from shmr_spark.operators.distinct_sketch import (
+        build_distinct_sketches,
+        rollup_distinct_sketches,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    # fine grain (lang, source) → persistable sketches → lang rollup
+    sketches = build_distinct_sketches(docs, ["lang", "source"], "text")
+    rolled = rollup_distinct_sketches(sketches, ["lang"])
+    exact = docs.groupBy("lang").agg(
+        F.count_distinct("text").alias("n_distinct")
+    )
+    out = rolled.join(exact, "lang").select(
+        "lang",
+        "n_rows",
+        "n_distinct",
+        (
+            F.abs(F.col("distinct_est") - F.col("n_distinct"))
+            <= F.lit(0.05) * F.col("n_distinct")
+        ).alias("within_bound"),
+    )
+    return bounded_sort(out, "lang")  # fixed 5-language domain
 
 
 # --------------------------------------------------------------------------

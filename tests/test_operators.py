@@ -692,3 +692,87 @@ def test_schema_drift_detects_all_kinds(spark, sf_dir):
     bad = schema_drift(drifted, expected)
     tc = next(d for d in bad if d["kind"] == "type_changed")
     assert tc["expected"] == "bigint" and tc["actual"] == "double"
+
+
+# ---------------------------------------------------------------------------
+# Mergeable HLL distinct sketches (operators/distinct_sketch.py)
+# ---------------------------------------------------------------------------
+
+
+def test_distinct_sketch_rollup_equals_direct_build(spark, sf_dir):
+    """HLL union is a register-max merge: building at (lang, source)
+    and rolling up to lang must give the IDENTICAL estimate as
+    sketching at lang directly — partitioning must not matter."""
+    from pyspark.sql import functions as F
+
+    from shmr_spark.catalog import load_table
+    from shmr_spark.operators.distinct_sketch import (
+        build_distinct_sketches,
+        rollup_distinct_sketches,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    fine = build_distinct_sketches(docs, ["lang", "source"], "text")
+    rolled = {
+        r.lang: r.distinct_est
+        for r in rollup_distinct_sketches(fine, ["lang"]).collect()
+    }
+    direct = {
+        r.lang: r.distinct_est
+        for r in rollup_distinct_sketches(
+            build_distinct_sketches(docs, ["lang"], "text"), ["lang"]
+        ).collect()
+    }
+    assert rolled == direct
+
+
+def test_distinct_sketch_survives_parquet_round_trip(spark, sf_dir, tmp_path):
+    """The persisted-sketch workflow: write binary sketches, read them
+    back, roll up — estimates unchanged, and the file is KBs (the
+    point: later rollups never rescan the base rows)."""
+    import os
+
+    from shmr_spark.catalog import load_table
+    from shmr_spark.operators.distinct_sketch import (
+        build_distinct_sketches,
+        rollup_distinct_sketches,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    fine = build_distinct_sketches(docs, ["lang", "source"], "text")
+    out = str(tmp_path / "sketches")
+    fine.coalesce(1).write.mode("overwrite").parquet(out)
+    before = {
+        (r.lang,): r.distinct_est
+        for r in rollup_distinct_sketches(fine, ["lang"]).collect()
+    }
+    back = spark.read.parquet(out)
+    after = {
+        (r.lang,): r.distinct_est
+        for r in rollup_distinct_sketches(back, ["lang"]).collect()
+    }
+    assert before == after
+    data_bytes = sum(
+        os.path.getsize(os.path.join(out, f))
+        for f in os.listdir(out)
+        if f.endswith(".parquet")
+    )
+    assert data_bytes < 512 * 1024  # sketches, not rows
+
+
+def test_distinct_sketch_accuracy_at_cardinality(spark, sf_dir):
+    """At real cardinality (lineitem orderkeys) the lg_k=12 estimate
+    must sit within the 5 % envelope the gate query promises."""
+    from pyspark.sql import functions as F
+
+    from shmr_spark.catalog import load_table
+    from shmr_spark.operators.distinct_sketch import (
+        build_distinct_sketches,
+        rollup_distinct_sketches,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    fine = build_distinct_sketches(li, ["l_returnflag"], "l_orderkey")
+    est = rollup_distinct_sketches(fine, []).collect()[0].distinct_est
+    exact = li.select("l_orderkey").distinct().count()
+    assert abs(est - exact) <= 0.05 * exact
