@@ -33,13 +33,19 @@ def asof_join(
     suffix: str = "_asof",
     inclusive: bool = False,
     tiebreak: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """As-of join left→right on key `on`, time columns left_ts/right_ts.
 
     right_cols: right payload columns to carry (default: all except
     key+ts). tiebreak: right column ordering ties at equal right_ts
     (latest wins); required for determinism if right_ts can repeat
-    within a key."""
+    within a key. direction: "backward" (latest right BEFORE the left
+    ts — the default) or "forward" (earliest right AFTER it, DuckDB's
+    ``ASOF ... ON l.ts < r.ts``) — forward just flips the window's
+    time scan, same single shuffle."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in (on, right_ts)]
 
@@ -69,9 +75,13 @@ def asof_join(
         *[F.col(c).alias(f"__r_{c}") for c in right_cols],
     )
 
+    # forward = the same carry, scanning time in reverse: the "last
+    # right seen" in a descending scan is the EARLIEST right after the
+    # left row. Side ordering (inclusivity) is direction-independent.
+    ts_order = F.col("__ts").desc() if direction == "forward" else F.col("__ts").asc()
     w = (
         Window.partitionBy("__k")
-        .orderBy("__ts", "__side", F.col("__tb").asc_nulls_last())
+        .orderBy(ts_order, "__side", F.col("__tb").asc_nulls_last())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = lt.unionByName(rt).select(

@@ -56,6 +56,50 @@ def asof_join_prev(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Forward as-of: each event ⟶ the user's EARLIEST LATER event — the
+# same union+window carry scanning time in reverse (operators/asof.py
+# direction="forward"), against DuckDB's native forward ASOF JOIN.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "asof_join_next",
+    oracle="""
+SELECT e.event_id,
+       e.user_id,
+       CAST(floor(epoch(e.ts)) AS BIGINT) AS ts_epoch,
+       p.event_id AS event_id_asof,
+       p.value AS value_asof
+FROM events e
+ASOF LEFT JOIN events p
+  ON e.user_id = p.user_id AND e.ts < p.ts
+""",
+)
+def asof_join_next(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.select("event_id", "user_id", "ts")
+    right = ev.select("user_id", "ts", "event_id", "value")
+    joined = asof_join(
+        left,
+        right,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["event_id", "value"],
+        inclusive=False,
+        tiebreak="event_id",
+        direction="forward",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("long").alias("ts_epoch"),
+        "event_id_asof",
+        "value_asof",
+    )
+
+
+# --------------------------------------------------------------------------
 # Semi-structured: JSON props column → typed fields (the FIXTURES.md
 # from_json target).
 # --------------------------------------------------------------------------

@@ -272,3 +272,44 @@ def test_ewma_window_is_partitioned(spark, sf_dir):
     flat = plan.replace(" ", "")
     assert "partitionBy=[o_custkey" in flat or "o_custkey" in flat
     assert "SinglePartition" not in _tree(plan)
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
+    """Catalyst's runtime bloom filter (on by default in this build)
+    must inject a might_contain pre-filter on the fact side of a
+    selective shuffle join — the declarative plan gets semi-join
+    reduction for free, which is why the engine does NOT hand-roll
+    bloom membership operators. Thresholds are lowered here because
+    test-SF tables sit under the production defaults (10 MB creation
+    side); the rewrite itself is what's pinned."""
+    from pyspark.sql import functions as F
+
+    from shmr_spark.catalog import load_table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, sf_dir, "lineitem")
+        orders = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "simple"
+            )
+        )
+        assert "might_contain" in plan, "runtime bloom filter not injected"
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
