@@ -51,3 +51,55 @@ def mix_sources(
         keep = survival_hash(id_col, salt) < int(rate * _MOD)
         parts.append(df.filter(keep).withColumn("mix_source", F.lit(name)))
     return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+def temperature_mix_rates(
+    df: DataFrame,
+    group_col: str,
+    target_rows: int,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Per-group sampling rates for α-temperature rebalancing — the
+    multilingual-corpus recipe (sample group g proportional to
+    p_g^α): α=1 keeps natural proportions, α→0 approaches uniform,
+    upweighting low-resource groups.
+
+    Returns (group_col, n BIGINT, rate DOUBLE) with
+    ``rate_g = min(1, target_rows · w_g / (Σw · n_g))``, w_g = n_g^α.
+    Group weights are carried as 10⁶-scaled int64 (exact, order-free
+    sum) and the rate arithmetic runs on identical operands in any
+    engine, so at α=0.5 — where n^α is sqrt(), correctly rounded per
+    IEEE-754 in every engine — the derived rates (and therefore the
+    hash-gated row selection) are bit-deterministic cross-engine; the
+    gate query exploits exactly that. Other α go through pow(),
+    deterministic within one engine but not oracle-exact.
+
+    The rates frame is tiny (one row per group) — broadcast it onto
+    the corpus and gate rows with survival_hash, e.g.::
+
+        rates = temperature_mix_rates(docs, "lang", target_rows=10**9)
+        kept = (docs.join(F.broadcast(rates), "lang")
+                    .filter(survival_hash("doc_id") < F.col("rate") * 4294967296.0))
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    counts = df.groupBy(group_col).agg(F.count("*").alias("n"))
+    w = F.sqrt(F.col("n").cast("double")) if alpha == 0.5 else (
+        F.pow(F.col("n").cast("double"), F.lit(float(alpha)))
+    )
+    weighted = counts.withColumn(
+        "__wi", F.floor(w * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+    )
+    total = weighted.agg(F.sum("__wi").alias("__W"))
+    return (
+        weighted.crossJoin(F.broadcast(total))
+        .select(
+            group_col,
+            "n",
+            F.least(
+                F.lit(1.0),
+                (F.lit(float(target_rows)) * F.col("__wi").cast("double"))
+                / (F.col("__W").cast("double") * F.col("n").cast("double")),
+            ).alias("rate"),
+        )
+    )

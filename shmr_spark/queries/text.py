@@ -681,6 +681,52 @@ def mix_training_sources(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# α-temperature language rebalancing (operators/mixing.py
+# temperature_mix_rates): sample each language ∝ p^α so low-resource
+# languages are upweighted — the standard multilingual-corpus recipe.
+# At α=0.5 the weight is sqrt(n) (IEEE-correctly-rounded in every
+# engine) and the weight sum is a 10⁶-scaled int64, so the derived
+# rates and the hash-gated row selection are bit-deterministic
+# cross-engine — an EXACT oracle for a sampling operator.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "temperature_balanced_mix",
+    oracle="""
+WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY lang),
+w AS (SELECT lang, n,
+             CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS wi
+      FROM c),
+t AS (SELECT CAST(SUM(wi) AS BIGINT) AS W FROM w),
+r AS (SELECT lang, n,
+             least(CAST(1.0 AS DOUBLE),
+                   (CAST(400.0 AS DOUBLE) * CAST(wi AS DOUBLE))
+                     / (CAST(W AS DOUBLE) * CAST(n AS DOUBLE))) AS rate
+      FROM w CROSS JOIN t)
+SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_kept, MAX(r.n) AS n_total
+FROM documents d JOIN r ON d.lang = r.lang
+WHERE ((d.doc_id * 2654435761) % 4294967296) < rate * 4294967296.0
+GROUP BY d.lang
+ORDER BY d.lang
+""",
+)
+def temperature_balanced_mix(spark, sf_dir):
+    from shmr_spark.dataset import bounded_sort
+    from shmr_spark.operators.mixing import survival_hash, temperature_mix_rates
+
+    docs = load_table(spark, sf_dir, "documents")
+    rates = temperature_mix_rates(docs, "lang", target_rows=400, alpha=0.5)
+    kept = docs.join(F.broadcast(rates), "lang").filter(
+        survival_hash("doc_id") < F.col("rate") * F.lit(4294967296.0)
+    )
+    out = kept.groupBy("lang").agg(
+        F.count("*").alias("n_kept"), F.max("n").alias("n_total")
+    )
+    return bounded_sort(out, "lang")  # fixed 5-language domain
+
+
+# --------------------------------------------------------------------------
 # Deterministic k-per-group sample: reservoir semantics without RNG
 # state — rank by the survival hash inside each group, keep k. Stable
 # across runs/engines; one shuffle (the window).

@@ -81,3 +81,26 @@ def test_leakage_safe_split_keeps_clusters_together(spark, sf_dir):
     # (c) both sides populated
     sides = {s for (_, s) in rows.values()}
     assert sides == {"train", "test"}
+
+
+def test_temperature_mix_upweights_low_resource_groups(spark, sf_dir):
+    """At α=0.5 the kept FRACTION must be monotonically higher for
+    smaller groups (the rebalancing point); at α=1 rates are uniform
+    across groups (natural proportions preserved)."""
+    from shmr_spark.catalog import load_table
+    from shmr_spark.operators.mixing import temperature_mix_rates
+
+    docs = load_table(spark, sf_dir, "documents")
+    half = {
+        r.lang: (r.n, r.rate)
+        for r in temperature_mix_rates(docs, "lang", 300, alpha=0.5).collect()
+    }
+    by_size = sorted(half.values())
+    for (n1, r1), (n2, r2) in zip(by_size, by_size[1:]):
+        assert r1 >= r2, f"smaller group {n1} got lower rate than {n2}"
+
+    flat = [
+        r.rate
+        for r in temperature_mix_rates(docs, "lang", 300, alpha=1.0).collect()
+    ]
+    assert max(flat) - min(flat) < 1e-9  # α=1 ⇒ uniform sampling rate
