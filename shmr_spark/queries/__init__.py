@@ -142,8 +142,11 @@ _PRIORITY: list[str] = [
     #      q15_top_supplier, q16_supplier_part_variety,
     #      q17_small_quantity_revenue, q19_disjunctive_revenue,
     #      q21_single_fault_suppliers, q22_dormant_customers — all
-    #      parity-green locally at sf0.001 + sf0.01), then anything
-    #      newer
+    #      parity-green locally at sf0.001 + sf0.01), then the other
+    #      late additions (asof_join_next, distinct_sketch_rollup,
+    #      temperature_balanced_mix — same local parity evidence),
+    #      then anything newer. A full 162-query sf0.01 parity sweep
+    #      ran green (0 failures) after the TPC-H batch landed.
 ]
 
 
