@@ -660,10 +660,14 @@ def distinct_sketch_rollup(spark, sf_dir):
     # fine grain (lang, source) → persistable sketches → lang rollup
     sketches = build_distinct_sketches(docs, ["lang", "source"], "text")
     rolled = rollup_distinct_sketches(sketches, ["lang"])
-    exact = docs.groupBy("lang").agg(
+    exact = docs.groupBy(F.col("lang").alias("__lang")).agg(
         F.count_distinct("text").alias("n_distinct")
     )
-    out = rolled.join(exact, "lang").select(
+    # null-safe join: a NULL-lang group must survive (the oracle's
+    # plain GROUP BY keeps it; an equality join would drop it)
+    out = rolled.join(
+        exact, rolled["lang"].eqNullSafe(exact["__lang"])
+    ).select(
         "lang",
         "n_rows",
         "n_distinct",

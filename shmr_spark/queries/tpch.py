@@ -51,11 +51,14 @@ def _volume() -> F.Column:
 
 def _sql_scaled_avg(expr: str, scale: int = 100) -> str:
     """Exact order-free average: int64 sum of the 10²-scaled column
-    divided by (scale · count). Both engines produce identical doubles
-    (same discipline as functions.numeric, inlined for subqueries)."""
+    divided by (scale · non-null count). Both engines produce
+    identical doubles (same discipline as functions.numeric, inlined
+    for subqueries). The denominator is COUNT(expr) — NOT COUNT(*) —
+    to mirror the Spark twins (_scaled_avg below, the q17 window),
+    whose F.count(col) skips NULLs exactly as SUM does."""
     return (
         f"CAST(CAST(SUM(CAST(floor(({expr}) * {scale} + 0.5) AS BIGINT)) AS BIGINT)"
-        f" AS DOUBLE) / ({scale}.0 * COUNT(*))"
+        f" AS DOUBLE) / ({scale}.0 * COUNT({expr}))"
     )
 
 

@@ -160,12 +160,28 @@ def _decode_file(
             raise ValueError(f"unknown codec: {codec}")
 
 
+def _spark_cmp(v, x) -> int:
+    """Spark SQL total ordering as a -1/0/1 comparator: NaN compares
+    GREATER than every numeric and EQUAL to itself (Python's NaN
+    comparisons are all-False — using them verbatim would silently
+    change results vs the Spark-side evaluation of the same filter)."""
+    import math
+
+    v_nan = isinstance(v, float) and math.isnan(v)
+    x_nan = isinstance(x, float) and math.isnan(x)
+    if v_nan or x_nan:
+        if v_nan and x_nan:
+            return 0
+        return 1 if v_nan else -1
+    return (v > x) - (v < x)
+
+
 _CMP_OPS = {
-    GreaterThan: lambda v, x: v > x,
-    GreaterThanOrEqual: lambda v, x: v >= x,
-    LessThan: lambda v, x: v < x,
-    LessThanOrEqual: lambda v, x: v <= x,
-    EqualTo: lambda v, x: v == x,
+    GreaterThan: lambda v, x: _spark_cmp(v, x) > 0,
+    GreaterThanOrEqual: lambda v, x: _spark_cmp(v, x) >= 0,
+    LessThan: lambda v, x: _spark_cmp(v, x) < 0,
+    LessThanOrEqual: lambda v, x: _spark_cmp(v, x) <= 0,
+    EqualTo: lambda v, x: _spark_cmp(v, x) == 0,
 }
 
 _STR_OPS = {
@@ -174,8 +190,13 @@ _STR_OPS = {
     StringContains: str.__contains__,
 }
 
+# NOTE: no "float" — the decode path carries full Python doubles but
+# the non-pushdown pipeline truncates float32 columns at the Arrow
+# boundary BEFORE Spark evaluates filters, so a source-side comparison
+# on the untruncated value could disagree at precision boundaries.
+# float-column filters therefore stay Spark-side.
 _SIMPLE_TYPES = frozenset(
-    ("tinyint", "smallint", "int", "bigint", "float", "double", "string", "boolean")
+    ("tinyint", "smallint", "int", "bigint", "double", "string", "boolean")
 )
 
 
@@ -224,14 +245,18 @@ def _compile_filter(f: Filter, schema: StructType):
             None
             if row[idx] is None
             else True
-            if row[idx] in vals
+            if any(_spark_cmp(row[idx], v) == 0 for v in vals)
             else (None if has_null else False)
         )
     if isinstance(f, EqualNullSafe):
         if not (_plain(f.value) or f.value is None):
             return None
-        return lambda row: row[idx] == f.value or (
+        return lambda row: (
             row[idx] is None and f.value is None
+        ) or (
+            row[idx] is not None
+            and f.value is not None
+            and _spark_cmp(row[idx], f.value) == 0
         )
     for klass, fn in _STR_OPS.items():
         if isinstance(f, klass):
@@ -353,16 +378,25 @@ class ShmrStreamReader(DataSourceStreamReader):
         return {"hw": files[-1] if files else "", "n": len(files)}
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        """The batch file set must be a deterministic function of
+        (start, end) — checkpoint replay re-runs this method — which
+        the O(1) name-range offsets only guarantee under the
+        sorted-arrival contract. Both count checks below run BEFORE
+        any file is read, so a violation fails the trigger cleanly
+        (nothing half-processed) instead of silently reading a file
+        one batch and declaring it skipped the next."""
         files = self._files()
         below_start = [p for p in files if start["hw"] and p <= start["hw"]]
-        if len(below_start) > start["n"]:
-            extra = set(below_start) - set(below_start[: start["n"]])
+        if len(below_start) != start["n"]:
             raise ValueError(
-                "shmr stream: partition file(s) appeared BELOW the "
-                f"committed high-water name {start['hw']!r}: "
-                f"{sorted(extra)[:3]} — the source requires files to "
-                "arrive in sorted-name order (the reference CLI's "
-                "part-NNNNN naming); re-shard or rename the late files"
+                "shmr stream: the directory has "
+                f"{len(below_start)} file(s) at or below the committed "
+                f"high-water name {start['hw']!r} but {start['n']} were "
+                "committed — a file arrived out of sorted-name order "
+                "(or a committed file was deleted). The source requires "
+                "files to arrive in sorted-name order (the reference "
+                "CLI's part-NNNNN naming); re-shard or rename late "
+                "files, or restart from a fresh checkpoint."
             )
         batch = [
             p
@@ -371,6 +405,16 @@ class ShmrStreamReader(DataSourceStreamReader):
             and end["hw"]
             and p <= end["hw"]
         ]
+        if len(batch) != end["n"] - start["n"]:
+            raise ValueError(
+                "shmr stream: the range "
+                f"({start['hw']!r}, {end['hw']!r}] now holds "
+                f"{len(batch)} file(s) but {end['n'] - start['n']} were "
+                "present when the batch was planned — a file "
+                "materialized out of sorted-name order inside an "
+                "already-planned range. Re-shard or rename the late "
+                "file(s), or restart from a fresh checkpoint."
+            )
         return [_FilePartition(p) for p in batch]
 
     def read(self, partition: _FilePartition) -> Iterator[tuple]:

@@ -489,6 +489,32 @@ def test_pushdown_filters_match_spark_side_evaluation(registered, tmp_path):
         plain = sorted(map(tuple, rd(False).filter(p).collect()), key=repr)
         assert pushed == plain, f"pushdown diverged on {p!r}"
 
+    # doubles incl. NaN: Spark orders NaN greater than everything and
+    # NaN == NaN — the pushed evaluator must agree, not Python's
+    # all-False NaN comparisons (separate directory: its own schema)
+    dn = tmp_path / "push_nan"
+    dn.mkdir()
+    with open(dn / "part-00000.json", "w") as f:
+        for v in [1.5, float("nan"), -2.0, None]:
+            f.write(jsonmod.dumps({"y": v}) + "\n")
+
+    def rd_d(push):
+        r = spark.read.format("shmr").schema("y double")
+        if push:
+            r = r.option("pushdown", "true")
+        return r.load(str(dn / "part-*.json"))
+
+    for p in ["y > 1.0", "y <= 1.5", "NOT (y > 1.0)", "y = CAST('NaN' AS DOUBLE)"]:
+        # repr-compare: Python's nan != nan would fail tuple equality
+        pushed = sorted(repr(tuple(r)) for r in rd_d(True).filter(p).collect())
+        plain = sorted(repr(tuple(r)) for r in rd_d(False).filter(p).collect())
+        assert pushed == plain, f"NaN pushdown diverged on {p!r}"
+    # the NaN row itself must survive y > 1.0 (NaN is largest in Spark)
+    import math
+
+    kept = [r.y for r in rd_d(True).filter("y > 1.0").collect()]
+    assert any(isinstance(v, float) and math.isnan(v) for v in kept)
+
 
 def test_pushdown_appears_in_plan_and_cuts_transfer(registered, tmp_path):
     import json as jsonmod
