@@ -29,7 +29,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from shmr_spark.functions.vectors import cosine_similarity
-from shmr_spark.similarity.search import ivf_assign
 
 
 def semantic_dedup(
@@ -50,6 +49,11 @@ def semantic_dedup(
     columns rejoin at the end via the anti join, so wide document
     rows never ride through the quadratic stage.
     """
+    # lazy: similarity.search's module init imports dedup (LSH helpers),
+    # so a top-level import here closes a cycle that breaks
+    # `import shmr_spark.similarity` on its own
+    from shmr_spark.similarity.search import ivf_assign
+
     if n_clusters <= 1:
         assigned = df.select(id_col, vec_col).withColumn("__cell", F.lit(0))
     else:

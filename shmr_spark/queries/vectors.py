@@ -530,3 +530,28 @@ def similarity_quantized_rerank(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     n = emb.count()  # parquet-footer count, one cheap job
     return cosine_topk_quantized_rerank(emb, probe_id=0, k=10, rerank=int(n))
+
+
+@query("similarity_pq_topk", oracle=_SQL_BRUTEFORCE_TOPK)
+def similarity_pq_topk(spark, sf_dir):
+    """Product-quantized top-k at the degenerate-exact config: the
+    codebook is the corpus's own subvectors (k = n), so every vector
+    reconstructs exactly and PQ's lookup-table scoring provably equals
+    brute-force cosine — the oracle. The compressed config (k=16,
+    trained codebooks) is recall-pinned in tests, same split as the
+    LSH/IVF gates. The codebook collect here is gate-scale machinery;
+    production trains k=256 books via pq_train (driver sees only
+    m·k·d_sub floats)."""
+    from shmr_spark.similarity.pq import pq_encode, pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = emb.select("vec_id", "embedding").orderBy("vec_id").collect()
+    m, dim = 4, len(rows[0].embedding)
+    d_sub = dim // m
+    codebooks = [
+        [[float(x) for x in r.embedding[j * d_sub : (j + 1) * d_sub]] for r in rows]
+        for j in range(m)
+    ]
+    probe = [float(x) for x in rows[0].embedding]
+    codes = pq_encode(emb.filter(F.col("vec_id") != 0), codebooks)
+    return pq_topk(codes, codebooks, probe, topk=10)

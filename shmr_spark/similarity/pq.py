@@ -1,0 +1,224 @@
+"""Product quantization (PQ) — the memory-scale tier of the ANN stack
+(design: Jégou/Douze/Schmid, "Product Quantization for Nearest
+Neighbor Search", TPAMI 2011 — public literature).
+
+Where int8 scalar quantization (functions/vectors.py) compresses 4×,
+PQ compresses ``dim·4 bytes → m bytes`` (64-dim float32 → 4 bytes at
+m=4): each vector is split into m subvectors, each encoded as the
+index of its nearest codeword in a per-subspace codebook of k
+centroids. At 100 TB the coarse scan then reads only the m-byte codes
+and scores candidates from per-probe lookup tables — no float vectors
+touched until an optional exact rerank.
+
+Why cosine decomposes: dot(q, x) = Σⱼ dot(qⱼ, xⱼ) exactly, so the
+asymmetric approximation replaces xⱼ with its codeword and reads
+dot(qⱼ, c) from a k-entry table; ‖x‖ is likewise approximated from
+codeword norms. Both tables are tiny Python-computed literals — the
+scoring expression is pure codegen arithmetic, no joins, no UDFs.
+
+Scale design per stage:
+- training/encoding: the corpus joins a BROADCAST codebook frame
+  (m·k rows) and takes a min_by per (row, subspace) — plain shuffle
+  aggregates, no giant literal expressions, no driver loops over data;
+- scoring: fixed-order element_at sums over constant arrays —
+  deterministic double arithmetic, rounded to 6 decimals per the
+  repo-wide cross-engine float discipline;
+- the degenerate config (codebook := the corpus's own subvectors)
+  reconstructs every vector exactly, making PQ scoring ≡ brute-force
+  cosine — which is how the gate query carries an EXACT DuckDB oracle
+  (the same full-probe ≡ exact trick as the LSH/IVF gates).
+
+No reference analogue: /root/reference/shmr has no vector machinery;
+this extends the similarity stack (search.py: brute force, LSH, IVF,
+int8 rerank) with the compression tier between IVF and rerank.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _check_books(codebooks: list[list[list[float]]]) -> tuple[int, int]:
+    m = len(codebooks)
+    if m == 0 or not codebooks[0]:
+        raise ValueError("codebooks must be non-empty: m lists of k centroids")
+    d_sub = len(codebooks[0][0])
+    for book in codebooks:
+        for c in book:
+            if len(c) != d_sub:
+                raise ValueError("ragged codebook: all centroids need equal dim")
+    return m, d_sub
+
+
+def _codebook_df(spark, codebooks):
+    rows = [
+        (j, c, [float(x) for x in cent])
+        for j, book in enumerate(codebooks)
+        for c, cent in enumerate(book)
+    ]
+    return spark.createDataFrame(rows, "j int, code int, cvec array<double>")
+
+
+def _subvectors(df: DataFrame, id_col: str, vec_col: str, m: int, d_sub: int):
+    """Long form (id, j, sub): one row per subspace per vector."""
+    structs = [
+        F.struct(
+            F.lit(j).alias("j"),
+            F.transform(
+                F.slice(F.col(vec_col), j * d_sub + 1, d_sub),
+                lambda x: x.cast("double"),
+            ).alias("sub"),
+        )
+        for j in range(m)
+    ]
+    return df.select(
+        id_col, F.explode(F.array(*structs)).alias("__e")
+    ).select(id_col, F.col("__e.j").alias("j"), F.col("__e.sub").alias("sub"))
+
+
+_L2SQ = lambda a, b: F.aggregate(  # noqa: E731
+    F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+    F.lit(0.0),
+    lambda acc, v: acc + v,
+)
+
+
+def _nearest_codes(subs: DataFrame, cb: DataFrame, id_col: str) -> DataFrame:
+    """(id, j, code) of each subvector's L2-nearest codeword; ties
+    break to the smallest code (min_by on the (distance, code) struct
+    — deterministic)."""
+    return (
+        subs.join(F.broadcast(cb), "j")
+        .select(
+            id_col,
+            "j",
+            "code",
+            _L2SQ(F.col("sub"), F.col("cvec")).alias("__d2"),
+        )
+        .groupBy(id_col, "j")
+        .agg(F.min_by("code", F.struct("__d2", "code")).alias("code"))
+    )
+
+
+def pq_train(
+    df: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Train per-subspace L2 codebooks: deterministic hash-strata
+    seeds (the smallest-id subvector per stratum — same spread-seeding
+    rationale as search._seed_centroids), then Lloyd rounds where
+    assignment is the broadcast join above and the update is a plain
+    (j, code, pos) average. Only m·k·d_sub floats reach the driver per
+    iteration. Empty codes keep their previous centroid."""
+    first = df.select(F.size(vec_col).alias("n")).first()
+    if first is None:
+        raise ValueError("cannot train PQ on an empty corpus")
+    dim = first["n"]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    d_sub = dim // m
+    spark = df.sparkSession
+
+    subs = _subvectors(df, id_col, vec_col, m, d_sub)
+    stratum = F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(k))
+    seeds = (
+        subs.groupBy("j", stratum.cast("int").alias("__s"))
+        .agg(F.min_by("sub", F.col(id_col)).alias("cvec"))
+        .collect()
+    )
+    # stratum ids with no rows simply yield fewer than k codes — the
+    # codebook is dense-reindexed per subspace
+    books: list[dict[int, list[float]]] = [dict() for _ in range(m)]
+    for r in seeds:
+        books[r["j"]][r["__s"]] = [float(x) for x in r["cvec"]]
+    current = [
+        [v for _, v in sorted(b.items())] for b in books
+    ]  # m × (≤k) × d_sub
+
+    for _ in range(iters):
+        cb = _codebook_df(spark, current)
+        assigned = _nearest_codes(subs, cb, id_col)
+        means = (
+            subs.join(assigned, [id_col, "j"])
+            .select("j", "code", F.posexplode("sub").alias("__p", "__v"))
+            .groupBy("j", "code", "__p")
+            .agg(F.avg("__v").alias("__m"))
+            .groupBy("j", "code")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("__p", "__m"))).alias("__pairs")
+            )
+            .select("j", "code", F.col("__pairs.__m").alias("cvec"))
+            .collect()
+        )
+        for r in means:
+            current[r["j"]][r["code"]] = [float(x) for x in r["cvec"]]
+    return current
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<int> of length m): each vector compressed to
+    its per-subspace nearest-codeword indices."""
+    m, d_sub = _check_books(codebooks)
+    cb = _codebook_df(df.sparkSession, codebooks)
+    subs = _subvectors(df, id_col, vec_col, m, d_sub)
+    return (
+        _nearest_codes(subs, cb, id_col)
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_list(F.struct("j", "code"))).alias("__p"))
+        .select(id_col, F.col("__p.code").alias("codes"))
+    )
+
+
+def pq_topk(
+    codes_df: DataFrame,
+    codebooks: list[list[list[float]]],
+    probe: list[float],
+    topk: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate cosine top-k over PQ codes via asymmetric-distance
+    lookup tables: (id, sim). The per-probe tables (dot(qⱼ, c) and
+    ‖c‖² per codeword) are computed here in Python — m·k floats — and
+    baked into the expression as constant arrays, so scoring touches
+    only the m-byte codes column; TakeOrdered plans the cut."""
+    m, d_sub = _check_books(codebooks)
+    if len(probe) != m * d_sub:
+        raise ValueError(f"probe dim {len(probe)} != {m * d_sub}")
+    qsub = [probe[j * d_sub : (j + 1) * d_sub] for j in range(m)]
+    qnorm = math.sqrt(sum(float(x) * float(x) for x in probe))
+    lut = [
+        [sum(float(q) * float(c) for q, c in zip(qsub[j], cent)) for cent in book]
+        for j, book in enumerate(codebooks)
+    ]
+    nsq = [
+        [sum(float(c) * float(c) for c in cent) for cent in book]
+        for book in codebooks
+    ]
+
+    def const(vals):
+        return F.array(*[F.lit(float(v)) for v in vals])
+
+    adot, ansq = None, None
+    for j in range(m):
+        e = F.element_at(const(lut[j]), F.col("codes")[j] + 1)
+        n = F.element_at(const(nsq[j]), F.col("codes")[j] + 1)
+        adot = e if adot is None else adot + e
+        ansq = n if ansq is None else ansq + n
+    sim = F.round(adot / (F.lit(qnorm) * F.sqrt(ansq)), 6)
+    return (
+        codes_df.select(id_col, sim.alias("sim"))
+        .orderBy(F.desc("sim"), F.asc(id_col))
+        .limit(topk)
+    )

@@ -607,3 +607,57 @@ def test_semantic_dedup_planted_copies(spark, sf_dir):
     # the originals survive: this corpus's max natural pairwise
     # cosine (~0.5) is far below tau=0.95
     assert {i for i in range(5)} <= kept
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (similarity/pq.py)
+# ---------------------------------------------------------------------------
+
+
+def test_pq_codes_structure_and_determinism(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from shmr_spark.catalog import load_table
+    from shmr_spark.similarity.pq import pq_encode, pq_train
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = pq_train(emb, m=4, k=8, iters=1)
+    assert len(books) == 4 and all(len(b) <= 8 for b in books)
+    codes1 = {r.vec_id: list(r.codes) for r in pq_encode(emb, books).collect()}
+    codes2 = {r.vec_id: list(r.codes) for r in pq_encode(emb, books).collect()}
+    assert codes1 == codes2  # fully deterministic training+encoding
+    for cs in codes1.values():
+        assert len(cs) == 4
+        for j, c in enumerate(cs):
+            assert 0 <= c < len(books[j])
+
+
+def test_pq_compressed_recall_floor(spark, sf_dir):
+    """m=8, k=16 (8-byte codes, 32x compression) must keep a recall
+    floor against exact top-10 even on this structureless synthetic
+    corpus — measured 0.4 at sf0.01 and 0.3-0.5 across probes; 0.1 is
+    the regression alarm, not the target."""
+    from pyspark.sql import functions as F
+
+    from shmr_spark.catalog import load_table
+    from shmr_spark.functions.vectors import cosine_similarity
+    from shmr_spark.similarity.pq import pq_encode, pq_topk, pq_train
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe = [float(x) for x in emb.filter(F.col("vec_id") == 0).first().embedding]
+    p = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("p"))
+    exact = [
+        r.vec_id
+        for r in emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(p))
+        .select(
+            "vec_id", F.round(cosine_similarity("embedding", "p"), 6).alias("s")
+        )
+        .orderBy(F.desc("s"), "vec_id")
+        .limit(10)
+        .collect()
+    ]
+    books = pq_train(emb, m=8, k=16, iters=2)
+    codes = pq_encode(emb.filter(F.col("vec_id") != 0), books)
+    approx = [r.vec_id for r in pq_topk(codes, books, probe, topk=10).collect()]
+    assert len(set(approx) & set(exact)) >= 1
