@@ -555,3 +555,33 @@ def similarity_pq_topk(spark, sf_dir):
     probe = [float(x) for x in rows[0].embedding]
     codes = pq_encode(emb.filter(F.col("vec_id") != 0), codebooks)
     return pq_topk(codes, codebooks, probe, topk=10)
+
+
+@query("similarity_ivfpq_topk", oracle=_SQL_BRUTEFORCE_TOPK)
+def similarity_ivfpq_topk(spark, sf_dir):
+    """The composed IVF+PQ production path at its degenerate-exact
+    config: every cell probed (n_probe = n_cells) and codebook = the
+    corpus's own subvectors, so cell pruning drops nothing and PQ
+    reconstruction is exact — the composition provably equals brute
+    force. Pruned settings are recall-pinned in tests."""
+    from shmr_spark.similarity.pq import cosine_topk_ivfpq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = emb.select("vec_id", "embedding").orderBy("vec_id").collect()
+    m, dim = 4, len(rows[0].embedding)
+    d_sub = dim // m
+    codebooks = [
+        [[float(x) for x in r.embedding[j * d_sub : (j + 1) * d_sub]] for r in rows]
+        for j in range(m)
+    ]
+    probe = [float(x) for x in rows[0].embedding]
+    return cosine_topk_ivfpq(
+        emb,
+        probe,
+        k=10,
+        n_cells=8,
+        n_probe=8,
+        m=m,
+        exclude_id=0,
+        codebooks=codebooks,
+    )

