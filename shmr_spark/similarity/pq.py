@@ -74,9 +74,21 @@ def _subvectors(df: DataFrame, id_col: str, vec_col: str, m: int, d_sub: int):
         )
         for j in range(m)
     ]
-    return df.select(
-        id_col, F.explode(F.array(*structs)).alias("__e")
-    ).select(id_col, F.col("__e.j").alias("j"), F.col("__e.sub").alias("sub"))
+    # fail loudly on a mis-dimensioned vector: a short slice would
+    # null-pad through zip_with and min_by would silently emit code 0
+    # for every subspace (confidently-ranked garbage downstream)
+    ok = F.coalesce(
+        F.assert_true(
+            F.size(F.col(vec_col)) == F.lit(m * d_sub),
+            F.lit(f"PQ: vector length != m*d_sub = {m * d_sub}"),
+        ).cast("boolean"),
+        F.lit(True),
+    )
+    return (
+        df.filter(ok)
+        .select(id_col, F.explode(F.array(*structs)).alias("__e"))
+        .select(id_col, F.col("__e.j").alias("j"), F.col("__e.sub").alias("sub"))
+    )
 
 
 _L2SQ = lambda a, b: F.aggregate(  # noqa: E731
@@ -233,18 +245,28 @@ def cosine_topk_ivfpq(
     m: int = 4,
     pq_k: int = 16,
     kmeans_iters: int = 1,
+    pq_iters: int = 2,
     exclude_id=None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     codebooks: list[list[list[float]]] | None = None,
 ) -> DataFrame:
-    """IVF + PQ — the composed production ANN path (FAISS's IVFPQ
-    shape): IVF cells prune WHICH rows are read (at 100 TB, storage
-    partition pruning via similarity/index.py), PQ codes shrink WHAT
-    is read per row to m bytes, and the lookup-table scoring keeps the
-    scan pure codegen arithmetic. Degenerate config (n_probe = n_cells
-    + codebook = corpus subvectors) provably equals brute force — the
+    """IVF + PQ composed (FAISS's IVFPQ shape): IVF cells prune WHICH
+    rows are considered, PQ codes + lookup tables keep the scoring in
+    codegen arithmetic. Degenerate config (n_probe = n_cells +
+    codebook = corpus subvectors) provably equals brute force — the
     oracle trick both constituent tiers already use.
+
+    This SELF-CONTAINED entry point re-runs cell assignment, codebook
+    training, and candidate encoding from the float vectors on every
+    call — convenient for gates and one-off queries, but NOT the
+    100 TB serving shape. Production follows the build-once /
+    search-many economics of similarity/index.py: persist
+    ``(pq_encode output, books, cell assignment)`` once per corpus
+    version (partitionBy(__cell) so probes prune at the storage
+    layer), then per query only rank centroids and scan the m-byte
+    codes with pq_topk. Pass precomputed ``codebooks`` here to skip
+    at least the training pass.
 
     probe_vec comes in as floats (not an id) so the same entry point
     serves external queries; pass exclude_id to drop the probe row
@@ -254,19 +276,15 @@ def cosine_topk_ivfpq(
     assigned, centroids = ivf_assign(
         df.select(id_col, vec_col), n_cells, id_col, vec_col, kmeans_iters
     )
+    from shmr_spark.functions.vectors import cosine_similarity
+
     probe_arr = F.array(*[F.lit(float(x)) for x in probe_vec])
-    cent_sim = F.aggregate(
-        F.zip_with(
-            F.col("__cvec"), probe_arr, lambda c, q: c.cast("double") * q
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    ) / F.sqrt(
-        F.aggregate(
-            F.transform(F.col("__cvec"), lambda c: c.cast("double") * c.cast("double")),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
+    # probe norm is a constant, so cosine ranks cells identically to
+    # the probe-normalized dot; nanvl maps a degenerate zero-norm
+    # centroid below every real sim (same guard as _assign_cells) so
+    # it loses the probe cut instead of sorting as NULL
+    cent_sim = F.nanvl(
+        cosine_similarity(F.col("__cvec"), probe_arr), F.lit(-2.0)
     )
     probe_cells = (
         centroids.select("__cell", cent_sim.alias("__s"))
@@ -282,7 +300,7 @@ def cosine_topk_ivfpq(
         codebooks
         if codebooks is not None
         else pq_train(
-            df, m=m, k=pq_k, iters=kmeans_iters, id_col=id_col, vec_col=vec_col
+            df, m=m, k=pq_k, iters=pq_iters, id_col=id_col, vec_col=vec_col
         )
     )
     codes = pq_encode(candidates, books, id_col=id_col, vec_col=vec_col)

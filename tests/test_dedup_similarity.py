@@ -615,8 +615,6 @@ def test_semantic_dedup_planted_copies(spark, sf_dir):
 
 
 def test_pq_codes_structure_and_determinism(spark, sf_dir):
-    from pyspark.sql import functions as F
-
     from shmr_spark.catalog import load_table
     from shmr_spark.similarity.pq import pq_encode, pq_train
 
@@ -625,7 +623,10 @@ def test_pq_codes_structure_and_determinism(spark, sf_dir):
     assert len(books) == 4 and all(len(b) <= 8 for b in books)
     codes1 = {r.vec_id: list(r.codes) for r in pq_encode(emb, books).collect()}
     codes2 = {r.vec_id: list(r.codes) for r in pq_encode(emb, books).collect()}
-    assert codes1 == codes2  # fully deterministic training+encoding
+    # encoding determinism for FIXED books (training's avg-based
+    # centroid updates are float sums — deterministic for a fixed
+    # partitioning, not pinned bit-exact across partition layouts)
+    assert codes1 == codes2
     for cs in codes1.values():
         assert len(cs) == 4
         for j, c in enumerate(cs):
@@ -665,8 +666,8 @@ def test_pq_compressed_recall_floor(spark, sf_dir):
 
 def test_ivfpq_pruned_returns_k_and_overlaps_exact(spark, sf_dir):
     """The pruned IVFPQ config (half the cells probed, compressed
-    codes) must return k rows and keep candidate overlap with exact
-    top-10 — the composition wired correctly, not a recall target."""
+    codes) must return k rows AND overlap the exact top-10 — a wiring
+    + recall floor, not a recall target (structureless corpus)."""
     from pyspark.sql import functions as F
 
     from shmr_spark.catalog import load_table
@@ -683,3 +684,33 @@ def test_ivfpq_pruned_returns_k_and_overlaps_exact(spark, sf_dir):
     assert all(r.vec_id != 0 for r in rows)
     sims = [r.sim for r in rows]
     assert sims == sorted(sims, reverse=True)
+    p = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("p"))
+    exact = [
+        r.vec_id
+        for r in emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(p))
+        .select(
+            "vec_id", F.round(cosine_similarity("embedding", "p"), 6).alias("s")
+        )
+        .orderBy(F.desc("s"), "vec_id")
+        .limit(10)
+        .collect()
+    ]
+    overlap = len({r.vec_id for r in rows} & set(exact))
+    assert overlap >= 1, "pruned IVFPQ shares nothing with exact top-10"
+
+
+def test_pq_rejects_mismatched_vector_dims(spark):
+    """A vector whose length != m*d_sub must raise, not silently
+    encode to code 0 via null-padded distances."""
+    import pytest
+
+    from shmr_spark.similarity.pq import pq_encode
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0, 4.0]), (2, [1.0, 2.0, 3.0])],  # row 2 short
+        "vec_id long, embedding array<double>",
+    )
+    books = [[[0.0, 0.0]], [[0.0, 0.0]]]  # m=2, d_sub=2
+    with pytest.raises(Exception, match="m\\*d_sub|assert"):
+        pq_encode(df, books).collect()
