@@ -1082,3 +1082,49 @@ def dedup_keep_best_quality(spark, sf_dir):
     pairs = minhash_near_duplicates(docs, threshold=0.5, num_hashes=64, bands=64)
     survivors = dedup_keep_best_in_cluster(docs, pairs, quality_col="n_chars")
     return survivors.select("doc_id").orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# BPE ENCODE gate (functions/bpe.py encode_bpe): at exactly one trained
+# merge, BPE's left-to-right non-overlapping merge pass is provably
+# equivalent to non-overlapping string replace (a merged symbol can
+# never recreate the raw char pair), so per-doc token counts are
+# computable in pure SQL: n_tokens(word) = len(w) − occurrences(ab).
+# The oracle even re-derives the trained pair itself (top weighted
+# 2-gram, same DESC-count, lexicographic tiebreak as train_bpe) — a
+# fully self-contained cross-engine gate for tokenizer application;
+# multi-merge encoding stays pinned by pytest round-trips.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "bpe_encode_counts",
+    oracle="""
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+wc AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS n
+  FROM words WHERE length(w) >= 2 GROUP BY w
+),
+grams AS (
+  SELECT substring(w, CAST(i AS INTEGER), 1) AS a,
+         substring(w, CAST(i AS INTEGER) + 1, 1) AS b,
+         SUM(n) AS cnt
+  FROM wc, unnest(range(1, length(w))) AS t(i)
+  GROUP BY 1, 2
+),
+top AS (SELECT a, b FROM grams ORDER BY cnt DESC, a, b LIMIT 1)
+SELECT doc_id,
+       CAST(SUM(length(w) - (length(w) - length(replace(w, a || b, ''))) // 2)
+            AS BIGINT) AS n_tokens
+FROM words, top
+GROUP BY doc_id
+""",
+)
+def bpe_encode_counts(spark, sf_dir):
+    from shmr_spark.functions.bpe import encode_bpe, train_bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = train_bpe(docs, num_merges=1)
+    return encode_bpe(docs, merges).select("doc_id", "n_tokens")
