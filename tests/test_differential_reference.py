@@ -377,3 +377,130 @@ def test_diff_head_glob_crosses_files(spark, fixture_dir, tmp_path, capsys):
     ours = run_compat(spark, argv, capsys=capsys).splitlines()
     assert ref_lines == ours
     assert len(ours) == 205
+
+
+# -- hypothesis fuzz: random CSV partitions through identical argv ----------
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    _HYP = True
+except ImportError:  # pragma: no cover
+    _HYP = False
+
+# CSV-hostile but line-safe: quotes, commas, unicode, spaces, empties.
+# \r and \n stay out — the reference's record model is line-based and
+# documents embedded newlines as unsupported (module docstring).
+# Trailing whitespace is stripped from generated fields: the
+# reference's csv_dumps destroys it (bare .rstrip(), funcs.py:16 — a
+# data-corruption defect this repo deliberately does NOT clone; pinned
+# by test_diff_csv_dumps_trailing_ws_documented below), so the fuzz
+# property quantifies over the domain where both engines are lossless.
+_FIELD = st.text(
+    alphabet='abzé日 ,"\'-0_', min_size=0, max_size=8
+).map(lambda s: s.rstrip(" \t"))
+_ROWS = st.lists(
+    st.tuples(_FIELD, st.integers(-99, 99)), min_size=1, max_size=40
+)
+
+
+@pytest.mark.skipif(not _HYP, reason="hypothesis absent")
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_ROWS)
+def test_fuzz_differential_csv_ops(spark, rows):
+    """Property: on ARBITRARY CSV partitions (quote/comma/unicode
+    fields, negative ints), map / filter / distinct / reduce_by_key
+    produce identical outputs from both engines under identical argv —
+    the hand-picked differential cases generalized."""
+    import csv as csvmod
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="fuzz_diff_")
+    d = os.path.join(base, "in")
+    os.mkdir(d)
+    src = os.path.join(d, "part.00.csv")
+    # \n line terminator: csv.writer's \r\n default would smuggle a \r
+    # into the raw line bytes, which ops that pass lines through
+    # verbatim (reference filter/distinct) preserve — valid partitions
+    # (both engines' writers) are \n-terminated
+    with open(src, "w", newline="", encoding="utf-8") as f:
+        w = csvmod.writer(f, lineterminator="\n")
+        w.writerow(["s", "n"])  # header, skipped via --skip_nrows 1
+        for s, n in rows:
+            w.writerow([s, str(n)])
+
+    cases = [
+        (  # order-preserving projection: byte-equal
+            ["partition.map", "--fn", "tests.cli_fixture_fns.fuzz_field0"],
+            [*CSV[:4], "-s", "shmr.str_dumps"],
+            "bytes",
+        ),
+        (
+            ["partition.filter", "--fn", "tests.cli_fixture_fns.fuzz_is_nonneg"],
+            CSV,
+            "bytes",
+        ),
+        (  # first-occurrence-wins in input order: byte-equal
+            ["partition.distinct", "--key_fn", "tests.cli_fixture_fns.fuzz_key0"],
+            CSV,
+            "bytes",
+        ),
+        (  # shuffle may reorder accumulators: set-equal
+            [
+                "partition.reduce_by_key",
+                "--key_fn", "tests.cli_fixture_fns.fuzz_keymod",
+                "--fn", "tests.cli_fixture_fns.fuzz_maxrow",
+            ],
+            CSV,
+            "sorted",
+        ),
+    ]
+    for i, (op_argv, codec_argv, cmp_mode) in enumerate(cases):
+        rp = os.path.join(base, f"ref{i}.out")
+        op = os.path.join(base, f"our{i}.out")
+        head = ["-i", src, *codec_argv]
+        run_ref([*head, *op_argv, "--outfile", rp])
+        run_compat(spark, [*head, *op_argv, "--outfile", op])
+        if cmp_mode == "bytes":
+            assert _read(rp) == _read(op), f"case {i} diverged"
+        else:
+            assert _sorted_lines(rp) == _sorted_lines(op), f"case {i} diverged"
+        assert _meta(rp) == _meta(op)
+    shutil.rmtree(base, ignore_errors=True)
+
+
+def test_diff_csv_dumps_trailing_ws_documented(spark, tmp_path):
+    """DOCUMENTED DIVERGENCE: the reference's csv_dumps ends with a
+    bare .rstrip() (/root/reference/shmr/funcs.py:16), destroying
+    trailing whitespace in the LAST field of every serialized record —
+    silent data corruption, same class as its join crash and coalesce
+    overflow, and like those deliberately NOT cloned: our csv_dumps
+    strips only the line terminator (compat/funcs.py:47), keeping
+    csv_loads∘csv_dumps lossless (property-pinned in
+    test_properties.py::test_csv_roundtrip)."""
+    import csv as csvmod
+
+    d = tmp_path / "in"
+    d.mkdir()
+    src = str(d / "p.00.csv")
+    with open(src, "w", newline="", encoding="utf-8") as f:
+        w = csvmod.writer(f, lineterminator="\n")
+        w.writerow(["s", "n"])
+        w.writerow(["keep me  ", "1"])  # trailing spaces in last... first field
+    # identity-ish map forces a deser→ser round trip in both engines
+    tail = [
+        "-i", src, *CSV,
+        "partition.map", "--fn", "tests.cli_fixture_fns.fuzz_swap",
+    ]
+    rp, op = str(tmp_path / "ref.out"), str(tmp_path / "our.out")
+    run_ref([*tail, "--outfile", rp])
+    run_compat(spark, [*tail, "--outfile", op])
+    # swapped row: ['1', 'keep me  '] — trailing spaces now in the
+    # last field, where the reference's rstrip() eats them
+    assert _read(rp) == b'1,keep me\n'
+    assert _read(op) == b'1,keep me  \n'
