@@ -144,9 +144,11 @@ _PRIORITY: list[str] = [
     #      q21_single_fault_suppliers, q22_dormant_customers — all
     #      parity-green locally at sf0.001 + sf0.01), then the other
     #      late additions (asof_join_next, distinct_sketch_rollup,
-    #      temperature_balanced_mix — same local parity evidence),
-    #      then anything newer. A full 162-query sf0.01 parity sweep
-    #      ran green (0 failures) after the TPC-H batch landed.
+    #      temperature_balanced_mix, similarity_pq_topk,
+    #      similarity_ivfpq_topk, bpe_encode_counts — same local
+    #      parity evidence), then anything newer. Full-registry
+    #      sf0.01 parity sweeps ran green TWICE this round (0
+    #      failures at 162 and at 167 queries).
 ]
 
 
