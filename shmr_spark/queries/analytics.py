@@ -1447,3 +1447,61 @@ def ewma_customer_orders(spark, sf_dir):
     return orders.select(
         "o_custkey", "o_orderkey", F.round(terms, 6).alias("ewma")
     )
+
+
+# --------------------------------------------------------------------------
+# CUSUM drift detection (operators/changepoint.py): the max(0, ...)
+# recursion rewritten as prefix-sum minus running-min — two window
+# functions, one shuffle, pure int64 arithmetic ⇒ hash-exact oracle.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "drift_cusum_events",
+    oracle="""
+WITH b AS (
+  SELECT event_type, event_id, ts,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS xs
+  FROM events
+),
+t AS (
+  SELECT *,
+         CAST(SUM(xs) OVER (PARTITION BY event_type) AS BIGINT)
+           // CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS target
+  FROM b
+),
+s AS (
+  SELECT event_type, ts, event_id,
+         CAST(SUM(xs - target) OVER w AS BIGINT) AS S
+  FROM t
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING)
+),
+c AS (
+  SELECT event_type,
+         S - least(CAST(0 AS BIGINT), CAST(MIN(S) OVER w AS BIGINT)) AS cusum
+  FROM s
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING)
+)
+SELECT event_type,
+       CAST(SUM(CASE WHEN cusum > 150000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_alarms,
+       CAST(MAX(cusum) AS BIGINT) AS max_cusum_scaled
+FROM c GROUP BY event_type ORDER BY event_type
+""",
+)
+def drift_cusum_events(spark, sf_dir):
+    from shmr_spark.operators.changepoint import with_cusum
+
+    ev = load_table(spark, sf_dir, "events")
+    cu = with_cusum(
+        ev, ["event_type"], ["ts", "event_id"], "value", scale=100
+    )
+    agg = cu.groupBy("event_type").agg(
+        F.sum(F.when(F.col("cusum_scaled") > 150000, 1).otherwise(0))
+        .cast("long")
+        .alias("n_alarms"),
+        F.max("cusum_scaled").alias("max_cusum_scaled"),
+    )
+    return bounded_sort(agg, "event_type")  # fixed 5-type domain

@@ -776,3 +776,28 @@ def test_distinct_sketch_accuracy_at_cardinality(spark, sf_dir):
     est = rollup_distinct_sketches(fine, []).collect()[0].distinct_est
     exact = li.select("l_orderkey").distinct().count()
     assert abs(est - exact) <= 0.05 * exact
+
+
+def test_cusum_identity_matches_recursion(spark):
+    """The window identity C_t = S_t - min(0, min S) must equal the
+    textbook recursion C_t = max(0, C_{t-1} + dev_t) — checked on a
+    planted drift: a flat series with a late level shift."""
+    from shmr_spark.operators.changepoint import with_cusum
+
+    vals = [10.0] * 20 + [14.0] * 10  # mean 11.33 → drift accumulates late
+    rows = [(1, i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k int, t int, value double")
+    got = {
+        r.t: r.cusum_scaled
+        for r in with_cusum(df, ["k"], ["t"], "value", scale=100).collect()
+    }
+    # python reference recursion on the same scaled ints
+    xs = [round(v * 100) for v in vals]
+    target = sum(xs) // len(xs)
+    c, expect = 0, {}
+    for i, x in enumerate(xs):
+        c = max(0, c + (x - target))
+        expect[i] = c
+    assert got == expect
+    # the shift is detected: cusum grows strictly through the level change
+    assert expect[29] > expect[20] > 0
