@@ -1505,3 +1505,95 @@ def drift_cusum_events(spark, sf_dir):
         F.max("cusum_scaled").alias("max_cusum_scaled"),
     )
     return bounded_sort(agg, "event_type")  # fixed 5-type domain
+
+
+# --------------------------------------------------------------------------
+# Linear interpolation across gaps — forward_fill's two-sided sibling:
+# 'error' readings are treated as missing and reconstructed between
+# the surrounding good observations. Two IGNORE NULLS windows (last
+# preceding / first following); the ratio divides identical longs cast
+# to double on both engines, rounded to 6 per the float discipline.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "interpolate_gaps",
+    oracle="""
+SELECT event_id, user_id,
+  round(CASE
+    WHEN prev_e IS NULL AND next_e IS NULL THEN CAST(-1.0 AS DOUBLE)
+    WHEN prev_e IS NULL THEN next_v
+    WHEN next_e IS NULL THEN prev_v
+    WHEN prev_e = next_e THEN prev_v
+    ELSE prev_v + (next_v - prev_v)
+         * (CAST(e - prev_e AS DOUBLE) / CAST(next_e - prev_e AS DOUBLE))
+  END, 6) AS interp
+FROM (
+  SELECT event_id, user_id, e,
+         last_value(gv IGNORE NULLS) OVER wp AS prev_v,
+         last_value(ge IGNORE NULLS) OVER wp AS prev_e,
+         first_value(gv IGNORE NULLS) OVER wn AS next_v,
+         first_value(ge IGNORE NULLS) OVER wn AS next_e
+  FROM (
+    SELECT event_id, user_id, ts,
+           CAST(floor(epoch(ts)) AS BIGINT) AS e,
+           CASE WHEN event_type <> 'error' THEN value END AS gv,
+           CASE WHEN event_type <> 'error'
+                THEN CAST(floor(epoch(ts)) AS BIGINT) END AS ge
+    FROM events)
+  WINDOW wp AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wn AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+""",
+)
+def interpolate_gaps(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    e = F.col("ts").cast("long")
+    good = F.col("event_type") != "error"
+    base = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        e.alias("e"),
+        F.when(good, F.col("value")).alias("gv"),
+        F.when(good, e).alias("ge"),
+    )
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    ann = base.select(
+        "event_id",
+        "user_id",
+        "e",
+        F.last("gv", ignorenulls=True).over(wp).alias("prev_v"),
+        F.last("ge", ignorenulls=True).over(wp).alias("prev_e"),
+        F.first("gv", ignorenulls=True).over(wn).alias("next_v"),
+        F.first("ge", ignorenulls=True).over(wn).alias("next_e"),
+    )
+    ratio = (F.col("e") - F.col("prev_e")).cast("double") / (
+        F.col("next_e") - F.col("prev_e")
+    ).cast("double")
+    interp = (
+        F.when(
+            F.col("prev_e").isNull() & F.col("next_e").isNull(),
+            F.lit(-1.0).cast("double"),
+        )
+        .when(F.col("prev_e").isNull(), F.col("next_v"))
+        .when(F.col("next_e").isNull(), F.col("prev_v"))
+        .when(F.col("prev_e") == F.col("next_e"), F.col("prev_v"))
+        .otherwise(
+            F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * ratio
+        )
+    )
+    return ann.select(
+        "event_id", "user_id", F.round(interp, 6).alias("interp")
+    )
