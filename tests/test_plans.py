@@ -313,3 +313,12 @@ def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_cusum_and_interpolation_single_exchange(spark, sf_dir):
+    """Both window-composed operators must reuse ONE hash exchange for
+    every window frame they compute — a second shuffle would double
+    the dominant cost at scale."""
+    for name in ("drift_cusum_events", "interpolate_gaps"):
+        plan = _plan(spark, sf_dir, name)
+        assert _tree(plan).count("Exchange") == 1, f"{name} re-shuffles"
