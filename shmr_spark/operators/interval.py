@@ -69,3 +69,58 @@ def interval_self_join(
             *[f"{c}{s}" for c in payload for s in ("_a", "_b")],
         )
     )
+
+
+def interval_union_length(
+    df,
+    key_cols: list[str],
+    start_col: str,
+    end_col: str,
+    tiebreak_col: str | None = None,
+):
+    """Total length of the UNION of [start, end) intervals per key —
+    utilization/coverage with overlaps counted once, as a sweep line
+    in two window functions (no self-join, no explode beyond 2 rows
+    per interval, one shuffle by key).
+
+    Sweep: each interval emits (+1 at start, −1 at end); a running sum
+    ordered by (time, delta DESC) is the number of active intervals in
+    [time, next_time) — starts sort before ends at equal instants, so
+    touching intervals merge (closed union). Covered length = Σ gaps
+    where the running count > 0. All arithmetic is integer when the
+    bound columns are integral (epoch seconds here) ⇒ hash-exact
+    cross-engine.
+
+    Returns (key_cols..., covered BIGINT, n_intervals BIGINT).
+    """
+    from pyspark.sql import Window
+
+    tb = [tiebreak_col] if tiebreak_col else []
+    s = df.select(
+        *key_cols, F.col(start_col).alias("__t"), F.lit(1).alias("__d"), *tb
+    )
+    e = df.select(
+        *key_cols, F.col(end_col).alias("__t"), F.lit(-1).alias("__d"), *tb
+    )
+    points = s.unionByName(e)
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.col("__t"), F.col("__d").desc(), *tb)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wl = Window.partitionBy(*key_cols).orderBy(
+        F.col("__t"), F.col("__d").desc(), *tb
+    )
+    swept = points.select(
+        *key_cols,
+        F.sum("__d").over(w).alias("__active"),
+        (F.lead("__t").over(wl) - F.col("__t")).alias("__gap"),
+    )
+    return swept.groupBy(*key_cols).agg(
+        F.sum(
+            F.when(F.col("__active") > 0, F.col("__gap")).otherwise(0)
+        )
+        .cast("long")
+        .alias("covered"),
+        (F.count("*") / 2).cast("long").alias("n_intervals"),
+    )

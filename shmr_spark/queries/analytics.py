@@ -1597,3 +1597,54 @@ def interpolate_gaps(spark, sf_dir):
     return ann.select(
         "event_id", "user_id", F.round(interp, 6).alias("interp")
     )
+
+
+# --------------------------------------------------------------------------
+# Interval-union coverage (operators/interval.py interval_union_length):
+# per-user active seconds from overlapping 5-minute event spans,
+# overlaps counted once — a sweep line in two windows, exact integers.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "interval_union_coverage",
+    oracle="""
+WITH iv AS (
+  SELECT user_id, event_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS s,
+         CAST(floor(epoch(ts)) AS BIGINT) + 300 AS t
+  FROM events
+),
+pts AS (
+  SELECT user_id, s AS tm, 1 AS d, event_id FROM iv
+  UNION ALL
+  SELECT user_id, t, -1, event_id FROM iv
+),
+sw AS (
+  SELECT user_id,
+         CAST(SUM(d) OVER w AS BIGINT) AS active,
+         lead(tm) OVER wl - tm AS gap
+  FROM pts
+  WINDOW w AS (PARTITION BY user_id ORDER BY tm, d DESC, event_id
+               ROWS UNBOUNDED PRECEDING),
+         wl AS (PARTITION BY user_id ORDER BY tm, d DESC, event_id)
+)
+SELECT user_id,
+       CAST(SUM(CASE WHEN active > 0 THEN gap ELSE 0 END) AS BIGINT) AS covered,
+       CAST(COUNT(*) // 2 AS BIGINT) AS n_intervals
+FROM sw GROUP BY user_id
+""",
+)
+def interval_union_coverage(spark, sf_dir):
+    from shmr_spark.operators.interval import interval_union_length
+
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        "event_id",
+        F.col("ts").cast("long").alias("s"),
+        (F.col("ts").cast("long") + 300).alias("t"),
+    )
+    return interval_union_length(
+        iv, ["user_id"], "s", "t", tiebreak_col="event_id"
+    )

@@ -801,3 +801,27 @@ def test_cusum_identity_matches_recursion(spark):
     assert got == expect
     # the shift is detected: cusum grows strictly through the level change
     assert expect[29] > expect[20] > 0
+
+
+def test_interval_union_counts_overlaps_once(spark):
+    """Hand-checkable cases: disjoint, overlapping, nested, and
+    touching intervals — the union length must count overlap once and
+    merge touching spans."""
+    from shmr_spark.operators.interval import interval_union_length
+
+    rows = [
+        # k=1: [0,10) + [20,30) disjoint → 20
+        (1, 0, 10), (1, 20, 30),
+        # k=2: [0,10) + [5,15) overlap → 15
+        (2, 0, 10), (2, 5, 15),
+        # k=3: [0,100) + [10,20) nested → 100
+        (3, 0, 100), (3, 10, 20),
+        # k=4: [0,10) + [10,20) touching → merged 20
+        (4, 0, 10), (4, 10, 20),
+    ]
+    df = spark.createDataFrame(rows, "k int, s long, t long")
+    got = {
+        r.k: (r.covered, r.n_intervals)
+        for r in interval_union_length(df, ["k"], "s", "t").collect()
+    }
+    assert got == {1: (20, 2), 2: (15, 2), 3: (100, 2), 4: (20, 2)}
