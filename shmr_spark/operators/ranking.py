@@ -114,3 +114,47 @@ def range_shards(
         .withColumn("shard_id", shard)
         .drop("rank", "__total")
     )
+
+
+def weighted_median(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    weight_col: str,
+    tiebreak_cols: list[str],
+    weight_scale: int = 100,
+) -> DataFrame:
+    """Exact LOWER weighted median per key: the smallest value whose
+    cumulative weight (in (value, tiebreak) order) reaches half the
+    key's total weight — one window pass + one aggregate, no sort of
+    the whole result, no sampling.
+
+    Weights ride as ``weight_scale``-scaled int64 so the 2·cum ≥ total
+    threshold is integer-exact cross-engine; the value itself is data,
+    not arithmetic, so it needs no float discipline. Returns
+    (key_cols..., w_median, total_weight_scaled)."""
+    from pyspark.sql import Window
+
+    ws = F.floor(F.col(weight_col) * weight_scale + F.lit(0.5)).cast("long")
+    order = [F.col(value_col), *[F.col(c) for c in tiebreak_cols]]
+    cum = Window.partitionBy(*key_cols).orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    per_key = Window.partitionBy(*key_cols)
+    staged = df.select(
+        *key_cols,
+        F.col(value_col).alias("__v"),
+        F.sum(ws).over(cum).alias("__cum"),
+        F.sum(ws).over(per_key).alias("__tot"),
+        *[F.col(c) for c in tiebreak_cols],
+    ).filter(2 * F.col("__cum") >= F.col("__tot"))
+    pick = F.min(F.struct("__v", *tiebreak_cols)).alias("__pick")
+    return (
+        staged.groupBy(*key_cols)
+        .agg(pick, F.max("__tot").alias("total_weight_scaled"))
+        .select(
+            *key_cols,
+            F.col("__pick.__v").alias("w_median"),
+            "total_weight_scaled",
+        )
+    )

@@ -1648,3 +1648,52 @@ def interval_union_coverage(spark, sf_dir):
     return interval_union_length(
         iv, ["user_id"], "s", "t", tiebreak_col="event_id"
     )
+
+
+# --------------------------------------------------------------------------
+# Exact weighted median (operators/ranking.py weighted_median): the
+# quantity-weighted median extended price per return flag — cumulative
+# scaled-int weights make the half-total threshold integer-exact.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "weighted_median_price",
+    oracle="""
+WITH b AS (
+  SELECT l_returnflag, l_extendedprice AS v, l_orderkey, l_linenumber,
+         CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS ws
+  FROM lineitem
+),
+c AS (
+  SELECT l_returnflag, v, l_orderkey, l_linenumber,
+         CAST(SUM(ws) OVER w AS BIGINT) AS cum,
+         CAST(SUM(ws) OVER (PARTITION BY l_returnflag) AS BIGINT) AS tot
+  FROM b
+  WINDOW w AS (PARTITION BY l_returnflag
+               ORDER BY v, l_orderkey, l_linenumber
+               ROWS UNBOUNDED PRECEDING)
+),
+p AS (
+  SELECT l_returnflag, v, tot,
+         row_number() OVER (PARTITION BY l_returnflag
+                            ORDER BY v, l_orderkey, l_linenumber) AS rn
+  FROM c WHERE 2 * cum >= tot
+)
+SELECT l_returnflag, v AS w_median, tot AS total_weight_scaled
+FROM p WHERE rn = 1
+ORDER BY l_returnflag
+""",
+)
+def weighted_median_price(spark, sf_dir):
+    from shmr_spark.operators.ranking import weighted_median
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = weighted_median(
+        li,
+        ["l_returnflag"],
+        "l_extendedprice",
+        "l_quantity",
+        ["l_orderkey", "l_linenumber"],
+    )
+    return bounded_sort(out, "l_returnflag")  # 3 flags

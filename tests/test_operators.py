@@ -825,3 +825,24 @@ def test_interval_union_counts_overlaps_once(spark):
         for r in interval_union_length(df, ["k"], "s", "t").collect()
     }
     assert got == {1: (20, 2), 2: (15, 2), 3: (100, 2), 4: (20, 2)}
+
+
+def test_weighted_median_hand_cases(spark):
+    """Hand-checkable: heavy weight pins the median; ties resolve to
+    the lower value (lower weighted median definition)."""
+    from shmr_spark.operators.ranking import weighted_median
+
+    rows = [
+        # k=1: values 1,2,3 weights 1,1,10 → median 3 (heavy tail)
+        (1, 1.0, 1.0, 1), (1, 2.0, 1.0, 2), (1, 3.0, 10.0, 3),
+        # k=2: values 1,2 weights 1,1 → 2*cum(1)=2 >= tot(2) → lower = 1
+        (2, 1.0, 1.0, 1), (2, 2.0, 1.0, 2),
+        # k=3: single row
+        (3, 7.0, 5.0, 1),
+    ]
+    df = spark.createDataFrame(rows, "k int, v double, w double, tb int")
+    got = {
+        r.k: r.w_median
+        for r in weighted_median(df, ["k"], "v", "w", ["tb"]).collect()
+    }
+    assert got == {1: 3.0, 2: 1.0, 3: 7.0}
