@@ -1697,3 +1697,43 @@ def weighted_median_price(spark, sf_dir):
         ["l_orderkey", "l_linenumber"],
     )
     return bounded_sort(out, "l_returnflag")  # 3 flags
+
+
+# --------------------------------------------------------------------------
+# Sliding distinct count: unique users active in the trailing hour at
+# each event — a RANGE window + collect_set (state bounded by the
+# window span). DuckDB has no DISTINCT window aggregates, so the twin
+# is the correlated-subquery definition itself — O(n·window) and
+# gate-scale only, which is exactly why the window form is the engine
+# path.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "sliding_distinct_users",
+    oracle="""
+SELECT e.event_id,
+       CAST((SELECT COUNT(DISTINCT e2.user_id)
+             FROM events e2
+             WHERE e2.event_type = e.event_type
+               AND CAST(floor(epoch(e2.ts)) AS BIGINT)
+                   BETWEEN CAST(floor(epoch(e.ts)) AS BIGINT) - 3600
+                       AND CAST(floor(epoch(e.ts)) AS BIGINT)) AS BIGINT)
+         AS n_active_users
+FROM events e
+""",
+)
+def sliding_distinct_users(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    e = F.col("ts").cast("long")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(e)
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "event_id",
+        F.size(F.collect_set("user_id").over(w)).cast("long").alias(
+            "n_active_users"
+        ),
+    )
