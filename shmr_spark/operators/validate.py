@@ -82,3 +82,53 @@ def schema_drift(actual: "DataFrame | object", expected: object) -> list[dict]:
                  "expected": None, "actual": af.dataType.simpleString()}
             )
     return drifts
+
+
+def missing_ranges(df, key_col: str, bucket_size: int = 10000):
+    """Contiguous ranges of MISSING integer keys between the observed
+    min and max — sequence-gap detection (dropped batches, id holes)
+    without a global sort: keys bucket by ``key div bucket_size``, the
+    lag window runs PARTITIONED per bucket, and cross-bucket gaps are
+    stitched from a bucket-level (min, max) summary that is n/bucket_size
+    rows — the only unpartitioned window runs on that tiny summary.
+
+    Returns (gap_start, gap_end, n_missing), all BIGINT — exact
+    integer arithmetic, hash-stable cross-engine.
+    """
+    from pyspark.sql import Window
+
+    k = F.col(key_col).cast("long")
+    keys = df.select(k.alias("__k")).distinct()
+    bucketed = keys.withColumn("__b", F.expr(f"__k div {bucket_size}"))
+
+    wb = Window.partitionBy("__b").orderBy("__k")
+    within = (
+        bucketed.withColumn("__prev", F.lag("__k").over(wb))
+        .filter(F.col("__k") - F.col("__prev") > 1)
+        .select(
+            (F.col("__prev") + 1).alias("gap_start"),
+            (F.col("__k") - 1).alias("gap_end"),
+        )
+    )
+
+    summary = bucketed.groupBy("__b").agg(
+        F.min("__k").alias("__mn"), F.max("__k").alias("__mx")
+    )
+    ws = Window.orderBy("__b")  # n/bucket_size rows — tiny by design
+    across = (
+        summary.withColumn("__pmx", F.lag("__mx").over(ws))
+        .filter(F.col("__mn") - F.col("__pmx") > 1)
+        .select(
+            (F.col("__pmx") + 1).alias("gap_start"),
+            (F.col("__mn") - 1).alias("gap_end"),
+        )
+    )
+
+    return (
+        within.unionByName(across)
+        .select(
+            "gap_start",
+            "gap_end",
+            (F.col("gap_end") - F.col("gap_start") + 1).alias("n_missing"),
+        )
+    )

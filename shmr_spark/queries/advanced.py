@@ -1229,3 +1229,34 @@ def triangle_count_trade(spark, sf_dir):
         supp_pairs
     )
     return triangle_count(edges)
+
+
+# --------------------------------------------------------------------------
+# Sequence-gap detection (operators/validate.py missing_ranges): holes
+# in the open-order key sequence. The engine buckets the lag window so
+# no global sort exists (only a bucket summary is globally ordered);
+# the oracle is the direct single-window definition.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "missing_id_ranges",
+    oracle="""
+SELECT CAST(prev + 1 AS BIGINT) AS gap_start,
+       CAST(k - 1 AS BIGINT) AS gap_end,
+       CAST(k - prev - 1 AS BIGINT) AS n_missing
+FROM (
+  SELECT k, lag(k) OVER (ORDER BY k) AS prev
+  FROM (SELECT DISTINCT CAST(o_orderkey AS BIGINT) AS k
+        FROM orders WHERE o_orderstatus = 'O')
+)
+WHERE k - prev > 1
+""",
+)
+def missing_id_ranges(spark, sf_dir):
+    from shmr_spark.operators.validate import missing_ranges
+
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "O"
+    )
+    return missing_ranges(orders, "o_orderkey", bucket_size=1000)

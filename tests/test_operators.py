@@ -846,3 +846,32 @@ def test_weighted_median_hand_cases(spark):
         for r in weighted_median(df, ["k"], "v", "w", ["tb"]).collect()
     }
     assert got == {1: 3.0, 2: 1.0, 3: 7.0}
+
+
+def test_missing_ranges_bucket_stitch_equals_direct(spark):
+    """The bucketed two-level gap detection must equal the direct
+    single-window definition, including gaps that SPAN bucket
+    boundaries and gaps larger than a whole bucket."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from shmr_spark.operators.validate import missing_ranges
+
+    keys = [1, 2, 5, 9, 10, 11, 25, 26, 40, 99, 100, 101, 250]
+    df = spark.createDataFrame([(k,) for k in keys], "id long")
+    got = {
+        (r.gap_start, r.gap_end, r.n_missing)
+        for r in missing_ranges(df, "id", bucket_size=10).collect()
+    }
+    w = Window.orderBy("id")
+    direct = {
+        (r.s, r.e, r.e - r.s + 1)
+        for r in df.select("id", F.lag("id").over(w).alias("p"))
+        .filter(F.col("id") - F.col("p") > 1)
+        .select(
+            (F.col("p") + 1).alias("s"), (F.col("id") - 1).alias("e")
+        )
+        .collect()
+    }
+    assert got == direct
+    assert (102, 249, 148) in got  # multi-bucket-spanning gap present
