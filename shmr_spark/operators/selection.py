@@ -79,3 +79,54 @@ def select_by_token_budget(
         )
         .filter(F.col("start_tok") < F.lit(budget))
     )
+
+
+def apportion(
+    weights_df,
+    total: int,
+    key_cols: list[str],
+    weight_col: str = "n",
+):
+    """Largest-remainder (Hamilton) apportionment: split an integer
+    ``total`` across groups proportional to integer weights so quotas
+    SUM EXACTLY to ``total`` — the guarantee rate-based sampling
+    (temperature_mix_rates) cannot give. Base quota is
+    ``floor(total·w / W)``; the leftover seats go to the largest
+    remainders, which compare as the INTEGER ``(total·w) mod W`` —
+    no floats anywhere, so allocation is hash-exact cross-engine.
+
+    Ties break by key order. Requires |total·w| < 2⁶³ (callers at
+    planetary scales pre-scale weights down — quotas only need the
+    ratios). One tiny unpartitioned window: the frame is one row per
+    GROUP, not per data row.
+
+    Returns (key_cols..., n BIGINT, quota BIGINT).
+    """
+    from pyspark.sql import Window
+
+    w = F.col(weight_col).cast("long")
+    tot_w = Window.partitionBy()  # group-count rows only
+    W = F.sum(w).over(tot_w)
+    base = F.expr(f"({total} * CAST({weight_col} AS BIGINT)) div __W")
+    rem = F.expr(f"({total} * CAST({weight_col} AS BIGINT)) % __W")
+    staged = (
+        weights_df.withColumn("__W", W)
+        .withColumn("__base", base)
+        .withColumn("__rem", rem)
+    )
+    leftover = F.lit(total) - F.sum("__base").over(tot_w)
+    rk = Window.orderBy(F.col("__rem").desc(), *[F.col(c) for c in key_cols])
+    return (
+        staged.withColumn("__lo", leftover)
+        .withColumn("__rk", F.row_number().over(rk))
+        .select(
+            *key_cols,
+            w.alias("n"),
+            (
+                F.col("__base")
+                + F.when(F.col("__rk") <= F.col("__lo"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("quota"),
+        )
+    )

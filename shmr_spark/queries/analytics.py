@@ -1737,3 +1737,44 @@ def sliding_distinct_users(spark, sf_dir):
             "n_active_users"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Largest-remainder apportionment (operators/selection.py apportion):
+# an exact-total sample quota per language — base floor quotas plus
+# leftover seats to the largest integer remainders. Pure int64.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "apportion_sample_quota",
+    oracle="""
+WITH c AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY lang
+),
+t AS (SELECT CAST(SUM(n) AS BIGINT) AS W FROM c),
+s AS (
+  SELECT lang, n,
+         CAST((1000 * n) // W AS BIGINT) AS base,
+         CAST((1000 * n) % W AS BIGINT) AS rem
+  FROM c CROSS JOIN t
+),
+lo AS (SELECT CAST(1000 - SUM(base) AS BIGINT) AS seats FROM s),
+r AS (
+  SELECT lang, n, base,
+         row_number() OVER (ORDER BY rem DESC, lang) AS rk
+  FROM s
+)
+SELECT lang, n,
+       CAST(base + CASE WHEN rk <= seats THEN 1 ELSE 0 END AS BIGINT) AS quota
+FROM r CROSS JOIN lo
+ORDER BY lang
+""",
+)
+def apportion_sample_quota(spark, sf_dir):
+    from shmr_spark.operators.selection import apportion
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n"))
+    out = apportion(counts, total=1000, key_cols=["lang"])
+    return bounded_sort(out, "lang")  # 5 languages

@@ -875,3 +875,18 @@ def test_missing_ranges_bucket_stitch_equals_direct(spark):
     }
     assert got == direct
     assert (102, 249, 148) in got  # multi-bucket-spanning gap present
+
+
+def test_apportion_sums_exactly_and_is_proportional(spark):
+    """Quotas must sum exactly to the total (the property rate-based
+    sampling lacks) and never deviate from the exact share by ≥ 1."""
+    from shmr_spark.operators.selection import apportion
+
+    rows = [("a", 7), ("b", 13), ("c", 1), ("d", 29)]  # W = 50
+    df = spark.createDataFrame(rows, "k string, n long")
+    for total in (1, 9, 50, 137):
+        got = {r.k: r.quota for r in apportion(df, total, ["k"]).collect()}
+        assert sum(got.values()) == total
+        for k, n in rows:
+            exact = total * n / 50
+            assert exact - 1 < got[k] < exact + 1  # quota rule bound
