@@ -48,8 +48,9 @@ def with_cusum(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     # integer `div` stays exact where a double /-then-cast would lose
-    # precision past 2^53; `div` truncates toward zero, which equals
-    # floor (DuckDB's //) for the non-negative sums this targets
+    # precision past 2^53; both Spark `div` and DuckDB `//` truncate
+    # toward zero on BIGINT (verified: -7 // 2 = -3 in this DuckDB),
+    # so the engine/oracle pairing agrees for any sign of sum
     staged = (
         df.withColumn("__xs", xs)
         .withColumn("__sumxs", F.sum("__xs").over(per_key))

@@ -96,6 +96,16 @@ def interval_union_length(
     from pyspark.sql import Window
 
     tb = [tiebreak_col] if tiebreak_col else []
+    # a NULL bound would sort NULLS FIRST and skew the running count
+    # for the WHOLE key — fail loudly instead of silently corrupting
+    ok = F.coalesce(
+        F.assert_true(
+            F.col(start_col).isNotNull() & F.col(end_col).isNotNull(),
+            F.lit("interval_union_length: NULL interval bound"),
+        ).cast("boolean"),
+        F.lit(True),
+    )
+    df = df.filter(ok)
     s = df.select(
         *key_cols, F.col(start_col).alias("__t"), F.lit(1).alias("__d"), *tb
     )

@@ -133,8 +133,6 @@ def weighted_median(
     threshold is integer-exact cross-engine; the value itself is data,
     not arithmetic, so it needs no float discipline. Returns
     (key_cols..., w_median, total_weight_scaled)."""
-    from pyspark.sql import Window
-
     ws = F.floor(F.col(weight_col) * weight_scale + F.lit(0.5)).cast("long")
     order = [F.col(value_col), *[F.col(c) for c in tiebreak_cols]]
     cum = Window.partitionBy(*key_cols).orderBy(*order).rowsBetween(

@@ -102,8 +102,6 @@ def apportion(
 
     Returns (key_cols..., n BIGINT, quota BIGINT).
     """
-    from pyspark.sql import Window
-
     w = F.col(weight_col).cast("long")
     tot_w = Window.partitionBy()  # group-count rows only
     W = F.sum(w).over(tot_w)

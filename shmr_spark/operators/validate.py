@@ -10,7 +10,7 @@ violations (a rule that can't evaluate didn't pass).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -95,8 +95,6 @@ def missing_ranges(df, key_col: str, bucket_size: int = 10000):
     Returns (gap_start, gap_end, n_missing), all BIGINT — exact
     integer arithmetic, hash-stable cross-engine.
     """
-    from pyspark.sql import Window
-
     k = F.col(key_col).cast("long")
     keys = df.select(k.alias("__k")).distinct()
     bucketed = keys.withColumn("__b", F.expr(f"__k div {bucket_size}"))

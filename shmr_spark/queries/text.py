@@ -1114,7 +1114,15 @@ grams AS (
   FROM wc, unnest(range(1, length(w))) AS t(i)
   GROUP BY 1, 2
 ),
-top AS (SELECT a, b FROM grams ORDER BY cnt DESC, a, b LIMIT 1)
+top AS (
+  -- always one row: on a degenerate corpus with no >=2-char word the
+  -- trained merge list is empty and encoding is the char split, which
+  -- a never-matching sentinel pair reproduces (an empty top would
+  -- instead annihilate every row through the cross join below)
+  SELECT a, b FROM (SELECT a, b FROM grams ORDER BY cnt DESC, a, b LIMIT 1)
+  UNION ALL
+  SELECT chr(1), chr(1) WHERE NOT EXISTS (SELECT 1 FROM grams)
+)
 SELECT doc_id,
        CAST(SUM(length(w) - (length(w) - length(replace(w, a || b, ''))) // 2)
             AS BIGINT) AS n_tokens

@@ -421,6 +421,16 @@ def test_fuzz_differential_csv_ops(spark, rows):
     import tempfile
 
     base = tempfile.mkdtemp(prefix="fuzz_diff_")
+    try:
+        _fuzz_case(spark, base, rows)
+    finally:
+        # failing/shrinking hypothesis examples must not leak tmp dirs
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def _fuzz_case(spark, base, rows):
+    import csv as csvmod
+
     d = os.path.join(base, "in")
     os.mkdir(d)
     src = os.path.join(d, "part.00.csv")
@@ -471,7 +481,6 @@ def test_fuzz_differential_csv_ops(spark, rows):
         else:
             assert _sorted_lines(rp) == _sorted_lines(op), f"case {i} diverged"
         assert _meta(rp) == _meta(op)
-    shutil.rmtree(base, ignore_errors=True)
 
 
 def test_diff_csv_dumps_trailing_ws_documented(spark, tmp_path):
