@@ -154,6 +154,51 @@ def main() -> None:
     scale_extra["knn_join_lsh_prod"] = _Spec(_knn_join_lsh_prod)
     scale_extra["sessionize_stream"] = _Spec(_sessionize_stream_prod)
 
+    # streaming trigger amortization, MEASURED (r4 carried it as a
+    # comment): the same tumbling replay with maxFilesPerTrigger=64 —
+    # the whole corpus in ONE micro-batch regardless of file count —
+    # so the sf1/base ratio reads rows, not triggers. Compare with
+    # streaming_tumbling's ratio (maxFilesPerTrigger=1, 8 files at
+    # sf1 ⇒ 8 trigger fixed costs) to see the per-trigger overhead
+    # isolated; production tunes maxFilesPerTrigger exactly this way.
+    def _streaming_tumbling_batched(spark, sf_dir):
+        from shmr_spark.queries.analytics import stage_events_copy
+        from shmr_spark.streaming import (
+            read_events_stream,
+            run_stream_to_memory,
+            tumbling_window_stream,
+        )
+
+        d = _sess_src_cache.get(("batched", sf_dir))
+        if d is None:
+            import tempfile
+
+            d = tempfile.mkdtemp(prefix="shmr_bench_tumb_batched_")
+            stage_events_copy(sf_dir, d)
+            _sess_src_cache[("batched", sf_dir)] = d
+        return run_stream_to_memory(
+            tumbling_window_stream(
+                read_events_stream(spark, d, max_files_per_trigger=64)
+            ),
+            "bench_tumbling_batched",
+            output_mode="complete",
+        )
+
+    scale_extra["streaming_tumbling_batched"] = _Spec(_streaming_tumbling_batched)
+
+    # the composed training-data flow (clean → exact+minhash dedup →
+    # quality filter → token-budget select → pack → sorted shards) as
+    # ONE lazy plan — the invariant chain is asserted in
+    # tests/test_training_pipeline.py; here it gets a measured
+    # base-vs-10× wall so the composition (not just each stage) has
+    # scale evidence.
+    def _pipeline_e2e(spark, sf_dir):
+        from shmr_spark.operators.training_pipeline import training_pipeline
+
+        return training_pipeline(spark, sf_dir)
+
+    scale_extra["pipeline_e2e"] = _Spec(_pipeline_e2e)
+
     # Warmup pass (untimed): JVM JIT + whole-stage codegen compilation
     # + parquet footer caches. The timed pass then measures engine
     # throughput, not cold-start — standard steady-state methodology;

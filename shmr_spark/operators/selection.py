@@ -81,6 +81,38 @@ def select_by_token_budget(
     )
 
 
+def select_by_token_fraction(
+    df: DataFrame,
+    fraction: float,
+    score_col: str = "quality",
+    tokens_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    score_buckets: int = 1000,
+) -> DataFrame:
+    """``select_by_token_budget`` with the budget expressed as a
+    FRACTION of the input's total token mass, computed IN-PLAN (the
+    scalar total broadcast-crossJoins back in) — no driver action, so
+    an expensive upstream (a dedup chain) keeps single-lineage laziness
+    instead of being executed once for the count and again for the
+    cut. Same keep rule: start_tok < fraction · total."""
+    annotated = select_by_token_budget(
+        df,
+        budget=1 << 62,  # no-op cut; reuse the distributed prefix sum
+        score_col=score_col,
+        tokens_col=tokens_col,
+        id_col=id_col,
+        score_buckets=score_buckets,
+    )
+    total = df.filter(F.col(score_col).isNotNull()).agg(
+        F.sum(tokens_col).cast("double").alias("__total_tok")
+    )
+    return (
+        annotated.crossJoin(F.broadcast(total))
+        .filter(F.col("start_tok") < F.lit(float(fraction)) * F.col("__total_tok"))
+        .drop("__total_tok")
+    )
+
+
 def apportion(
     weights_df,
     total: int,

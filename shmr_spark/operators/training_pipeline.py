@@ -1,0 +1,90 @@
+"""The composed training-data flow, end to end, as ONE query:
+
+    clean/normalize → quality + token annotate → language/quality
+    filter → exact dedup → MinHash near-dup cluster dedup →
+    token-budget select → sequence pack → sorted-shard assignment
+
+Each stage is the production operator the registry gates individually
+(dedup/exact.py, dedup/minhash.py, dedup/clusters.py,
+operators/selection.py, operators/packing.py, operators/ranking.py);
+this module composes them into the single lazy plan a real corpus
+build runs, so the bench can time the whole flow at scale and the
+tests can assert the cross-stage invariant chain (counts only shrink,
+survivors are near-dup-free, packing conserves tokens, shards are
+balanced). At 100 TB every stage keeps its own scale story — no new
+shuffles are introduced by the composition itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from shmr_spark.catalog import load_table
+from shmr_spark.dedup import minhash_near_duplicates
+from shmr_spark.dedup.clusters import dedup_keep_cluster_representative
+from shmr_spark.dedup.exact import dedup_exact_keep_first
+from shmr_spark.functions.text import quality_score, token_count
+from shmr_spark.operators.packing import pack_sequences
+from shmr_spark.operators.ranking import range_shards
+from shmr_spark.operators.selection import select_by_token_fraction
+
+# survivors persisted by the previous invocation, dropped on the next
+# one (bench runs the pipeline repeatedly in one session)
+_prev_persisted: list[DataFrame] = []
+
+
+def training_pipeline(
+    spark: SparkSession,
+    sf_dir: str,
+    budget_fraction: float = 0.5,
+    neardup_threshold: float = 0.8,
+    pack_budget: int = 2048,
+    n_shards: int = 16,
+) -> DataFrame:
+    """Run the full flow over ``sf_dir``'s documents table; returns
+    the final shard table (doc_id, quality, n_tokens, start_tok,
+    pack_id, shard_id).
+
+    ``budget_fraction`` sizes the token-budget cut relative to the
+    surviving corpus's token mass, so the pipeline is scale-free: no
+    absolute constant goes stale when the corpus grows 10×. The cut
+    needs the total (one extra pass over the survivors), so the
+    deduped projection is PERSISTED first — the production shape: the
+    output of an expensive dedup stage is always materialized (there,
+    written to storage; here, MEMORY_AND_DISK) before fan-out to
+    selection + stats, never recomputed per consumer.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+
+    cleaned = (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.trim(F.regexp_replace(F.lower("text"), " +", " ")).alias("text"),
+        )
+        .withColumn("quality", quality_score("text"))
+        .withColumn("n_tokens", token_count("text").cast("long"))
+    )
+
+    kept = cleaned.filter((F.col("quality") > 0.5) & (F.col("n_tokens") >= 5))
+
+    exact = dedup_exact_keep_first(kept, "text", "doc_id")
+    pairs = minhash_near_duplicates(exact, threshold=neardup_threshold)
+    surv = dedup_keep_cluster_representative(exact, pairs)
+
+    while _prev_persisted:
+        _prev_persisted.pop().unpersist()
+    from pyspark import StorageLevel
+
+    scored = surv.select("doc_id", "quality", "n_tokens").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    _prev_persisted.append(scored)
+    sel = select_by_token_fraction(scored, fraction=budget_fraction)
+
+    packed = pack_sequences(
+        sel.select("doc_id", "n_tokens"), budget=pack_budget
+    ).join(sel.select("doc_id", "quality"), "doc_id")
+
+    return range_shards(packed, key_col="start_tok", id_col="doc_id", n_shards=n_shards)

@@ -45,110 +45,88 @@ def query(name: str, oracle: str | None = None, headline: bool = False):
 
 
 # Registry emission order. The driver's correctness gate has a budget
-# (rounds 1-3 recorded exactly the first 50 registered queries), so
-# the order below is part of the verification strategy. Round-4
-# window = 7 + 2 + 3 + 38 = 50, in four groups; names past slot 50
-# (zorder_keys onward — late-round-4 additions, all parity-checked
-# green locally) sit outside the round-4 budget and lead round 5's
-# rotation:
-#   1. the 7 queries that have never received a CORRECTNESS row
-#      (added in round 3; judge-verified green at sf0.01 but no
-#      driver row yet) — landing these closes the full 131-query
-#      sweep across r1-r4;
-#   2. the 2 round-3 reds (validate_orders, bool_aggregates) —
-#      oracle-side HUGEINT widening, fixed this round with
-#      CAST(... AS BIGINT); re-proof needs a driver row;
-#   3. queries ADDED in round 4 (new machinery needs its first
-#      hash-checked row);
-#   4. canary refresh: every remaining query whose only green is
-#      from round 1 — the oldest evidence in the series, and the
-#      events-adjacent ones have never been driver-checked on the
-#      regenerated NTZ corpus (the r3 canaries re-proved only 5).
+# (every round so far recorded exactly the first 50 registered
+# queries), so the order below is part of the verification strategy.
+# Round-5 window = 2 + 28 + 1 + 19 = 50, in four groups:
+#   1. the two round-4 reds — both were driver-harness TYPE failures
+#      (pandas canonicalizer cannot hash ARRAY/DECIMAL outputs), not
+#      value bugs; fixed this round by shipping postings as a joined
+#      string and the decimal sum as a string on both sides. The
+#      primitive-scalar output rule is now enforced by
+#      tests/test_gate_schemas.py over the whole registry.
+#   2. the 28 queries that have never received a CORRECTNESS row
+#      (the 11 round-4-displaced §2 canaries' replacements, the
+#      11-query TPC-H completion batch, and the late round-4
+#      additions) — landing these gives every registry query a
+#      driver-green row somewhere in r1-r5, closing the registry.
+#   3. compat_records_fold, NEW this round: the opaque-Python-fn
+#      compat tier (RDD map + keyed fold) gets its first driver
+#      hash row (previously pytest-differential only).
+#   4. canary refresh: all 14 queries whose newest green is round 1
+#      (the §2 trivia displaced from the r4 window), plus 5
+#      module-diverse r2-latest greens — the oldest evidence in the
+#      series. After round 5, the oldest remaining greens are r2's
+#      other 30; rotate those in round 6.
 # Canary policy (standing): every round keeps previously-green
 # queries inside the window so a regression in rotated-out code is
 # caught on a bounded cadence; names absent from this list keep
-# module registration order after it. After round 4, the oldest
-# greens are r2's — rotate those forward in round 5.
+# module registration order after it.
 _PRIORITY: list[str] = [
-    # -- group 1: never driver-checked (7) — full-sweep closure
-    "pack_sequences",
+    # -- group 1: round-4 reds, harness-type fix this round (2)
     "inverted_index",
-    "sentence_dedup",
-    "training_subset",
-    "session_window_agg",
-    "scd2_intervals",
-    "redact_pii",
-    # -- group 2: round-3 reds, oracle fixed this round (2)
-    "validate_orders",
-    "bool_aggregates",
-    # -- group 3: new in round 4 (3)
     "dsum_decimal_overflow",
-    "token_budget_select",
-    "dedup_incremental",
-    # -- group 4: canary refresh — r1-only greens, oldest first (39)
-    "sessionize",
-    "event_transitions",
-    "interval_join_events",
-    "rolling_user_window",
-    "monthly_trend",
-    "filter_orders",
-    "join_inner",
-    "join_grouped",
-    "split_by_key_buckets",
-    "count_distinct",
-    "q14_promo_share",
-    "q10_returned_top_customers",
-    "q18_large_orders",
-    "window_sliding",
-    "topk_per_group",
-    "topk_global",
-    "rollup_agg",
-    "cube_agg",
-    "pivot_agg",
-    "percentiles",
-    "percentile_ranks",
-    "window_functions",
-    "correlation",
-    "outlier_filter",
-    # ---- group 3b: late round-4 additions, pulled inside the
-    #      window for their first driver rows (11); the 11 canaries
-    #      they displaced (head/count/reduce/set-op/join-variant
-    #      trivia, all r1-green) lead round 5 instead
-    "zorder_keys",
-    "streaming_dedup",
-    "multimodal_resize",
-    "dedup_minhash_incremental",
-    "rollup_incremental",
-    "duplicate_spans",
-    "streaming_enrich",
-    "bpe_pair_counts",
-    "dedup_semantic",
-    "corpus_snapshot_diff",
-    "range_shards_orders",
-    "streaming_topk_trending",
-    "pagerank_trade_graph",
-    "apply_side_effect",
-    # ---- slot 51+: outside the round-4 budget, first in line for
-    #      round 5: the 11 displaced canaries (distinct_first,
-    #      head_sorted, reduce_global, join_left/semi/anti,
-    #      set_intersect/except, coalesce_count, concat_union,
-    #      count_lineitem, map_project, flat_map_tokens, distinct_keys),
-    #      then the four late-session additions with local parity
-    #      greens but no driver row (triangle_count_trade,
-    #      leakage_safe_split, dedup_keep_best_quality,
-    #      ewma_customer_orders), then the TPC-H completion batch
-    #      (q4_order_priority, q7_nation_volume, q8_market_share,
-    #      q9_profit_by_nation, q13_customer_distribution,
-    #      q15_top_supplier, q16_supplier_part_variety,
-    #      q17_small_quantity_revenue, q19_disjunctive_revenue,
-    #      q21_single_fault_suppliers, q22_dormant_customers — all
-    #      parity-green locally at sf0.001 + sf0.01), then the other
-    #      late additions (asof_join_next, distinct_sketch_rollup,
-    #      temperature_balanced_mix, similarity_pq_topk,
-    #      similarity_ivfpq_topk, bpe_encode_counts — same local
-    #      parity evidence), then anything newer. Full-registry
-    #      sf0.01 parity sweeps ran green TWICE this round (0
-    #      failures at 162 and at 167 queries).
+    # -- group 2: never driver-checked (28) — registry closure
+    "distinct_sketch_rollup",
+    "ewma_customer_orders",
+    "drift_cusum_events",
+    "interpolate_gaps",
+    "interval_union_coverage",
+    "weighted_median_price",
+    "sliding_distinct_users",
+    "apportion_sample_quota",
+    "temperature_balanced_mix",
+    "leakage_safe_split",
+    "dedup_keep_best_quality",
+    "bpe_encode_counts",
+    "similarity_pq_topk",
+    "similarity_ivfpq_topk",
+    "asof_join_next",
+    "triangle_count_trade",
+    "missing_id_ranges",
+    "q4_order_priority",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_profit_by_nation",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_supplier_part_variety",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue",
+    "q21_single_fault_suppliers",
+    "q22_dormant_customers",
+    # -- group 3: new in round 5 (1)
+    "compat_records_fold",
+    # -- group 4: canary refresh — the 14 r1-latest greens (all of
+    #    them), then 5 module-diverse r2-latest greens (19)
+    "head_sorted",
+    "count_lineitem",
+    "distinct_keys",
+    "distinct_first",
+    "map_project",
+    "flat_map_tokens",
+    "reduce_global",
+    "join_left",
+    "join_semi",
+    "join_anti",
+    "set_intersect",
+    "set_except",
+    "coalesce_count",
+    "concat_union",
+    "dedup_exact",
+    "similarity_topk",
+    "sql_q5_region_revenue",
+    "lang_id",
+    "knn_join_exact",
 ]
 
 

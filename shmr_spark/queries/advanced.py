@@ -1014,10 +1014,15 @@ def null_safe_join(spark, sf_dir):
 # l_extendedprice * 10000.0 is one IEEE double multiply — bit-identical
 # on both engines — and its sf0.01 sum is ~2.3e13, past the ~9.2e12
 # int64-scaled cap (dsum on this expression raises; pytest pins that).
-# The result STAYS DECIMAL through the comparison: DuckDB's
-# int128→double cast rounds twice (module docstring of
-# functions/numeric.py), so a double-cast twin would be a false
-# mismatch, while decimal-vs-decimal is exact on both sides.
+# The arithmetic STAYS DECIMAL internally — DuckDB's int128→double
+# cast rounds twice (module docstring of functions/numeric.py), so a
+# double-cast twin would be a false mismatch — but the OUTPUT column
+# is cast to string on both sides: the driver harness canonicalizes
+# via pandas, where DuckDB `.df()` lowers DECIMAL to float64 while
+# Spark `toPandas()` keeps Decimal objects, so a DECIMAL output
+# column hash-mismatches on representation alone. Gate-output rule:
+# primitive scalars only (no DECIMAL/ARRAY/MAP/STRUCT) — enforced by
+# tests/test_gate_schemas.py.
 # --------------------------------------------------------------------------
 
 
@@ -1025,7 +1030,8 @@ def null_safe_join(spark, sf_dir):
     "dsum_decimal_overflow",
     oracle="""
 SELECT l_returnflag,
-       SUM(CAST(l_extendedprice * 10000.0 AS DECIMAL(28,6))) AS big_sum,
+       CAST(SUM(CAST(l_extendedprice * 10000.0 AS DECIMAL(28,6))) AS VARCHAR)
+         AS big_sum,
        COUNT(*) AS n
 FROM lineitem
 GROUP BY l_returnflag
@@ -1036,7 +1042,9 @@ def dsum_decimal_overflow(spark, sf_dir):
 
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        dsum_dec(F.col("l_extendedprice") * F.lit(10000.0)).alias("big_sum"),
+        dsum_dec(F.col("l_extendedprice") * F.lit(10000.0))
+        .cast("string")
+        .alias("big_sum"),
         F.count("*").alias("n"),
     )
 

@@ -73,7 +73,7 @@ def pack_sequences_q(spark, sf_dir):
 SELECT term,
        CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
        CAST(COUNT(*) AS BIGINT) AS cf,
-       list_sort(list(DISTINCT doc_id)) AS postings
+       array_to_string(list_sort(list(DISTINCT doc_id)), ',') AS postings
 FROM (
   SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
 )
@@ -82,6 +82,10 @@ HAVING COUNT(DISTINCT doc_id) >= 50
 """,
 )
 def inverted_index_q(spark, sf_dir):
+    # Gate-output rule: no ARRAY columns through the driver harness
+    # (its pandas canonicalizer can't hash lists) — ship the sorted
+    # posting list as one comma-joined string on both sides. The
+    # array form remains available by dropping the concat_ws.
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
     return (
@@ -89,7 +93,9 @@ def inverted_index_q(spark, sf_dir):
         .agg(
             F.count_distinct("doc_id").alias("df"),
             F.count("*").alias("cf"),
-            F.array_sort(F.collect_set("doc_id")).alias("postings"),
+            F.concat_ws(",", F.array_sort(F.collect_set("doc_id"))).alias(
+                "postings"
+            ),
         )
         .filter(F.col("df") >= 50)
     )

@@ -815,3 +815,61 @@ def apply_side_effect(spark, sf_dir):
     finally:
         shutil.rmtree(d, ignore_errors=True)
     return spark.createDataFrame([total], "n_rows long, qty_cents long")
+
+
+# --------------------------------------------------------------------------
+# Compat-tier canary: the opaque-Python-fn surface (compat/records.py
+# — the reference's --fn calling conventions, map (rec)->rec and
+# reduce_by_key (rec, accum?)->accum with the 1-arg seeding rule,
+# /root/reference/shmr/partition.py:114-132,206-237) routed through
+# the DRIVER hash gate. pytest covers this tier differentially; this
+# query gives it a driver-green row too: a dict-record map projects
+# orders, then a keyed fold (per-partition dict fold + reduceByKey
+# partial merge — the RDD tier, no Catalyst) re-derives a group-by
+# that the SQL oracle states directly. Sums stay on an integer column
+# so arbitrary fold order is exact.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "compat_records_fold",
+    oracle="""
+SELECT o_orderstatus AS status,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(o_custkey) AS BIGINT) AS custkey_sum
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
+def compat_records_fold(spark, sf_dir):
+    from shmr_spark.compat.records import map_records, reduce_by_key_records
+
+    orders = Dataset(
+        load_table(spark, sf_dir, "orders").select("o_orderstatus", "o_custkey")
+    )
+
+    def project(rec):
+        return {
+            "status": rec["o_orderstatus"],
+            "n": 1,
+            "custkey_sum": rec["o_custkey"],
+        }
+
+    def fold(rec, accum=None):
+        # Reference seeding rule: first record per key arrives with no
+        # accumulator (accum defaults None) and seeds it; partial-merge
+        # calls receive an accumulator-shaped record — same branch.
+        if accum is None:
+            return dict(rec)
+        accum["n"] += rec["n"]
+        accum["custkey_sum"] += rec["custkey_sum"]
+        return accum
+
+    mapped = map_records(orders, project, schema="status string, n long, custkey_sum long")
+    folded = reduce_by_key_records(
+        mapped,
+        key_fn=lambda rec: rec["status"],
+        fn=fold,
+        schema="status string, n long, custkey_sum long",
+    )
+    return folded.df

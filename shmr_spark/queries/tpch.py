@@ -279,6 +279,18 @@ ORDER BY 1, 2
 """,
 )
 def q9_profit_by_nation(spark, sf_dir):
+    """lineitem ⋈ orders is FACT-FACT: without the hint Catalyst
+    broadcasts orders at bench scale (its pruned 2-column scan sits
+    under the 10 MB estimate even on the 10× corpus), and the
+    driver-side hash-relation build grows linearly — measured as the
+    whole of q9's 2.91× wall at 10× rows (r4's worst relational
+    ratio; broadcast 0.69→1.41 s vs merge 0.49→0.99 s across
+    sf0.1→sf1). Sort-merge on o_orderkey is also the only plan that
+    exists at 100 TB, where orders can never broadcast — so the hint
+    pins the scale-correct strategy AND wins at bench scale. The
+    true dimensions (part, supplier, nation) stay hint-free except
+    tiny nation: Catalyst/AQE broadcasts them while they fit and
+    shuffles them when they stop fitting."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
     supp = load_table(spark, sf_dir, "supplier")
@@ -290,7 +302,10 @@ def q9_profit_by_nation(spark, sf_dir):
     agg = (
         li.join(part.select("p_partkey", "p_retailprice"), li.l_partkey == part.p_partkey)
         .join(supp.select("s_suppkey", "s_nationkey"), li.l_suppkey == supp.s_suppkey)
-        .join(orders.select("o_orderkey", "o_orderdate"), li.l_orderkey == orders.o_orderkey)
+        .join(
+            orders.select("o_orderkey", "o_orderdate").hint("merge"),
+            li.l_orderkey == orders.o_orderkey,
+        )
         .join(nation, F.col("s_nationkey") == nation.n_nationkey)
         .groupBy(
             F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")

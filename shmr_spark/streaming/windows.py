@@ -31,7 +31,9 @@ def _events_raw_schema(ts_type: T.DataType) -> T.StructType:
     )
 
 
-def read_events_stream(spark: SparkSession, source_dir: str) -> DataFrame:
+def read_events_stream(
+    spark: SparkSession, source_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
     """File-stream the events parquet directory, normalizing ts to a
     UTC-epoch TIMESTAMP exactly as the batch loader does
     (catalog.load_table): the corpus has shipped ts both as
@@ -54,7 +56,7 @@ def read_events_stream(spark: SparkSession, source_dir: str) -> DataFrame:
     if ts_type == "bigint":
         raw = (
             spark.readStream.schema(_events_raw_schema(T.LongType()))
-            .option("maxFilesPerTrigger", 1)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
             .option("recursiveFileLookup", "true")
             .parquet(source_dir)
         )
@@ -66,13 +68,13 @@ def read_events_stream(spark: SparkSession, source_dir: str) -> DataFrame:
         # back out by this engine after load_table normalization
         return (
             spark.readStream.schema(_events_raw_schema(T.TimestampType()))
-            .option("maxFilesPerTrigger", 1)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
             .option("recursiveFileLookup", "true")
             .parquet(source_dir)
         )
     raw = (
         spark.readStream.schema(_events_raw_schema(T.TimestampNTZType()))
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
         .option("recursiveFileLookup", "true")
         .parquet(source_dir)
     )

@@ -890,3 +890,46 @@ def test_apportion_sums_exactly_and_is_proportional(spark):
         for k, n in rows:
             exact = total * n / 50
             assert exact - 1 < got[k] < exact + 1  # quota rule bound
+
+
+def test_select_by_token_fraction_equals_budget(spark):
+    """The in-plan fraction cut (operators/selection.py) keeps exactly
+    the rows the absolute-budget cut keeps at budget = fraction·total
+    — including NULL-score exclusion from the mass denominator."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from shmr_spark.operators.selection import (
+        select_by_token_budget,
+        select_by_token_fraction,
+    )
+
+    rng = random.Random(11)
+    rows = [
+        (i, None if i % 97 == 0 else round(rng.random(), 3), rng.randrange(1, 400))
+        for i in range(600)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, quality double, n_tokens long"
+    ).repartition(8)
+
+    total = (
+        df.filter(F.col("quality").isNotNull())
+        .agg(F.sum("n_tokens"))
+        .collect()[0][0]
+    )
+    frac = 0.4
+    got = {
+        r.doc_id: r.start_tok
+        for r in select_by_token_fraction(df, fraction=frac).collect()
+    }
+    want = {
+        r.doc_id: r.start_tok
+        for r in select_by_token_budget(
+            df, budget=int(frac * total) + (1 if (frac * total) % 1 else 0)
+        ).collect()
+    }
+    # keep rule start_tok < frac·total vs start_tok < ceil(frac·total):
+    # identical because start_tok is integral
+    assert got == want
