@@ -76,8 +76,21 @@ def main() -> None:
     # scale behavior can't be inferred from the batch window variant.
     # The source copy is made ONCE per corpus (cached dir): copying
     # grows with corpus size and would otherwise inflate every timed
-    # repetition with file I/O that is not engine work.
-    _sess_src_cache: dict[str, str] = {}
+    # repetition with file I/O that is not engine work. Keys are the
+    # corpus dir (plus a variant tag for the batched-trigger row);
+    # every staged dir is removed at process exit — these are
+    # corpus-sized copies that would otherwise accumulate in /tmp
+    # across bench runs.
+    import atexit
+    import shutil
+
+    _sess_src_cache: dict = {}
+    atexit.register(
+        lambda: [
+            shutil.rmtree(d, ignore_errors=True)
+            for d in _sess_src_cache.values()
+        ]
+    )
 
     def _sessionize_stream_prod(spark, sf_dir):
         import tempfile

@@ -90,11 +90,14 @@ def select_by_token_fraction(
     score_buckets: int = 1000,
 ) -> DataFrame:
     """``select_by_token_budget`` with the budget expressed as a
-    FRACTION of the input's total token mass, computed IN-PLAN (the
-    scalar total broadcast-crossJoins back in) — no driver action, so
-    an expensive upstream (a dedup chain) keeps single-lineage laziness
-    instead of being executed once for the count and again for the
-    cut. Same keep rule: start_tok < fraction · total."""
+    FRACTION of the input's total token mass, computed IN-PLAN: the
+    scalar total rides the final plan as a broadcast crossJoin — no
+    separate driver action. Note ``df`` is still REFERENCED TWICE in
+    that plan (the prefix-sum path and the total aggregate), so an
+    expensive upstream lineage (a dedup chain) is scanned twice
+    unless the caller persists ``df`` first — training_pipeline does
+    exactly that at its materialization point. Same keep rule:
+    start_tok < fraction · total."""
     annotated = select_by_token_budget(
         df,
         budget=1 << 62,  # no-op cut; reuse the distributed prefix sum

@@ -7,12 +7,14 @@
 Each stage is the production operator the registry gates individually
 (dedup/exact.py, dedup/minhash.py, dedup/clusters.py,
 operators/selection.py, operators/packing.py, operators/ranking.py);
-this module composes them into the single lazy plan a real corpus
-build runs, so the bench can time the whole flow at scale and the
-tests can assert the cross-stage invariant chain (counts only shrink,
-survivors are near-dup-free, packing conserves tokens, shards are
-balanced). At 100 TB every stage keeps its own scale story — no new
-shuffles are introduced by the composition itself.
+this module composes them into the one flow a real corpus build runs,
+so the bench can time it end-to-end at scale and the tests can assert
+the cross-stage invariant chain (counts only shrink, survivors are
+near-dup-free, packing conserves tokens, shards are balanced). The
+composition introduces no new shuffles; its only driver-side action
+is one scalar aggregate over the persisted survivor projection (the
+token total that sizes the shard-bucket width) — taken at the same
+materialization point a production build writes to storage.
 """
 
 from __future__ import annotations
@@ -87,4 +89,22 @@ def training_pipeline(
         sel.select("doc_id", "n_tokens"), budget=pack_budget
     ).join(sel.select("doc_id", "quality"), "doc_id")
 
-    return range_shards(packed, key_col="start_tok", id_col="doc_id", n_shards=n_shards)
+    # Explicit shard bucket: range_shards' default _auto_bucket runs a
+    # min/max scan at PLAN-CONSTRUCTION time, which would execute the
+    # whole selection→packing segment eagerly and then again on the
+    # caller's action. start_tok's range is known up front (selection
+    # keeps start_tok < fraction·total), so a fixed-width coarsening
+    # derives from one cheap aggregate over the already-persisted
+    # survivors — the expensive segment executes exactly once, and the
+    # bucket count stays ≤ ~4096 at any corpus size.
+    total_tokens = scored.agg(F.sum("n_tokens")).collect()[0][0] or 0
+    width = max(1, int(total_tokens * budget_fraction) // 4096 + 1)
+    shard_bucket = F.floor(F.col("start_tok") / F.lit(width)).cast("long")
+
+    return range_shards(
+        packed,
+        key_col="start_tok",
+        id_col="doc_id",
+        n_shards=n_shards,
+        bucket=shard_bucket,
+    )

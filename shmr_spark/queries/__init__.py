@@ -142,10 +142,17 @@ def load_all() -> dict[str, QuerySpec]:
     from shmr_spark.queries import pipeline  # noqa: F401
     from shmr_spark.queries import tpch  # noqa: F401
 
+    # a typo'd or renamed _PRIORITY name would otherwise silently
+    # shift the driver's 50-slot correctness-gate window — fail loudly
+    unknown = [n for n in _PRIORITY if n not in REGISTRY]
+    if unknown:
+        raise KeyError(
+            f"_PRIORITY names missing from the registry: {unknown} — "
+            "fix the window in shmr_spark/queries/__init__.py"
+        )
     ordered: dict[str, QuerySpec] = {}
     for name in _PRIORITY:
-        if name in REGISTRY:
-            ordered[name] = REGISTRY[name]
+        ordered[name] = REGISTRY[name]
     for name, spec in REGISTRY.items():
         if name not in ordered:
             ordered[name] = spec

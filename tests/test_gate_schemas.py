@@ -17,8 +17,12 @@ decimal arithmetic stay INTERNAL — ship arrays as sorted joined
 strings (``concat_ws`` / ``array_to_string``) and decimals cast to
 string (never double: DuckDB's int128→double double-rounds).
 
-The walk is plan-analysis only (``.schema`` on the unexecuted
-DataFrame), so it covers all registry queries in seconds.
+The walk reads ``.schema`` off each query's DataFrame. For purely
+declarative queries that is plan analysis only; queries whose BODIES
+run driver actions (streaming replays via run_stream_to_memory,
+apply_side_effect's foreach, centroid collects) execute those actions
+to produce the DataFrame — so this is a ~1 min integration walk over
+the registry, not a millisecond schema check.
 """
 
 from __future__ import annotations

@@ -57,9 +57,20 @@ def test_training_pipeline_invariants(spark, sf_dir, tmp_path):
         for a, b in zip(bounds, bounds[1:]):
             assert a.hi <= b.lo
 
-        # no near-dup pair above threshold survives among kept docs
-        surv_docs = load_table(spark, sf_dir, "documents").join(
-            shards.select("doc_id"), "doc_id"
+        # no near-dup pair above threshold survives among kept docs —
+        # checked on the CLEANED text (the representation the pipeline
+        # deduped), not the raw text: normalization can move Jaccard
+        # in either direction, so a raw-text check would assert a
+        # different relation than the one the pipeline guarantees
+        surv_docs = (
+            load_table(spark, sf_dir, "documents")
+            .join(shards.select("doc_id"), "doc_id")
+            .select(
+                "doc_id",
+                F.trim(
+                    F.regexp_replace(F.lower("text"), " +", " ")
+                ).alias("text"),
+            )
         )
         assert minhash_near_duplicates(surv_docs, threshold=0.8).count() == 0
 
