@@ -92,7 +92,7 @@ def main() -> None:
         ]
     )
 
-    def _sessionize_stream_prod(spark, sf_dir):
+    def _sessionize_stream(spark, sf_dir, max_files_per_trigger=1):
         import tempfile
 
         from pyspark.sql import functions as F
@@ -106,7 +106,11 @@ def main() -> None:
             stage_events_copy(sf_dir, d)
             _sess_src_cache[sf_dir] = d
         q = (
-            sessionize_stream(read_events_stream(spark, d))
+            sessionize_stream(
+                read_events_stream(
+                    spark, d, max_files_per_trigger=max_files_per_trigger
+                )
+            )
             .writeStream.outputMode("update")
             .format("memory")
             .queryName("bench_sessionize_stream")
@@ -124,6 +128,15 @@ def main() -> None:
                 F.max("n_events").alias("n_events"),
             )
         )
+
+    def _sessionize_stream_prod(spark, sf_dir):
+        return _sessionize_stream(spark, sf_dir)
+
+    # the stateful (applyInPandasWithState) twin of the tumbling
+    # amortization row: one trigger for the whole corpus, so the
+    # Python-state path's scale ratio also reads rows, not triggers
+    def _sessionize_stream_batched(spark, sf_dir):
+        return _sessionize_stream(spark, sf_dir, max_files_per_trigger=64)
 
     class _Spec:
         def __init__(self, fn):
@@ -166,6 +179,7 @@ def main() -> None:
     scale_extra["dedup_minhash_prod"] = _Spec(_dedup_minhash_prod)
     scale_extra["knn_join_lsh_prod"] = _Spec(_knn_join_lsh_prod)
     scale_extra["sessionize_stream"] = _Spec(_sessionize_stream_prod)
+    scale_extra["sessionize_stream_batched"] = _Spec(_sessionize_stream_batched)
 
     # streaming trigger amortization, MEASURED (r4 carried it as a
     # comment): the same tumbling replay with maxFilesPerTrigger=64 —
