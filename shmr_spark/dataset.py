@@ -223,15 +223,33 @@ class Dataset:
 
     # -- joins ------------------------------------------------------------
 
-    def join(self, other: "Dataset", on, how: str = "inner", broadcast_other: bool = False) -> "Dataset":
+    def join(
+        self,
+        other: "Dataset",
+        on,
+        how: str = "inner",
+        broadcast_other: bool = False,
+        merge_other: bool = False,
+    ) -> "Dataset":
         """Relational equi-join — the *intended* semantics of reference
         #11 (which hash-joins two co-partitioned files; as shipped it
         crashes on any match, /root/reference/shmr/partition.py:315 —
         see SURVEY.md §2). All join types come free: inner/left/right/
         full/left_semi/left_anti/cross. Physical strategy is planner
         +AQE-chosen; pass broadcast_other=True to force broadcasting a
-        known-small dimension."""
-        right = F.broadcast(other.df) if broadcast_other else other.df
+        known-small dimension, or merge_other=True to pin sort-merge
+        when ``other`` is SF-PROPORTIONAL (a fact table): Catalyst's
+        file-size estimate keeps such tables under the broadcast
+        threshold far past the point where the driver-side hash build
+        is the bottleneck (measured on q9: the orders broadcast WAS
+        the whole 10× scale regression), and at real scale they can
+        never broadcast at all."""
+        if broadcast_other:
+            right = F.broadcast(other.df)
+        elif merge_other:
+            right = other.df.hint("merge")
+        else:
+            right = other.df
         return self._wrap(self.df.join(right, on, how))
 
     def join_grouped(
@@ -255,7 +273,7 @@ class Dataset:
         rg = other.df.groupBy(F.col(other_key).alias("__k")).agg(
             F.collect_list(F.struct(*other.df.columns)).alias(right_alias)
         )
-        return self._wrap(lg.join(rg, "__k", "inner").drop("__k"))
+        return self._wrap(lg.join(rg.hint("merge"), "__k", "inner").drop("__k"))
 
     # -- sorts / top-k (free Spark extensions, SURVEY.md §2.4) -----------
 

@@ -235,7 +235,7 @@ def join_inner(spark, sf_dir):
     orders = Dataset(load_table(spark, sf_dir, "orders"))
     cust = Dataset(load_table(spark, sf_dir, "customer"))
     joined = orders.join(
-        cust, on=orders.df.o_custkey == cust.df.c_custkey, broadcast_other=True
+        cust, on=orders.df.o_custkey == cust.df.c_custkey, merge_other=True
     )
     return joined.select("o_orderkey", "c_custkey", "c_name", "o_totalprice", "c_acctbal").df
 
@@ -251,7 +251,12 @@ def join_left(spark, sf_dir):
     orders = Dataset(load_table(spark, sf_dir, "orders"))
     cust = Dataset(load_table(spark, sf_dir, "customer"))
     return (
-        cust.join(orders, on=cust.df.c_custkey == orders.df.o_custkey, how="left")
+        cust.join(
+            orders,
+            on=cust.df.c_custkey == orders.df.o_custkey,
+            how="left",
+            merge_other=True,
+        )
         .select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
         .df
     )
@@ -268,7 +273,12 @@ def join_semi(spark, sf_dir):
     orders = Dataset(load_table(spark, sf_dir, "orders"))
     cust = Dataset(load_table(spark, sf_dir, "customer"))
     return (
-        cust.join(orders, on=cust.df.c_custkey == orders.df.o_custkey, how="left_semi")
+        cust.join(
+            orders,
+            on=cust.df.c_custkey == orders.df.o_custkey,
+            how="left_semi",
+            merge_other=True,
+        )
         .select("c_custkey", "c_name", "c_acctbal")
         .df
     )
@@ -285,7 +295,12 @@ def join_anti(spark, sf_dir):
     orders = Dataset(load_table(spark, sf_dir, "orders"))
     cust = Dataset(load_table(spark, sf_dir, "customer"))
     return (
-        cust.join(orders, on=cust.df.c_custkey == orders.df.o_custkey, how="left_anti")
+        cust.join(
+            orders,
+            on=cust.df.c_custkey == orders.df.o_custkey,
+            how="left_anti",
+            merge_other=True,
+        )
         .select("c_custkey", "c_name", "c_acctbal")
         .df
     )
@@ -347,9 +362,9 @@ def join_three_way(spark, sf_dir):
     li = Dataset(load_table(spark, sf_dir, "lineitem"))
     orders = Dataset(load_table(spark, sf_dir, "orders"))
     cust = Dataset(load_table(spark, sf_dir, "customer"))
-    j = li.join(orders, on=li.df.l_orderkey == orders.df.o_orderkey).join(
-        cust, on=F.col("o_custkey") == cust.df.c_custkey, broadcast_other=True
-    )
+    j = li.join(
+        orders, on=li.df.l_orderkey == orders.df.o_orderkey, merge_other=True
+    ).join(cust, on=F.col("o_custkey") == cust.df.c_custkey)
     return (
         j.reduce_by_key(
             ["c_mktsegment"],
@@ -526,7 +541,7 @@ def sql_q5_region_revenue(spark, sf_dir):
     for t in ("region", "nation", "customer", "orders", "lineitem"):
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
     agg = spark.sql(f"""
-        SELECT n.n_name,
+        SELECT /*+ BROADCAST(r, n), MERGE(o, l) */ n.n_name,
                {_d('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
                COUNT(*) AS n_items
         FROM region r
@@ -695,8 +710,8 @@ def q10_returned_top_customers(spark, sf_dir):
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     return (
-        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        li.join(orders.hint("merge"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("c_custkey", "c_name")
         .agg(
             dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
@@ -745,8 +760,8 @@ def q18_large_orders(spark, sf_dir):
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
     return (
         li.join(big, "l_orderkey", "left_semi")
-        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(orders.hint("merge"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy(
             "c_custkey",
             "c_name",

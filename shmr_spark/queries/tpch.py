@@ -159,7 +159,7 @@ def q7_nation_volume(spark, sf_dir):
     )
     agg = (
         li.join(supp2, li.l_suppkey == supp2.s_suppkey)
-        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(orders.hint("merge"), li.l_orderkey == orders.o_orderkey)
         .join(cust2, orders.o_custkey == cust2.c_custkey)
         .filter(F.col("supp_nation") != F.col("cust_nation"))
         .groupBy(
@@ -231,7 +231,7 @@ def q8_market_share(spark, sf_dir):
     vol = _volume()
     agg = (
         li.join(part.select("p_partkey"), li.l_partkey == part.p_partkey)
-        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(orders.hint("merge"), li.l_orderkey == orders.o_orderkey)
         .join(cust2, orders.o_custkey == cust2.c_custkey)
         .join(supp2, li.l_suppkey == supp2.s_suppkey)
         .groupBy(F.year("o_orderdate").alias("o_year"))
@@ -345,7 +345,7 @@ def q13_customer_distribution(spark, sf_dir):
         F.col("o_orderpriority") != "4-NOT SPECIFIED"
     )
     per_cust = (
-        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        cust.join(orders.hint("merge"), cust.c_custkey == orders.o_custkey, "left")
         .groupBy(cust.c_custkey)
         .agg(F.count("o_orderkey").alias("c_count"))
     )
@@ -587,7 +587,7 @@ def q21_single_fault_suppliers(spark, sf_dir):
         F.col("o_orderstatus") == "F"
     ).select("o_orderkey")
     per_pair = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        li.join(orders.hint("merge"), li.l_orderkey == orders.o_orderkey)
         .groupBy("l_orderkey", "l_suppkey")
         .agg(
             F.max(
@@ -661,7 +661,7 @@ def q22_dormant_customers(spark, sf_dir):
         cust.filter(F.col("c_nationkey").isin(1, 3, 5, 7, 9, 11, 13))
         .crossJoin(avg_bal)
         .filter(F.col("c_acctbal") > F.col("__a"))
-        .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+        .join(recent.hint("merge"), cust.c_custkey == recent.o_custkey, "left_anti")
         .groupBy(F.col("c_nationkey").alias("nationkey"))
         .agg(F.count("*").alias("numcust"), dsum("c_acctbal").alias("totacctbal"))
     )

@@ -58,12 +58,16 @@ def test_q1_filter_pushdown_and_partial_agg(spark, sf_dir):
     assert "*(" in _final_plan(spark, sf_dir, "reduce_by_key_q1")
 
 
-def test_three_way_join_broadcasts_dims(spark, sf_dir):
-    """orders and customer are small enough to broadcast at test SF —
-    the fact table must not shuffle before the join."""
+def test_three_way_join_strategy_split(spark, sf_dir):
+    """The fact-fact join (lineitem⋈orders) pins sort-merge — orders'
+    pruned scan sits under the broadcast size estimate far past the
+    point where the driver-side hash build dominates (measured: the
+    whole q9 scale regression), and at real scale it can never
+    broadcast. The customer side stays Catalyst-chosen and broadcasts
+    at test SF."""
     plan = _plan(spark, sf_dir, "join_three_way")
-    assert _tree(plan).count("BroadcastHashJoin") == 2
-    assert "SortMergeJoin" not in plan
+    assert "SortMergeJoin" in plan
+    assert "BroadcastHashJoin" in plan
 
 
 def test_topk_uses_take_ordered(spark, sf_dir):
