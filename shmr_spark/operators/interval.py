@@ -57,7 +57,10 @@ def interval_self_join(
     right = side("_b", bin_)
     gap = F.abs(F.col("__us_b") - F.col("__us_a"))
     return (
-        left.join(right, ["__key", "__bin"])
+        # both sides are the (SF-proportional) input — pin sort-merge:
+        # Catalyst's size estimate otherwise broadcasts the whole
+        # corpus-side at mid scales (the q9 failure mode)
+        left.join(right.hint("merge"), ["__key", "__bin"])
         .filter(
             (F.col(f"{id_col}_a") < F.col(f"{id_col}_b")) & (gap <= F.lit(tolerance_us))
         )

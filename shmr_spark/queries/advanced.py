@@ -869,7 +869,7 @@ def fuzzy_name_pairs(spark, sf_dir):
     )
     dist = F.levenshtein("name_a", "name_b")
     return (
-        a.join(b, "__blk")
+        a.join(b.hint("merge"), "__blk")  # customer self-join: sort-merge
         .filter(F.col("key_a") < F.col("key_b"))
         .filter(dist <= 1)
         .select("key_a", "key_b", dist.alias("dist"))
@@ -933,7 +933,8 @@ def referential_integrity(spark, sf_dir):
 
     def orphans(name, left, right, lk, rk):
         n = (
-            left.join(right, left[lk] == right[rk], "left_anti")
+            # fact-fact anti joins (orders/lineitem/customer): sort-merge
+            left.join(right.hint("merge"), left[lk] == right[rk], "left_anti")
             .agg(F.count("*").alias("n"))
             .select(F.lit(name).alias("chk"), "n")
         )
