@@ -105,6 +105,10 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         )
         .filter(F.col("lo") != F.col("hi"))
         .distinct()
+        # referenced by deg (twice, via the two renames) and keyed —
+        # truncate lineage so the (possibly expensive) edge projection
+        # is pinned once, same discipline as pagerank above
+        .localCheckpoint(eager=False)
     )
     deg = (
         e.select(F.col("lo").alias("v"))
@@ -127,7 +131,7 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         )
         .otherwise(F.struct(F.col("dl").alias("d"), F.col("lo").alias("k")))
         .alias("tw"),
-    )
+    ).localCheckpoint(eager=False)  # consumed by ab, ac AND closing
     ab = out.select(F.col("u"), F.col("w").alias("y"), F.col("tw").alias("ty"))
     ac = out.select(F.col("u"), F.col("w").alias("z"), F.col("tw").alias("tz"))
     closing = out.select(F.col("u").alias("y"), F.col("w").alias("z"))

@@ -630,6 +630,45 @@ def test_triangle_count_hand_graphs(spark):
     assert triangle_count(square).first().n_triangles == 0
 
 
+def test_triangle_count_degree_ordering_cases(spark):
+    """Shapes that stress the degree-ordering orientation: a hub star
+    (no triangle until one spoke pair closes), a hub with several
+    closed spokes (each triangle shares the max-degree vertex, so all
+    counting happens at LOW-degree vertices), and a brute-force
+    random-graph differential."""
+    import itertools
+    import random
+
+    from shmr_spark.operators.graph import triangle_count
+
+    # star S5 + one closing edge: exactly 1 triangle at the hub
+    star = [("h", x) for x in "abcde"] + [("a", "b")]
+    df = spark.createDataFrame(star, "src string, dst string")
+    assert triangle_count(df).first().n_triangles == 1
+
+    # hub with 3 disjoint closed spoke pairs: 3 triangles, all through
+    # the degree-6 hub (out-wedges must form at the degree-2 spokes)
+    fan = [("h", x) for x in "abcdef"] + [("a", "b"), ("c", "d"), ("e", "f")]
+    df = spark.createDataFrame(fan, "src string, dst string")
+    assert triangle_count(df).first().n_triangles == 3
+
+    # differential vs brute force on a random graph (fixed seed):
+    # every degree tie and orientation branch gets exercised
+    rng = random.Random(17)
+    verts = [f"v{i}" for i in range(12)]
+    edges = [
+        (a, b) for a, b in itertools.combinations(verts, 2) if rng.random() < 0.4
+    ]
+    adj = set(edges) | {(b, a) for a, b in edges}
+    expected = sum(
+        1
+        for a, b, c in itertools.combinations(verts, 3)
+        if (a, b) in adj and (b, c) in adj and (a, c) in adj
+    )
+    df = spark.createDataFrame(edges, "src string, dst string")
+    assert triangle_count(df).first().n_triangles == expected
+
+
 def test_with_audit_single_pass_metrics(spark, sf_dir, tmp_path):
     """Metrics ride the write action itself — counts for the
     filtered stream arrive without a second scan, and a before/after
