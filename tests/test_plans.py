@@ -326,3 +326,40 @@ def test_cusum_and_interpolation_single_exchange(spark, sf_dir):
     for name in ("drift_cusum_events", "interpolate_gaps"):
         plan = _plan(spark, sf_dir, name)
         assert _tree(plan).count("Exchange") == 1, f"{name} re-shuffles"
+
+
+FACT_FACT_MERGE_QUERIES = [
+    # every query whose fact-fact join (lineitem⋈orders,
+    # customer⋈orders, or a corpus self-join) pins sort-merge — the
+    # round-5 broadcast audit found Catalyst's file-size estimate
+    # broadcasting even 1.5M-row orders at the 10× corpus, with the
+    # linear driver-side hash build as the q9 scale regression
+    "sql_q5_region_revenue",
+    "join_three_way",
+    "join_inner",
+    "join_left",
+    "join_semi",
+    "join_anti",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_profit_by_nation",
+    "q10_returned_top_customers",
+    "q13_customer_distribution",
+    "q18_large_orders",
+    "q21_single_fault_suppliers",
+    "q22_dormant_customers",
+    "referential_integrity",
+    "interval_join_events",
+    "fuzzy_name_pairs",
+]
+
+
+@pytest.mark.parametrize("name", FACT_FACT_MERGE_QUERIES)
+def test_fact_fact_joins_stay_sort_merge(spark, sf_dir, name):
+    """The merge hints are load-bearing scale policy: if one is
+    dropped, the plan silently reverts to a broadcast whose build
+    side grows linearly with SF. SortMergeJoin in the plan at ANY SF
+    proves the hint is still attached (hints override the size
+    estimate, so the assertion is scale-independent)."""
+    plan = _plan(spark, sf_dir, name)
+    assert "SortMergeJoin" in plan, f"{name}: fact-fact merge hint lost"
