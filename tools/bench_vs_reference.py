@@ -292,18 +292,74 @@ def main() -> None:
         ])
         result["ref_groupcount_full_sec"] = round(time.perf_counter() - t0, 3)
 
+        # WARM (steady-state) reference time: min of 2 repeats over the
+        # now-hot page cache — the long-lived-session comparison. Each
+        # repeat rewrites all intermediates (that IS the reference's
+        # model; there is nothing else to warm on its side).
+        ref_warm = result["ref_groupcount_full_sec"]
+        for _ in range(2):
+            for d in (rbk, spl, cat, fin):
+                shutil.rmtree(d); os.makedirs(d)
+            t0 = time.perf_counter()
+            _xargs([
+                ["-i", inp, "partition.reduce_by_key",
+                 "--key_fn", "tests.cli_fixture_fns.id_mod100k",
+                 "--fn", "tests.cli_fixture_fns.count_by_id_mod",
+                 "--outfile", os.path.join(rbk, f"rbk.{i:02d}.json")]
+                for i, inp in enumerate(inputs)
+            ])
+            _xargs([
+                ["-i", os.path.join(rbk, f"rbk.{i:02d}.json"),
+                 "partition.split_by_key",
+                 "--key_fn", "tests.cli_fixture_fns.key_of_k",
+                 "--num_partitions", "32",
+                 "--outfile", os.path.join(spl, f"in{i:02d}." + "{auto}.json")]
+                for i in range(n_files)
+            ])
+            _xargs([
+                ["-i", os.path.join(spl, f"*.{b:05d}.json"), "partitions.concat",
+                 "--outfile", os.path.join(cat, f"bucket.{b:05d}.json")]
+                for b in range(32)
+            ])
+            _xargs([
+                ["-i", os.path.join(cat, f"bucket.{b:05d}.json"),
+                 "partition.reduce_by_key",
+                 "--key_fn", "tests.cli_fixture_fns.key_of_k",
+                 "--fn", "tests.cli_fixture_fns.merge_counts",
+                 "--outfile", os.path.join(fin, f"out.{b:05d}.json")]
+                for b in range(32)
+            ])
+            ref_warm = min(ref_warm, round(time.perf_counter() - t0, 3))
+        result["ref_groupcount_warm_sec"] = ref_warm
+
         out_rel = os.path.join(work, "native_groupcount")
+
+        def _native_groupcount():
+            (
+                spark.read.schema(
+                    "id long, name string, age long, tags array<string>"
+                )
+                .json(os.path.join(work, "part.*.json"))
+                .selectExpr("id % 100000 AS k")
+                .groupBy("k")
+                .count()
+                .write.mode("overwrite")
+                .json(out_rel)
+            )
+
+        # COLD: one shot, charged with file listing + codegen compile —
+        # the reference's "one-off job" framing
         t0 = time.perf_counter()
-        (
-            spark.read.schema("id long, name string, age long, tags array<string>")
-            .json(os.path.join(work, "part.*.json"))
-            .selectExpr("id % 100000 AS k")
-            .groupBy("k")
-            .count()
-            .write.mode("overwrite")
-            .json(out_rel)
-        )
+        _native_groupcount()
         result["native_groupcount_full_sec"] = round(time.perf_counter() - t0, 3)
+        # WARM: min of 2 repeats (plan cache + JIT hot) — the
+        # long-lived-session framing
+        nat_warm = result["native_groupcount_full_sec"]
+        for _ in range(2):
+            t0 = time.perf_counter()
+            _native_groupcount()
+            nat_warm = min(nat_warm, round(time.perf_counter() - t0, 3))
+        result["native_groupcount_warm_sec"] = nat_warm
 
         n_groups_ref = _count_lines(os.path.join(fin, "out.*.json"))
         n_groups_native = _count_lines(os.path.join(out_rel, "part-*"))
@@ -314,6 +370,11 @@ def main() -> None:
         result["speedup_groupcount"] = round(
             result["ref_groupcount_full_sec"]
             / result["native_groupcount_full_sec"],
+            2,
+        )
+        result["speedup_groupcount_warm"] = round(
+            result["ref_groupcount_warm_sec"]
+            / result["native_groupcount_warm_sec"],
             2,
         )
         print(json.dumps(result))
