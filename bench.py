@@ -92,7 +92,7 @@ def main() -> None:
         ]
     )
 
-    def _sessionize_stream(spark, sf_dir, max_files_per_trigger=1):
+    def _sessionize_stream(spark, sf_dir, **stream_kw):
         import tempfile
 
         from pyspark.sql import functions as F
@@ -106,11 +106,7 @@ def main() -> None:
             stage_events_copy(sf_dir, d)
             _sess_src_cache[sf_dir] = d
         q = (
-            sessionize_stream(
-                read_events_stream(
-                    spark, d, max_files_per_trigger=max_files_per_trigger
-                )
-            )
+            sessionize_stream(read_events_stream(spark, d, **stream_kw))
             .writeStream.outputMode("update")
             .format("memory")
             .queryName("bench_sessionize_stream")
@@ -129,14 +125,18 @@ def main() -> None:
             )
         )
 
+    # primary row = the engine default (batched triggers since round
+    # 6 — read_events_stream defaults maxFilesPerTrigger=64, so the
+    # scale ratio reads rows, not trigger count)
     def _sessionize_stream_prod(spark, sf_dir):
         return _sessionize_stream(spark, sf_dir)
 
-    # the stateful (applyInPandasWithState) twin of the tumbling
-    # amortization row: one trigger for the whole corpus, so the
-    # Python-state path's scale ratio also reads rows, not triggers
-    def _sessionize_stream_batched(spark, sf_dir):
-        return _sessionize_stream(spark, sf_dir, max_files_per_trigger=64)
+    # the explicitly-degenerate per-file framing: one micro-batch per
+    # input file, kept so the ~0.9 s/trigger state-store + planning
+    # overhead stays measured (it is the cost a misconfigured
+    # deployment pays, not the default)
+    def _sessionize_stream_per_file(spark, sf_dir):
+        return _sessionize_stream(spark, sf_dir, max_files_per_trigger=1)
 
     class _Spec:
         def __init__(self, fn):
@@ -146,14 +146,11 @@ def main() -> None:
     # real Structured Streaming replay to completion) give the
     # stateful/streaming paths a measured scale row — the stateful
     # sessionizer was the last plausible scale cliff with no timing.
-    # Reading their scale ratios: the file stream replays one
-    # micro-batch PER FILE (maxFilesPerTrigger=1), and the derived sf1
-    # corpus has 8 part files vs the base corpus's 1 — so wall-clock
-    # scales with batch count (state-store commit + batch planning per
-    # trigger), not rows. Per-batch row throughput is the comparable
-    # number: ~1M rows / 8 batches at sf1 vs 100k / 1 batch at base —
-    # HIGHER throughput at scale. A ~10x wall ratio here is batch
-    # accounting, not a scale cliff.
+    # Since round 6 the engine default batches up to 64 files per
+    # trigger (read_events_stream), so these primary rows read rows,
+    # not trigger count; the *_per_file rows below keep the
+    # per-trigger fixed cost (state-store commit + batch planning,
+    # ~0.9 s each) measured as the explicitly-degenerate framing.
     # duplicate_spans: corpus-sized explode + count + join-back — the
     # exact-substring dedup path; its scale ratio reads like
     # dedup_minhash_prod's (the derived corpus replicates texts n×, so
@@ -179,16 +176,15 @@ def main() -> None:
     scale_extra["dedup_minhash_prod"] = _Spec(_dedup_minhash_prod)
     scale_extra["knn_join_lsh_prod"] = _Spec(_knn_join_lsh_prod)
     scale_extra["sessionize_stream"] = _Spec(_sessionize_stream_prod)
-    scale_extra["sessionize_stream_batched"] = _Spec(_sessionize_stream_batched)
+    scale_extra["sessionize_stream_per_file"] = _Spec(_sessionize_stream_per_file)
 
-    # streaming trigger amortization, MEASURED (r4 carried it as a
-    # comment): the same tumbling replay with maxFilesPerTrigger=64 —
-    # the whole corpus in ONE micro-batch regardless of file count —
-    # so the sf1/base ratio reads rows, not triggers. Compare with
-    # streaming_tumbling's ratio (maxFilesPerTrigger=1, 8 files at
-    # sf1 ⇒ 8 trigger fixed costs) to see the per-trigger overhead
-    # isolated; production tunes maxFilesPerTrigger exactly this way.
-    def _streaming_tumbling_batched(spark, sf_dir):
+    # the per-file-trigger tumbling replay — since round 6 the
+    # DEGENERATE framing (the engine default batches 64 files per
+    # trigger, so the registry row `streaming_tumbling` is already
+    # the amortized config); this row isolates the per-trigger fixed
+    # cost: its sf1/base wall ratio reads trigger count (8 files at
+    # sf1), not rows.
+    def _streaming_tumbling_per_file(spark, sf_dir):
         from shmr_spark.queries.analytics import stage_events_copy
         from shmr_spark.streaming import (
             read_events_stream,
@@ -196,22 +192,22 @@ def main() -> None:
             tumbling_window_stream,
         )
 
-        d = _sess_src_cache.get(("batched", sf_dir))
+        d = _sess_src_cache.get(("per_file", sf_dir))
         if d is None:
             import tempfile
 
-            d = tempfile.mkdtemp(prefix="shmr_bench_tumb_batched_")
+            d = tempfile.mkdtemp(prefix="shmr_bench_tumb_per_file_")
             stage_events_copy(sf_dir, d)
-            _sess_src_cache[("batched", sf_dir)] = d
+            _sess_src_cache[("per_file", sf_dir)] = d
         return run_stream_to_memory(
             tumbling_window_stream(
-                read_events_stream(spark, d, max_files_per_trigger=64)
+                read_events_stream(spark, d, max_files_per_trigger=1)
             ),
-            "bench_tumbling_batched",
+            "bench_tumbling_per_file",
             output_mode="complete",
         )
 
-    scale_extra["streaming_tumbling_batched"] = _Spec(_streaming_tumbling_batched)
+    scale_extra["streaming_tumbling_per_file"] = _Spec(_streaming_tumbling_per_file)
 
     # the composed training-data flow (clean → exact+minhash dedup →
     # quality filter → token-budget select → pack → sorted shards) as

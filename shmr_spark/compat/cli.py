@@ -441,10 +441,30 @@ _COMMANDS = {
 
 
 def _parse_any(v: str) -> Any:
+    """Mirror of reference parse_argval (/root/reference/shmr/main.py:21-32):
+    digit-string → int, float-string → float, the literal "set()" →
+    an empty set (the reference's distinct-accumulator idiom for
+    --init_val), else JSON, else the raw string. fastnumbers.isfloat
+    defaults reject inf/nan spellings, so we do too."""
+    if v.isdigit():
+        return int(v)
+    if v.strip().lower() not in {"inf", "+inf", "-inf", "infinity", "+infinity", "-infinity", "nan", "+nan", "-nan"}:
+        try:
+            return float(v)
+        except ValueError:
+            pass
+    if v == "set()":
+        return set()
     try:
-        return json.loads(v)
+        # orjson (the reference's parser) rejects NaN/Infinity
+        # constants; stdlib json accepts them — raise to match
+        return json.loads(v, parse_constant=_reject_json_constant)
     except (ValueError, TypeError):
         return v
+
+
+def _reject_json_constant(_c: str) -> Any:
+    raise ValueError("non-standard JSON constant")
 
 
 def build_parser() -> argparse.ArgumentParser:

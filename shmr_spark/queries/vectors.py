@@ -532,6 +532,16 @@ def similarity_quantized_rerank(spark, sf_dir):
     return cosine_topk_quantized_rerank(emb, probe_id=0, k=10, rerank=int(n))
 
 
+def _probe_vector(emb, probe_id: int = 0) -> list[float]:
+    """The single query vector, via a filtered 1-row first() — the
+    only driver-side data in the PQ gates (bounded like the centroid
+    collects; the codebook itself stays in-plan)."""
+    row = emb.filter(F.col("vec_id") == probe_id).select("embedding").first()
+    if row is None:
+        raise ValueError(f"probe vec_id={probe_id} not in corpus")
+    return [float(x) for x in row[0]]
+
+
 @query("similarity_pq_topk", oracle=_SQL_BRUTEFORCE_TOPK)
 def similarity_pq_topk(spark, sf_dir):
     """Product-quantized top-k at the degenerate-exact config: the
@@ -539,42 +549,41 @@ def similarity_pq_topk(spark, sf_dir):
     reconstructs exactly and PQ's lookup-table scoring provably equals
     brute-force cosine — the oracle. The compressed config (k=16,
     trained codebooks) is recall-pinned in tests, same split as the
-    LSH/IVF gates. The codebook collect here is gate-scale machinery;
-    production trains k=256 books via pq_train (driver sees only
-    m·k·d_sub floats)."""
-    from shmr_spark.similarity.pq import pq_encode, pq_topk
+    LSH/IVF gates. The degenerate codebook is built IN-PLAN
+    (degenerate_codebook_df + pq_topk_df's joined lookup tables) —
+    no corpus rows reach the driver; only the 1-row probe does.
+    Production trains k=256 books via pq_train (driver sees only
+    m·k·d_sub floats) and scores with constant-array pq_topk."""
+    from shmr_spark.similarity.pq import (
+        degenerate_codebook_df,
+        pq_encode_df,
+        pq_topk_df,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    rows = emb.select("vec_id", "embedding").orderBy("vec_id").collect()
-    m, dim = 4, len(rows[0].embedding)
-    d_sub = dim // m
-    codebooks = [
-        [[float(x) for x in r.embedding[j * d_sub : (j + 1) * d_sub]] for r in rows]
-        for j in range(m)
-    ]
-    probe = [float(x) for x in rows[0].embedding]
-    codes = pq_encode(emb.filter(F.col("vec_id") != 0), codebooks)
-    return pq_topk(codes, codebooks, probe, topk=10)
+    probe = _probe_vector(emb)
+    m = 4
+    d_sub = len(probe) // m
+    cb = degenerate_codebook_df(emb, m, d_sub)
+    codes = pq_encode_df(emb.filter(F.col("vec_id") != 0), cb, m, d_sub)
+    return pq_topk_df(codes, cb, probe, m, topk=10)
 
 
 @query("similarity_ivfpq_topk", oracle=_SQL_BRUTEFORCE_TOPK)
 def similarity_ivfpq_topk(spark, sf_dir):
     """The composed IVF+PQ production path at its degenerate-exact
     config: every cell probed (n_probe = n_cells) and codebook = the
-    corpus's own subvectors, so cell pruning drops nothing and PQ
-    reconstruction is exact — the composition provably equals brute
-    force. Pruned settings are recall-pinned in tests."""
-    from shmr_spark.similarity.pq import cosine_topk_ivfpq
+    corpus's own subvectors (built in-plan, no driver collect of the
+    corpus), so cell pruning drops nothing and PQ reconstruction is
+    exact — the composition provably equals brute force. Pruned
+    settings are recall-pinned in tests."""
+    from shmr_spark.similarity.pq import cosine_topk_ivfpq, degenerate_codebook_df
 
     emb = load_table(spark, sf_dir, "embeddings")
-    rows = emb.select("vec_id", "embedding").orderBy("vec_id").collect()
-    m, dim = 4, len(rows[0].embedding)
-    d_sub = dim // m
-    codebooks = [
-        [[float(x) for x in r.embedding[j * d_sub : (j + 1) * d_sub]] for r in rows]
-        for j in range(m)
-    ]
-    probe = [float(x) for x in rows[0].embedding]
+    probe = _probe_vector(emb)
+    m = 4
+    d_sub = len(probe) // m
+    cb = degenerate_codebook_df(emb, m, d_sub)
     return cosine_topk_ivfpq(
         emb,
         probe,
@@ -583,5 +592,5 @@ def similarity_ivfpq_topk(spark, sf_dir):
         n_probe=8,
         m=m,
         exclude_id=0,
-        codebooks=codebooks,
+        codebook_df=cb,
     )

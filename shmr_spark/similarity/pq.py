@@ -98,12 +98,20 @@ _L2SQ = lambda a, b: F.aggregate(  # noqa: E731
 )
 
 
-def _nearest_codes(subs: DataFrame, cb: DataFrame, id_col: str) -> DataFrame:
+def _nearest_codes(
+    subs: DataFrame, cb: DataFrame, id_col: str, broadcast: bool = True
+) -> DataFrame:
     """(id, j, code) of each subvector's L2-nearest codeword; ties
     break to the smallest code (min_by on the (distance, code) struct
-    — deterministic)."""
+    — deterministic). ``broadcast=True`` is right for trained
+    codebooks (m·k rows); pass False when the codebook frame is
+    corpus-derived (the degenerate gate config) so the planner picks
+    the join strategy instead of force-shipping an SF-proportional
+    side to every executor."""
+    if broadcast:
+        cb = F.broadcast(cb)
     return (
-        subs.join(F.broadcast(cb), "j")
+        subs.join(cb, "j")
         .select(
             id_col,
             "j",
@@ -193,6 +201,119 @@ def pq_encode(
     )
 
 
+def degenerate_codebook_df(
+    df: DataFrame,
+    m: int,
+    d_sub: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The degenerate-exact codebook (codebook := the corpus's own
+    subvectors, k = n) built IN-PLAN: (j, code, cvec) where code is
+    the dense rank of ``id_col`` within each subspace — the same
+    numbering the collect-and-sort construction produced, with zero
+    rows touching the driver. With this codebook every vector's
+    nearest codeword is itself (L2 distance 0), so PQ reconstruction
+    is exact and lookup-table scoring provably equals brute-force
+    cosine — which is how the gate queries carry an exact DuckDB
+    oracle.
+
+    Gate/oracle machinery only: the per-subspace row_number is a
+    single-task sort per j and the codebook is corpus-sized — at
+    production scale you train a fixed-size codebook with pq_train
+    (m·k·d_sub floats on the driver) and never build this frame."""
+    from pyspark.sql import Window
+
+    subs = _subvectors(df, id_col, vec_col, m, d_sub)
+    w = Window.partitionBy("j").orderBy(id_col)
+    return subs.select(
+        "j",
+        (F.row_number().over(w) - 1).alias("code"),
+        F.col("sub").alias("cvec"),
+    )
+
+
+def pq_encode_df(
+    df: DataFrame,
+    codebook_df: DataFrame,
+    m: int,
+    d_sub: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    broadcast_codebook: bool = False,
+) -> DataFrame:
+    """pq_encode against a codebook that is itself a DataFrame of
+    (j, code, cvec) rows — no Python-side codebook materialization.
+    Same output contract as pq_encode: (id, codes array<int> of
+    length m). Default broadcast=False because the DataFrame form
+    exists mainly for corpus-derived (degenerate) codebooks where a
+    forced broadcast would ship SF-proportional data."""
+    subs = _subvectors(df, id_col, vec_col, m, d_sub)
+    return (
+        _nearest_codes(subs, codebook_df, id_col, broadcast=broadcast_codebook)
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_list(F.struct("j", "code"))).alias("__p"))
+        .select(id_col, F.col("__p.code").alias("codes"))
+    )
+
+
+def pq_topk_df(
+    codes_df: DataFrame,
+    codebook_df: DataFrame,
+    probe: list[float],
+    m: int,
+    topk: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """pq_topk with the lookup tables computed IN-PLAN from a
+    codebook DataFrame: per (j, code) the LUT row carries
+    dot(q_j, c) and ‖c‖², the codes explode to (id, j, code) and
+    equi-join the LUT, and the per-id partial sums fold in fixed j
+    order (array_sort + ordered aggregate — the same summation
+    grouping as the constant-array pq_topk, so the two paths are
+    bit-identical and share the round-6-decimals hash discipline).
+    The probe stays a constant array (it is a single query vector);
+    no corpus rows reach the driver."""
+    d_sub, rem = divmod(len(probe), m)
+    if rem:
+        raise ValueError(f"probe dim {len(probe)} not divisible by m={m}")
+    qnorm = math.sqrt(sum(float(x) * float(x) for x in probe))
+    probe_arr = F.array(*[F.lit(float(v)) for v in probe])
+    qsub = F.slice(probe_arr, F.col("j") * d_sub + 1, F.lit(d_sub))
+    fold = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0.0), lambda acc, v: acc + v
+    )
+    lut = codebook_df.select(
+        "j",
+        "code",
+        fold(F.zip_with(qsub, F.col("cvec"), lambda a, b: a * b)).alias("__qdot"),
+        fold(F.transform(F.col("cvec"), lambda x: x * x)).alias("__nsq"),
+    )
+    scored = (
+        codes_df.select(id_col, F.posexplode("codes").alias("j", "code"))
+        .join(lut, ["j", "code"])
+        .groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("j", "__qdot", "__nsq"))
+            ).alias("__t")
+        )
+        .select(
+            id_col,
+            fold(F.col("__t.__qdot")).alias("__adot"),
+            fold(F.col("__t.__nsq")).alias("__ansq"),
+        )
+    )
+    sim = F.round(
+        F.col("__adot") / (F.lit(qnorm) * F.sqrt(F.col("__ansq"))), 6
+    )
+    return (
+        scored.select(id_col, sim.alias("sim"))
+        .orderBy(F.desc("sim"), F.asc(id_col))
+        .limit(topk)
+    )
+
+
 def pq_topk(
     codes_df: DataFrame,
     codebooks: list[list[list[float]]],
@@ -250,6 +371,7 @@ def cosine_topk_ivfpq(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     codebooks: list[list[list[float]]] | None = None,
+    codebook_df: DataFrame | None = None,
 ) -> DataFrame:
     """IVF + PQ composed (FAISS's IVFPQ shape): IVF cells prune WHICH
     rows are considered, PQ codes + lookup tables keep the scoring in
@@ -296,6 +418,24 @@ def cosine_topk_ivfpq(
     if exclude_id is not None:
         candidates = candidates.filter(F.col(id_col) != exclude_id)
 
+    if codebook_df is not None:
+        # fully in-plan codebook (the gate's degenerate config):
+        # encode + LUT-score against the (j, code, cvec) frame —
+        # nothing corpus-sized reaches the driver
+        d_sub, rem = divmod(len(probe_vec), m)
+        if rem:
+            raise ValueError(f"probe dim {len(probe_vec)} not divisible by m={m}")
+        codes = pq_encode_df(
+            candidates, codebook_df, m, d_sub, id_col=id_col, vec_col=vec_col
+        )
+        return pq_topk_df(
+            codes,
+            codebook_df,
+            [float(x) for x in probe_vec],
+            m,
+            topk=k,
+            id_col=id_col,
+        )
     books = (
         codebooks
         if codebooks is not None

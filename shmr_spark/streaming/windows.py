@@ -32,7 +32,7 @@ def _events_raw_schema(ts_type: T.DataType) -> T.StructType:
 
 
 def read_events_stream(
-    spark: SparkSession, source_dir: str, max_files_per_trigger: int = 1
+    spark: SparkSession, source_dir: str, max_files_per_trigger: int = 64
 ) -> DataFrame:
     """File-stream the events parquet directory, normalizing ts to a
     UTC-epoch TIMESTAMP exactly as the batch loader does
@@ -44,7 +44,18 @@ def read_events_stream(
     sf1-derived corpus ships ts as plain TIMESTAMP (LTZ, already
     UTC-normalized by catalog.load_table before the rewrite), and an
     NTZ-declared stream over it read the column as null — zero output
-    rows, found by the bench's streaming scale row)."""
+    rows, found by the bench's streaming scale row).
+
+    max_files_per_trigger defaults to 64 (batched) rather than 1:
+    the round-5 scale measurements showed per-file triggers cost
+    ~0.9 s of state-store commit + batch planning EACH (tumbling
+    replay 4.7–6× wall at 10× rows), while batched triggers hold
+    1.0–1.4× — rows, not trigger count, should set the wall. Pass
+    max_files_per_trigger=1 explicitly for the degenerate per-file
+    framing (bench keeps one such row to keep the overhead visible).
+    Watermark note: batching is the SAFER default for replay parity
+    too — fewer watermark advances between files means fewer chances
+    to drop stragglers mid-replay."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     try:
         ts_type = dict(spark.read.parquet(source_dir).dtypes).get("ts")

@@ -714,3 +714,36 @@ def test_pq_rejects_mismatched_vector_dims(spark):
     books = [[[0.0, 0.0]], [[0.0, 0.0]]]  # m=2, d_sub=2
     with pytest.raises(Exception, match="m\\*d_sub|assert"):
         pq_encode(df, books).collect()
+
+
+def test_pq_topk_df_matches_constant_array_path(spark, sf_dir):
+    """The in-plan LUT scorer (pq_topk_df, round 6 — built for the
+    no-driver-collect gate configs) must produce identical (id, sim)
+    rows to the constant-array pq_topk for the SAME trained codebook:
+    both fold the per-subspace partials in fixed j order with the
+    same grouping, so this is exact equality, not tolerance."""
+    from pyspark.sql import functions as F
+
+    from shmr_spark.catalog import load_table
+    from shmr_spark.similarity.pq import (
+        _codebook_df,
+        pq_encode,
+        pq_encode_df,
+        pq_topk,
+        pq_topk_df,
+        pq_train,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe = [float(x) for x in emb.filter(F.col("vec_id") == 0).first().embedding]
+    m = 4
+    books = pq_train(emb, m=m, k=8, iters=1)
+    d_sub = len(probe) // m
+    corpus = emb.filter(F.col("vec_id") != 0)
+    cb_df = _codebook_df(spark, books)
+
+    codes_const = pq_encode(corpus, books)
+    codes_df = pq_encode_df(corpus, cb_df, m, d_sub, broadcast_codebook=True)
+    got_const = [tuple(r) for r in pq_topk(codes_const, books, probe, topk=10).collect()]
+    got_df = [tuple(r) for r in pq_topk_df(codes_df, cb_df, probe, m, topk=10).collect()]
+    assert got_df == got_const

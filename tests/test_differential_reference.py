@@ -513,3 +513,22 @@ def test_diff_csv_dumps_trailing_ws_documented(spark, tmp_path):
     # last field, where the reference's rstrip() eats them
     assert _read(rp) == b'1,keep me\n'
     assert _read(op) == b'1,keep me  \n'
+
+
+def test_diff_reduce_set_init_val(spark, fixture_dir, tmp_path):
+    """--init_val "set()" is a PARSER feature, not JSON: reference
+    parse_argval special-cases the literal into an empty Python set
+    (main.py:28-29) before the fold, the idiom for distinct-style
+    accumulators. Round-5 audit found our _parse_any passed the raw
+    string through (silently folding onto "set()" — wrong); this
+    pins the fix against the reference binary byte-for-byte."""
+    tail = lambda d: [  # noqa: E731
+        "-i", f"{d}/people.00.csv", *CSV[:4],
+        "-s", "tests.cli_fixture_fns.set_dumps",
+        "partition.reduce", "--fn", "tests.cli_fixture_fns.add_age_to_set",
+        "--init_val", "set()",
+    ]
+    rp, op = _diff_one_output(spark, fixture_dir, tmp_path, tail, "ages.txt")
+    assert _read(rp) == _read(op)
+    # non-vacuity: a real distinct-age set came out of both engines
+    assert len(_read(op).split(b",")) > 5

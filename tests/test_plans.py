@@ -363,3 +363,22 @@ def test_fact_fact_joins_stay_sort_merge(spark, sf_dir, name):
     estimate, so the assertion is scale-independent)."""
     plan = _plan(spark, sf_dir, name)
     assert "SortMergeJoin" in plan, f"{name}: fact-fact merge hint lost"
+
+
+def test_pq_gate_queries_never_collect_the_corpus():
+    """Round-6 de-weak guard: the PQ/IVFPQ gate queries' degenerate
+    codebook is built in-plan (degenerate_codebook_df); the only
+    driver-side data either gate may touch is the 1-row probe via
+    _probe_vector. A reintroduced `.collect()` (the round-5 weak
+    finding: full-corpus driver collect to build the codebook) fails
+    here at any SF."""
+    import inspect
+
+    from shmr_spark.queries import vectors as vq
+
+    for fn in (vq.similarity_pq_topk, vq.similarity_ivfpq_topk):
+        src = inspect.getsource(fn)
+        assert ".collect(" not in src, f"{fn.__name__} collects corpus rows"
+        assert "degenerate_codebook_df" in src, (
+            f"{fn.__name__} no longer builds its codebook in-plan"
+        )
