@@ -59,6 +59,32 @@ def main() -> None:
         docs = load_table(spark, sf_dir, "documents")
         return minhash_near_duplicates(docs, threshold=0.7)
 
+    # pair counts alongside the wall time (untimed pass): the ~5×
+    # wall at 10× rows is only interpretable against the ~100× growth
+    # in true pair work — recording candidate + verified pairs makes
+    # that denominator part of the bench record, so a regression in
+    # banding selectivity (candidates exploding while verified stays
+    # put) can no longer hide inside "expected superlinearity".
+    def _minhash_pair_counts(spark, d):
+        from pyspark.sql import functions as F
+
+        from shmr_spark.catalog import load_table
+        from shmr_spark.dedup import minhash_near_duplicates
+        from shmr_spark.dedup.minhash import (
+            lsh_candidates,
+            minhash_signatures_df,
+            shingle_ngrams,
+        )
+
+        docs = load_table(spark, d, "documents")
+        sh = docs.select(
+            F.col("doc_id").alias("__id"), shingle_ngrams("text", 3).alias("__sh")
+        )
+        sigs = minhash_signatures_df(sh, "__id", "__sh", 64)
+        candidates = lsh_candidates(sigs, "__id", "sig", 16).count()
+        verified = minhash_near_duplicates(docs, threshold=0.7).count()
+        return {"candidate_pairs": candidates, "verified_pairs": verified}
+
     # kNN join in its PRODUCTION shape (radius=1 probe expansion), not
     # the gate's full-probe oracle-equivalence shape (radius=n_planes,
     # which deliberately admits the whole corpus per probe)
@@ -280,6 +306,10 @@ def main() -> None:
                 big[name] = min(big.get(name, dt), dt)
         result["scale_check"] = {
             "sf": 1.0,
+            "minhash_pairs": {
+                "base": _minhash_pair_counts(spark, sf_dir),
+                "sf1": _minhash_pair_counts(spark, scaled_dir),
+            },
             # value stays headline-only so the 10x ratio vs
             # result["value"] (and vs earlier rounds' records) compares
             # like with like; the extras report separately

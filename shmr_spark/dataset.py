@@ -259,6 +259,7 @@ class Dataset:
         other_key: str,
         left_alias: str = "left",
         right_alias: str = "rights",
+        merge_other: bool = False,
     ) -> "Dataset":
         """Reference #11's output *shape*: one row per key =
         [last-seen left record, [all matching right records]], inner
@@ -266,14 +267,25 @@ class Dataset:
         /root/reference/shmr/partition.py:300-323. Expressed natively:
         last(struct(left)) per key ⋈ collect_list(struct(right)) per
         key. Both sides pre-aggregate before the join, so the shuffle
-        carries one row per key per side."""
+        carries one row per key per side.
+
+        Physical strategy is planner+AQE-chosen by default, mirroring
+        ``join``'s ``merge_other`` opt-in: the grouped right side is
+        one row per DISTINCT key, so when the aggregation collapses
+        to few keys it is genuinely small and a broadcast is the
+        right plan — an unconditional merge hint (as this method
+        shipped through round 5) forbade that cheap case. Pass
+        merge_other=True when the key cardinality is SF-proportional
+        (e.g. grouping a fact by order key), where the size estimate
+        would otherwise pick a fact-sized broadcast build."""
         lg = self.df.groupBy(F.col(key).alias("__k")).agg(
             F.last(F.struct(*self.df.columns)).alias(left_alias)
         )
         rg = other.df.groupBy(F.col(other_key).alias("__k")).agg(
             F.collect_list(F.struct(*other.df.columns)).alias(right_alias)
         )
-        return self._wrap(lg.join(rg.hint("merge"), "__k", "inner").drop("__k"))
+        right = rg.hint("merge") if merge_other else rg
+        return self._wrap(lg.join(right, "__k", "inner").drop("__k"))
 
     # -- sorts / top-k (free Spark extensions, SURVEY.md §2.4) -----------
 

@@ -97,7 +97,14 @@ def select_by_token_fraction(
     expensive upstream lineage (a dedup chain) is scanned twice
     unless the caller persists ``df`` first — training_pipeline does
     exactly that at its materialization point. Same keep rule:
-    start_tok < fraction · total."""
+    start_tok < fraction · total — but the cut is evaluated in EXACT
+    DECIMAL arithmetic in-plan, not double: a double-typed product
+    drifts past 2⁵³ total tokens (the integer-exact discipline
+    apportion already follows). The double→decimal cast goes through
+    the shortest decimal rendering, so fraction=0.1 means exactly
+    1/10, not the binary float; the decimal(19,0)·decimal(19,18)
+    product keeps 17 fractional digits, so the comparison boundary
+    is exact to 10⁻¹⁷ of a token at any representable total."""
     annotated = select_by_token_budget(
         df,
         budget=1 << 62,  # no-op cut; reuse the distributed prefix sum
@@ -107,11 +114,12 @@ def select_by_token_fraction(
         score_buckets=score_buckets,
     )
     total = df.filter(F.col(score_col).isNotNull()).agg(
-        F.sum(tokens_col).cast("double").alias("__total_tok")
+        F.sum(tokens_col).cast("decimal(19,0)").alias("__total_tok")
     )
+    cut = F.col("__total_tok") * F.lit(float(fraction)).cast("decimal(19,18)")
     return (
         annotated.crossJoin(F.broadcast(total))
-        .filter(F.col("start_tok") < F.lit(float(fraction)) * F.col("__total_tok"))
+        .filter(F.col("start_tok") < cut)
         .drop("__total_tok")
     )
 

@@ -19,6 +19,8 @@ materialization point a production build writes to storage.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -31,9 +33,20 @@ from shmr_spark.operators.packing import pack_sequences
 from shmr_spark.operators.ranking import range_shards
 from shmr_spark.operators.selection import select_by_token_fraction
 
-# survivors persisted by the previous invocation, dropped on the next
-# one (bench runs the pipeline repeatedly in one session)
-_prev_persisted: list[DataFrame] = []
+# Survivor caches from previous invocations, keyed by (session,
+# corpus, params) and REPLACED when the same invocation repeats (the
+# bench loop re-runs identical args in one session; without eviction
+# each repetition would leak a corpus-sized cache). Keying by the
+# full argument tuple means two concurrent pipelines over different
+# corpora/configs each keep their own live cache — call-order
+# clobbering (the round-5 advice finding) needed only ONE global
+# slot to go wrong. The residual hazard is two CONCURRENT calls with
+# identical arguments: the second evicts the first's cache and the
+# first recomputes (a perf hit, never wrong results) — repeated
+# identical invocations are assumed sequential, which is the bench's
+# actual pattern.
+_cache_slots: dict[tuple, DataFrame] = {}
+_cache_lock = threading.Lock()
 
 
 def training_pipeline(
@@ -75,14 +88,25 @@ def training_pipeline(
     pairs = minhash_near_duplicates(exact, threshold=neardup_threshold)
     surv = dedup_keep_cluster_representative(exact, pairs)
 
-    while _prev_persisted:
-        _prev_persisted.pop().unpersist()
     from pyspark import StorageLevel
 
+    slot = (
+        id(spark),
+        sf_dir,
+        budget_fraction,
+        neardup_threshold,
+        pack_budget,
+        n_shards,
+    )
+    with _cache_lock:
+        prev = _cache_slots.pop(slot, None)
+    if prev is not None:
+        prev.unpersist()
     scored = surv.select("doc_id", "quality", "n_tokens").persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    _prev_persisted.append(scored)
+    with _cache_lock:
+        _cache_slots[slot] = scored
     sel = select_by_token_fraction(scored, fraction=budget_fraction)
 
     packed = pack_sequences(

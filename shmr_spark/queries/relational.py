@@ -326,7 +326,12 @@ def join_grouped(spark, sf_dir):
     aggregate view: array size + exact-decimal array sum."""
     orders = Dataset(load_table(spark, sf_dir, "orders"))
     cust = Dataset(load_table(spark, sf_dir, "customer"))
-    grouped = cust.join_grouped(orders, "c_custkey", "o_custkey", "cust", "ords")
+    # merge_other: the grouped side is one row per customer WITH
+    # orders — SF-proportional cardinality, the case the opt-in hint
+    # exists for (a size-estimate broadcast of it grows linearly)
+    grouped = cust.join_grouped(
+        orders, "c_custkey", "o_custkey", "cust", "ords", merge_other=True
+    )
     # same scaled-long exact sum as functions.numeric.dsum, folded over
     # the grouped-rights array
     scaled = lambda o: F.floor(o["o_totalprice"] * F.lit(1000000.0) + F.lit(0.5)).cast("long")  # noqa: E731

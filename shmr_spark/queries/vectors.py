@@ -68,14 +68,23 @@ SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        {_SQL_COS.format(a='a.embedding', b='b.embedding')} AS sim
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE a.vec_id % 25 = 0
-  AND {_SQL_COS.format(a='a.embedding', b='b.embedding')} >= 0.99
+  AND {_SQL_COS.format(a='a.embedding', b='b.embedding')} >= 0.35
 """,
 )
 def embedding_neardup(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs from a deterministic probe
     stratum (vec_id % 25 == 0) against the full table — the verify
     step of embedding dedup. At 100 TB the candidate pairs come from
-    LSH buckets instead of a cross join (see dedup.embedding)."""
+    LSH buckets instead of a cross join (see dedup.embedding).
+
+    tau=0.35, NOT a hygienic-looking 0.99: this corpus's max natural
+    pairwise cosine is ~0.51, so any threshold above that returns
+    zero rows and the gate greens vacuously — exactly what happened
+    in round 2 (its 0-row green was the oldest "evidence" in the
+    series) and what check_parity's VACUOUS guard now rejects.
+    0.35 yields 14/21 real pairs at sf0.001/sf0.01; high-tau
+    behavior stays covered by the planted-duplicate corpora in
+    tests/test_dedup_similarity.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
     b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
@@ -84,7 +93,7 @@ def embedding_neardup(spark, sf_dir):
         a.filter(F.col("vec_a") % 25 == 0)
         .join(b, F.col("vec_a") < F.col("vec_b"))
         .select("vec_a", "vec_b", sim.alias("sim"))
-        .filter(F.col("sim") >= 0.99)
+        .filter(F.col("sim") >= 0.35)
     )
 
 

@@ -972,3 +972,23 @@ def test_select_by_token_fraction_equals_budget(spark):
     # keep rule start_tok < frac·total vs start_tok < ceil(frac·total):
     # identical because start_tok is integral
     assert got == want
+
+
+def test_select_by_token_fraction_decimal_exact_boundary(spark):
+    """The fraction cut evaluates in exact decimal, so fraction=0.1 of
+    a 30-token mass cuts at exactly 3.0 — the doc starting at token 3
+    is OUT. A double-typed cut (0.1*30 = 3.0000000000000004 in binary)
+    would keep it; past 2^53 total tokens the same drift moves the
+    boundary arbitrarily. Pins the decimal discipline."""
+    from shmr_spark.operators.selection import select_by_token_fraction
+
+    # three docs of 10 tokens each, quality-ordered a > b > c
+    df = spark.createDataFrame(
+        [(1, 0.9, 10), (2, 0.5, 10), (3, 0.1, 10)],
+        "doc_id long, quality double, n_tokens long",
+    )
+    kept = {
+        r.doc_id for r in select_by_token_fraction(df, fraction=0.1).collect()
+    }
+    # cut = 3.0 exactly: only the doc starting at token 0 survives
+    assert kept == {1}

@@ -39,6 +39,20 @@ def _norm_rows(cols, rows):
     return [cols[i] for i in order], out
 
 
+# Queries whose result is empty BY DESIGN — they assert emptiness
+# (anti-join / set-difference over sets that provably cover each
+# other), so 0 rows IS the proof. Every other query producing 0
+# oracle rows is a VACUOUS green: the comparison passes while
+# exercising nothing (the round-5 lesson — q7's nation pair had no
+# trades at sf0.001, and a too-high cosine threshold once
+# green-lit an empty near-dup gate). Those fail loudly here.
+VACUOUS_OK = {
+    "join_anti",  # proves referential cover: no customer without nation
+    "set_except",  # proves set cover: keys minus superset is empty
+    "referential_integrity",  # violation scan — empty = intact corpus
+}
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
@@ -64,7 +78,11 @@ def main() -> int:
             print(f"FAIL {name}: spark error: {type(e).__name__}: {e}")
             continue
         if spec.oracle is None:
-            print(f"ok   {name}: rows-only ({len(s_rows)} rows)")
+            if not s_rows and name not in VACUOUS_OK:
+                failures.append(name)
+                print(f"FAIL {name}: VACUOUS rows-only gate (0 rows)")
+            else:
+                print(f"ok   {name}: rows-only ({len(s_rows)} rows)")
             continue
         try:
             res = con.execute(spec.oracle)
@@ -75,6 +93,14 @@ def main() -> int:
             print(f"FAIL {name}: duckdb error: {type(e).__name__}: {e}")
             continue
 
+        if not d_rows and name not in VACUOUS_OK:
+            failures.append(name)
+            print(
+                f"FAIL {name}: VACUOUS — oracle returned 0 rows at this SF; "
+                "an empty-vs-empty match proves nothing (reshape the query "
+                "or whitelist it in VACUOUS_OK with a reason)"
+            )
+            continue
         if sorted(s_cols) != sorted(d_cols):
             failures.append(name)
             print(f"FAIL {name}: columns spark={sorted(s_cols)} duck={sorted(d_cols)}")
