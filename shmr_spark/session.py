@@ -48,7 +48,13 @@ def get_spark(
         # without it, hence that tier is opt-in per read)
         .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # in local mode the driver JVM IS the engine: every executor
+        # thread's shuffle/sort state lives in this one heap. 24g on
+        # the 128 GiB harness box (was 8g through round 5, which
+        # OOMed the 1.8B-wedge triangle shuffle at the 10× corpus —
+        # a harness wall, not a plan defect). Cluster deployments
+        # ignore this: spark-submit owns the memory confs.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
