@@ -66,23 +66,20 @@ def main() -> None:
     # banding selectivity (candidates exploding while verified stays
     # put) can no longer hide inside "expected superlinearity".
     def _minhash_pair_counts(spark, d):
-        from pyspark.sql import functions as F
-
         from shmr_spark.catalog import load_table
-        from shmr_spark.dedup import minhash_near_duplicates
         from shmr_spark.dedup.minhash import (
-            lsh_candidates,
-            minhash_signatures_df,
-            shingle_ngrams,
+            minhash_candidate_pairs,
+            verify_jaccard_pairs,
         )
 
         docs = load_table(spark, d, "documents")
-        sh = docs.select(
-            F.col("doc_id").alias("__id"), shingle_ngrams("text", 3).alias("__sh")
-        )
-        sigs = minhash_signatures_df(sh, "__id", "__sh", 64)
-        candidates = lsh_candidates(sigs, "__id", "sig", 16).count()
-        verified = minhash_near_duplicates(docs, threshold=0.7).count()
+        # one banding pass feeds BOTH counts: the candidate frame is
+        # lineage-pinned inside minhash_candidate_pairs, so the
+        # verify join reuses it instead of recomputing the
+        # shingle→signature→band pipeline
+        sh, cands = minhash_candidate_pairs(docs)
+        candidates = cands.count()
+        verified = verify_jaccard_pairs(sh, cands, 0.7).count()
         return {"candidate_pairs": candidates, "verified_pairs": verified}
 
     # kNN join in its PRODUCTION shape (radius=1 probe expansion), not
@@ -293,6 +290,14 @@ def main() -> None:
                 spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
                 dt = round(time.perf_counter() - t0, 3)
                 extra_base[name] = min(extra_base.get(name, dt), dt)
+
+        # release the sf0.1 pipeline's survivor cache before the 10×
+        # phase — slots are per-(session, corpus, params), so the
+        # base-corpus cache would otherwise sit in MEMORY_AND_DISK
+        # for the whole scaled pass with zero reuse
+        from shmr_spark.operators.training_pipeline import clear_pipeline_caches
+
+        clear_pipeline_caches()
 
         big: dict[str, float] = {}
         timed = {**headline, **scale_extra}

@@ -456,11 +456,56 @@ def _parse_any(v: str) -> Any:
     if v == "set()":
         return set()
     try:
-        # orjson (the reference's parser) rejects NaN/Infinity
-        # constants; stdlib json accepts them — raise to match
-        return json.loads(v, parse_constant=_reject_json_constant)
+        return _json_loads_orjson_like(v)
     except (ValueError, TypeError):
         return v
+
+
+def _json_loads_orjson_like(v: str) -> Any:
+    """stdlib json constrained to the envelope of orjson (the
+    reference's parser, as installed in this environment — verified
+    by the differential suite), where the two disagree:
+
+    - NaN/Infinity constants: orjson rejects, stdlib accepts → raise;
+    - integers outside [-2^63, 2^64-1]: orjson parses them as DOUBLE,
+      stdlib keeps arbitrary precision → coerce to float;
+    - float literals that overflow to infinity (1e999): orjson
+      rejects the document, stdlib returns inf → raise;
+    - lone surrogate escapes ("\\ud800" with no low pair): orjson
+      rejects, stdlib produces an unencodable str → raise.
+
+    Any raise falls back to the raw string, exactly like the
+    reference's parse_argval."""
+
+    def _pi(s: str):
+        n = int(s)
+        return n if -(2**63) <= n <= 2**64 - 1 else float(s)
+
+    def _pf(s: str):
+        f = float(s)
+        if math.isinf(f):
+            raise ValueError("number is infinity")
+        return f
+
+    out = json.loads(
+        v, parse_constant=_reject_json_constant, parse_int=_pi, parse_float=_pf
+    )
+    if _has_lone_surrogate(out):
+        raise ValueError("lone surrogate in string")
+    return out
+
+
+def _has_lone_surrogate(x: Any) -> bool:
+    if isinstance(x, str):
+        return any("\ud800" <= c <= "\udfff" for c in x)
+    if isinstance(x, list):
+        return any(_has_lone_surrogate(i) for i in x)
+    if isinstance(x, dict):
+        return any(
+            _has_lone_surrogate(k) or _has_lone_surrogate(val)
+            for k, val in x.items()
+        )
+    return False
 
 
 def _reject_json_constant(_c: str) -> Any:

@@ -179,6 +179,52 @@ def lsh_candidates(
     )
 
 
+def minhash_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_size: int = 3,
+) -> tuple[DataFrame, DataFrame]:
+    """The banding half of the near-dup pipeline: returns
+    ``(shingles, candidates)`` where shingles is (__id, __sh) with
+    pinned lineage and candidates is the distinct banded pair set.
+    Split out so a caller measuring banding selectivity (bench's
+    candidate/verified pair counts) can act on the candidate frame
+    AND feed the same frame to the verify stage — both lineages pin
+    at the shared localCheckpoints, so the shingle→signature→band
+    pipeline runs once per session, not once per consumer."""
+    sh = df.select(
+        F.col(id_col).alias("__id"),
+        shingle_ngrams(text_col, shingle_size).alias("__sh"),
+    ).localCheckpoint(eager=False)  # reused by signatures AND both verify sides
+    sigs = minhash_signatures_df(sh, "__id", "__sh", num_hashes)
+    cands = lsh_candidates(sigs, "__id", "sig", bands).localCheckpoint(
+        eager=False
+    )  # reused by a selectivity count AND the verify join
+    return sh, cands
+
+
+def verify_jaccard_pairs(
+    sh: DataFrame, cands: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs against the
+    shingle frame: (id_a, id_b, jaccard ≥ threshold). Ships shingle
+    arrays only for candidate ids (semi-join pruned), not the whole
+    corpus."""
+    a = sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a"))
+    b = sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", (inter / union).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def minhash_near_duplicates(
     df: DataFrame,
     text_col: str = "text",
@@ -190,21 +236,8 @@ def minhash_near_duplicates(
 ) -> DataFrame:
     """End-to-end near-dup pairs: LSH candidates verified with exact
     Jaccard over shingle sets; returns (id_a, id_b, jaccard ≥
-    threshold). The verify join ships shingle arrays only for
-    candidate ids (semi-join pruned), not the whole corpus."""
-    sh = df.select(
-        F.col(id_col).alias("__id"),
-        shingle_ngrams(text_col, shingle_size).alias("__sh"),
-    ).localCheckpoint(eager=False)  # reused by signatures AND both verify sides
-    sigs = minhash_signatures_df(sh, "__id", "__sh", num_hashes)
-    cands = lsh_candidates(sigs, "__id", "sig", bands)
-    a = sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a"))
-    b = sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
-    return (
-        cands.join(a, "id_a")
-        .join(b, "id_b")
-        .select("id_a", "id_b", (inter / union).alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
+    threshold)."""
+    sh, cands = minhash_candidate_pairs(
+        df, text_col, id_col, num_hashes, bands, shingle_size
     )
+    return verify_jaccard_pairs(sh, cands, threshold)

@@ -49,6 +49,21 @@ _cache_slots: dict[tuple, DataFrame] = {}
 _cache_lock = threading.Lock()
 
 
+def clear_pipeline_caches() -> int:
+    """Unpersist and drop every cached survivor frame. Slots are only
+    replaced on same-args re-invocation, so a caller that sweeps
+    DIFFERENT configs/corpora in one session (the bench's base→10×
+    alternation) accumulates one corpus-sized MEMORY_AND_DISK cache
+    per distinct slot until it calls this between phases. Returns the
+    number of caches released."""
+    with _cache_lock:
+        dropped = list(_cache_slots.values())
+        _cache_slots.clear()
+    for df in dropped:
+        df.unpersist()
+    return len(dropped)
+
+
 def training_pipeline(
     spark: SparkSession,
     sf_dir: str,
@@ -98,15 +113,18 @@ def training_pipeline(
         pack_budget,
         n_shards,
     )
-    with _cache_lock:
-        prev = _cache_slots.pop(slot, None)
-    if prev is not None:
-        prev.unpersist()
     scored = surv.select("doc_id", "quality", "n_tokens").persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    # pop+insert under ONE lock hold: a pop-then-reacquire window
+    # would let two identical concurrent calls interleave so the
+    # second's insert overwrites (and orphans, never unpersisting)
+    # the first's entry
     with _cache_lock:
+        prev = _cache_slots.pop(slot, None)
         _cache_slots[slot] = scored
+    if prev is not None:
+        prev.unpersist()
     sel = select_by_token_fraction(scored, fraction=budget_fraction)
 
     packed = pack_sequences(

@@ -58,14 +58,15 @@ def query(name: str, oracle: str | None = None, headline: bool = False):
 #      "green" compared empty-vs-empty at tau=0.99 — the corpus max
 #      natural cosine is ~0.51) and reshaped to tau=0.35; its row
 #      here is its first NON-vacuous driver evidence.
-#   2. the 11 queries whose code changed in round 6 and therefore
+#   2. the 12 queries whose code changed in round 6 and therefore
 #      need fresh driver rows regardless of when they last greened:
 #      the two PQ gates (codebook now built in-plan, no corpus
 #      collect), q7 + q22 (reshaped non-vacuous at every SF),
 #      dedup_embedding_lsh (degenerate config now an explicit
 #      parallel cross join), join_grouped (merge hint now opt-in,
-#      gate passes merge_other=True), and the 5 streaming gates
-#      (batched triggers are now the engine default).
+#      gate passes merge_other=True), triangle_count_trade (vertex
+#      encoding string→long), and the 5 streaming gates (batched
+#      triggers are now the engine default).
 #   3. canaries (standing policy): previously-green anchors spread
 #      across modules/tiers so a regression in rotated-out code is
 #      caught on a bounded cadence — the flagship aggregate, the
@@ -104,7 +105,8 @@ _PRIORITY: list[str] = [
     "token_frequencies",
     "vector_stats",
     "vocab_growth",
-    # -- group 2: round-6 code changes needing fresh rows (11)
+    # -- group 2: round-6 code changes needing fresh rows (12)
+    "triangle_count_trade",
     "similarity_pq_topk",
     "similarity_ivfpq_topk",
     "q7_nation_volume",
@@ -116,7 +118,9 @@ _PRIORITY: list[str] = [
     "streaming_enrich",
     "streaming_interval_join",
     "streaming_topk_trending",
-    # -- group 3: canaries (9)
+    # -- group 3: canaries (8) — filter_orders rotated out to make
+    #    room for triangle's re-verification (its pushdown shape is
+    #    exercised by most relational gates; it has r4 evidence)
     "reduce_by_key_q1",
     "compat_records_fold",
     "head_sorted",
@@ -124,7 +128,6 @@ _PRIORITY: list[str] = [
     "map_project",
     "reduce_global",
     "join_inner",
-    "filter_orders",
     "dedup_exact",
 ]
 

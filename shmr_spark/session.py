@@ -10,6 +10,21 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _default_driver_mem() -> str:
+    """SPARK_GRAFT_DRIVER_MEM if set, else a quarter of physical RAM
+    clamped to [4g, 24g] (see the driver.memory comment below)."""
+    env = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+    if env:
+        return env
+    try:
+        total_gib = (
+            os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES") / (1 << 30)
+        )
+    except (ValueError, OSError, AttributeError):
+        return "8g"
+    return f"{max(4, min(24, int(total_gib // 4)))}g"
+
+
 def get_spark(
     app_name: str = "shmr_spark",
     master: str | None = None,
@@ -49,12 +64,14 @@ def get_spark(
         .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.ui.enabled", "false")
         # in local mode the driver JVM IS the engine: every executor
-        # thread's shuffle/sort state lives in this one heap. 24g on
-        # the 128 GiB harness box (was 8g through round 5, which
-        # OOMed the 1.8B-wedge triangle shuffle at the 10× corpus —
-        # a harness wall, not a plan defect). Cluster deployments
-        # ignore this: spark-submit owns the memory confs.
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        # thread's shuffle/sort state lives in this one heap. Sized
+        # from the machine (quarter of RAM, clamped 4g–24g) rather
+        # than a constant: the flat 8g of rounds 1–5 OOMed the
+        # 1.8B-wedge triangle shuffle at the 10× corpus on the
+        # 128 GiB harness box, while a flat 24g would refuse to start
+        # on a 16 GB laptop. Cluster deployments ignore this:
+        # spark-submit owns the memory confs.
+        .config("spark.driver.memory", _default_driver_mem())
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

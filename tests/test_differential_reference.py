@@ -532,3 +532,31 @@ def test_diff_reduce_set_init_val(spark, fixture_dir, tmp_path):
     assert _read(rp) == _read(op)
     # non-vacuity: a real distinct-age set came out of both engines
     assert len(_read(op).split(b",")) > 5
+
+
+@pytest.mark.parametrize(
+    "init",
+    [
+        "[18446744073709551616]",   # > u64: orjson lowers to double
+        "[9223372036854775807]",    # i64 max: stays int
+        '{"x": 1e999}',             # overflow float: orjson rejects -> raw string
+        '"\\ud800"',                # lone surrogate: orjson rejects -> raw string
+        "NaN",                      # stdlib-only constant: reference -> raw string
+        "007",                      # isdigit wins before JSON
+        "-5",                       # isfloat wins: both engines yield -5.0
+    ],
+)
+def test_diff_parse_argval_envelope(spark, fixture_dir, tmp_path, init):
+    """The --init_val parser must match reference parse_argval across
+    the tiers where stdlib json and orjson disagree (big ints ->
+    double, overflow floats and lone surrogates -> raw string, NaN ->
+    raw string) plus the digit/float fast paths. keep_accum makes the
+    fold a no-op so the serialized result IS the parsed argument."""
+    tail = lambda d: [  # noqa: E731
+        "-i", f"{d}/people.00.csv", *CSV[:4],
+        "-s", "shmr.str_dumps",
+        "partition.reduce", "--fn", "tests.cli_fixture_fns.keep_accum",
+        "--init_val", init,
+    ]
+    rp, op = _diff_one_output(spark, fixture_dir, tmp_path, tail, "val.txt")
+    assert _read(rp) == _read(op)

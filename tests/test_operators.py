@@ -975,20 +975,25 @@ def test_select_by_token_fraction_equals_budget(spark):
 
 
 def test_select_by_token_fraction_decimal_exact_boundary(spark):
-    """The fraction cut evaluates in exact decimal, so fraction=0.1 of
-    a 30-token mass cuts at exactly 3.0 — the doc starting at token 3
-    is OUT. A double-typed cut (0.1*30 = 3.0000000000000004 in binary)
-    would keep it; past 2^53 total tokens the same drift moves the
-    boundary arbitrarily. Pins the decimal discipline."""
+    """The fraction cut evaluates in exact decimal, so fraction=0.07
+    of a 100-token mass cuts at exactly 7.0 — and doc 2, which STARTS
+    at token 7 (doc 1 has 7 tokens), is out: 7 < 7.0 is false. The
+    old double-typed cut computed 0.07*100 = 7.000000000000001 and
+    KEPT it; past 2^53 total tokens the same binary drift moves the
+    boundary arbitrarily. The (fraction, total) pair is deliberately
+    one whose double product drifts ABOVE the exact value (checked in
+    the assertion below), with the boundary doc ON the cut — so a
+    regression to double arithmetic flips this test."""
     from shmr_spark.operators.selection import select_by_token_fraction
 
-    # three docs of 10 tokens each, quality-ordered a > b > c
+    assert 0.07 * 100 > 7, "pair no longer discriminates double vs decimal"
+    # quality-ordered docs of 7/93 tokens: start_toks are 0 and 7
     df = spark.createDataFrame(
-        [(1, 0.9, 10), (2, 0.5, 10), (3, 0.1, 10)],
+        [(1, 0.9, 7), (2, 0.5, 93)],
         "doc_id long, quality double, n_tokens long",
     )
     kept = {
-        r.doc_id for r in select_by_token_fraction(df, fraction=0.1).collect()
+        r.doc_id for r in select_by_token_fraction(df, fraction=0.07).collect()
     }
-    # cut = 3.0 exactly: only the doc starting at token 0 survives
+    # exact cut = 7.0: only the doc starting at token 0 survives
     assert kept == {1}

@@ -194,7 +194,14 @@ def test_stream_interval_join_equals_batch(spark, sf_dir, tmp_path):
 def test_stream_dedup_within_watermark(spark, sf_dir, tmp_path):
     """dropDuplicatesWithinWatermark removes replayed events (the
     at-least-once-source dedup pattern): feeding the same file twice
-    yields each event exactly once."""
+    yields each event exactly once.
+
+    max_files_per_trigger=1 is load-bearing: the duplicate file must
+    arrive in a LATER micro-batch so the dedup crosses the state
+    store, not just one batch's in-memory pass. With the engine's
+    batched default (64 files/trigger, round 6) both copies would
+    land in a single trigger and cross-batch state eviction/matching
+    would go untested."""
     import shutil
 
     from shmr_spark.streaming import read_events_stream, run_stream_to_memory
@@ -205,7 +212,7 @@ def test_stream_dedup_within_watermark(spark, sf_dir, tmp_path):
     shutil.copy(f"{sf_dir}/events.parquet", d / "b.parquet")
 
     deduped = (
-        read_events_stream(spark, str(d))
+        read_events_stream(spark, str(d), max_files_per_trigger=1)
         .withWatermark("ts", "1 hour")
         .dropDuplicatesWithinWatermark(["event_id"])
         .select("event_id")

@@ -93,12 +93,16 @@ def main() -> int:
             print(f"FAIL {name}: duckdb error: {type(e).__name__}: {e}")
             continue
 
-        if not d_rows and name not in VACUOUS_OK:
+        if not d_rows and not s_rows and name not in VACUOUS_OK:
+            # only when BOTH sides are empty: an oracle-empty /
+            # spark-nonempty result is a real divergence and must
+            # fall through to the rowcount diff below, not be
+            # misdiagnosed as a query-shape problem
             failures.append(name)
             print(
-                f"FAIL {name}: VACUOUS — oracle returned 0 rows at this SF; "
-                "an empty-vs-empty match proves nothing (reshape the query "
-                "or whitelist it in VACUOUS_OK with a reason)"
+                f"FAIL {name}: VACUOUS — both sides returned 0 rows at this "
+                "SF; an empty-vs-empty match proves nothing (reshape the "
+                "query or whitelist it in VACUOUS_OK with a reason)"
             )
             continue
         if sorted(s_cols) != sorted(d_cols):
