@@ -560,3 +560,64 @@ def test_diff_parse_argval_envelope(spark, fixture_dir, tmp_path, init):
     ]
     rp, op = _diff_one_output(spark, fixture_dir, tmp_path, tail, "val.txt")
     assert _read(rp) == _read(op)
+
+
+@pytest.mark.skipif(not _HYP, reason="hypothesis absent")
+@settings(
+    max_examples=300,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.one_of(
+        st.text(max_size=40),
+        st.integers(-(10**25), 10**25).map(str),
+        st.floats(allow_nan=True, allow_infinity=True).map(repr),
+        st.recursive(
+            st.one_of(
+                st.integers(-(10**20), 10**20),
+                st.floats(allow_nan=False, allow_infinity=False),
+                st.text(max_size=10),
+                st.booleans(),
+                st.none(),
+            ),
+            lambda inner: st.lists(inner, max_size=3)
+            | st.dictionaries(st.text(max_size=5), inner, max_size=3),
+            max_leaves=8,
+        ).map(lambda x: json.dumps(x)),
+    )
+)
+def test_fuzz_parse_argval_equivalence(argstr):
+    """Property: _parse_any(s) == reference parse_argval(s) for
+    ARBITRARY argument strings — raw text, huge ints, float reprs
+    (inf/nan included), and nested JSON documents. The reference's
+    parse_argval is imported directly (real orjson; the same
+    fastnumbers shim the subprocess differential tests run under),
+    so this generalizes the hand-picked envelope cases. NaN compares
+    by isnan since NaN != NaN."""
+    import importlib
+    import math as m
+
+    if not hasattr(test_fuzz_parse_argval_equivalence, "_ref"):
+        sys.path.insert(0, SHIMS)
+        sys.path.insert(0, REF)
+        try:
+            ref_main = importlib.import_module("shmr.main")
+        finally:
+            sys.path.remove(SHIMS)
+            sys.path.remove(REF)
+        test_fuzz_parse_argval_equivalence._ref = ref_main.parse_argval
+    from shmr_spark.compat.cli import _parse_any
+
+    ref = test_fuzz_parse_argval_equivalence._ref
+    ours, want = _parse_any(argstr), ref(argstr)
+    if (
+        isinstance(ours, float)
+        and isinstance(want, float)
+        and m.isnan(ours)
+        and m.isnan(want)
+    ):
+        return
+    assert type(ours) is type(want) and ours == want, (
+        f"{argstr!r}: ours={ours!r} ref={want!r}"
+    )
