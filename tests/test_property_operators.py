@@ -1,0 +1,245 @@
+"""Property-based tests for the invariant-rich operators: each one is
+checked against a pure-Python brute-force oracle over random inputs,
+complementing the fixed-corpus DuckDB gates (which pin one input) with
+structural guarantees over many (exact quota sums, prefix-sum
+equivalence, pair completeness, union coverage).
+
+Spark-backed: example counts stay small — every example is a job.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+# -- apportion: exact Hamilton quotas ---------------------------------------
+
+
+def _hamilton(keys: list[str], weights: list[int], total: int) -> dict[str, int]:
+    W = sum(weights)
+    base = [total * w // W for w in weights]
+    rem = [total * w % W for w in weights]
+    leftover = total - sum(base)
+    order = sorted(range(len(keys)), key=lambda i: (-rem[i], keys[i]))
+    quota = dict(zip(keys, base))
+    for i in order[:leftover]:
+        quota[keys[i]] += 1
+    return quota
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(st.integers(0, 10_000), min_size=1, max_size=12).filter(
+        lambda ws: sum(ws) > 0
+    ),
+    st.integers(0, 1_000_000),
+)
+def test_apportion_matches_hamilton(spark, weights, total):
+    """Quotas equal the pure-Python largest-remainder allocation
+    exactly — and therefore sum exactly to `total` and sit within
+    {floor, floor+1} of each group's exact share."""
+    from shmr_spark.operators.selection import apportion
+
+    keys = [f"g{i:02d}" for i in range(len(weights))]
+    df = spark.createDataFrame(list(zip(keys, weights)), "k string, n long")
+    got = {
+        r.k: r.quota
+        for r in apportion(df, total=total, key_cols=["k"], weight_col="n").collect()
+    }
+    want = _hamilton(keys, weights, total)
+    assert got == want
+    assert sum(got.values()) == total
+    W = sum(weights)
+    for k, w in zip(keys, weights):
+        assert total * w // W <= got[k] <= total * w // W + 1
+
+
+# -- pack_sequences: distributed prefix sum ≡ sequential ---------------------
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 400), st.integers(0, 200)),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    ),
+    st.sampled_from([1, 3, 64]),
+    st.integers(1, 64),
+)
+def test_pack_sequences_is_exact_prefix_sum(spark, docs, bucket_size, budget):
+    """start_tok equals the sequential prefix sum in id order for ANY
+    bucket_size (the two-phase decomposition is an implementation
+    detail), and pack_id is start_tok // budget."""
+    from shmr_spark.operators.packing import pack_sequences
+
+    df = spark.createDataFrame(docs, "doc_id long, n_tokens long")
+    out = pack_sequences(
+        df, budget=budget, bucket_size=bucket_size
+    ).collect()
+    run, want = 0, {}
+    for did, toks in sorted(docs):
+        want[did] = run
+        run += toks
+    assert {r.doc_id: r.start_tok for r in out} == want
+    assert all(r.pack_id == r.start_tok // budget for r in out)
+
+
+# -- select_by_token_budget: greedy quality-ordered cut ----------------------
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 400),
+            st.floats(0, 1).map(lambda x: round(x, 6)),
+            st.integers(0, 50),
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(0, 300),
+)
+def test_select_by_token_budget_matches_greedy(spark, docs, budget):
+    """Kept set and start_tok equal the naive sequential greedy cut in
+    (score DESC, id ASC) order — the bucketed two-phase prefix sum is
+    behaviourally invisible."""
+    from shmr_spark.operators.selection import select_by_token_budget
+
+    df = spark.createDataFrame(docs, "doc_id long, quality double, n_tokens long")
+    out = {
+        r.doc_id: r.start_tok
+        for r in select_by_token_budget(df, budget=budget).collect()
+    }
+    run, want = 0, {}
+    for did, score, toks in sorted(docs, key=lambda t: (-t[1], t[0])):
+        if run < budget:
+            want[did] = run
+        run += toks
+    assert out == want
+
+
+# -- interval_union_length: sweep line ≡ per-unit coverage -------------------
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.integers(0, 60),
+            st.integers(0, 25),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_interval_union_matches_unit_coverage(spark, raw):
+    """covered == |union of [s, e)| counted cell-by-cell, overlaps
+    once, touching intervals merged, zero-length intervals adding
+    nothing; n_intervals == the key's input row count."""
+    from shmr_spark.operators.interval import interval_union_length
+
+    rows = [(k, i, s, s + ln) for i, (k, s, ln) in enumerate(raw)]
+    df = spark.createDataFrame(rows, "k string, iid long, s long, e long")
+    got = {
+        r.k: (r.covered, r.n_intervals)
+        for r in interval_union_length(
+            df, ["k"], "s", "e", tiebreak_col="iid"
+        ).collect()
+    }
+    want: dict[str, set[int]] = {}
+    counts: dict[str, int] = {}
+    for k, _i, s, e in rows:
+        want.setdefault(k, set()).update(range(s, e))
+        counts[k] = counts.get(k, 0) + 1
+    assert got == {k: (len(cells), counts[k]) for k, cells in want.items()}
+
+
+# -- weighted_median: window threshold ≡ brute lower median ------------------
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["x", "y"]),
+            st.integers(-20, 20),
+            st.integers(1, 500),  # weight in 0.01 steps, strictly > 0
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_weighted_median_matches_bruteforce(spark, raw):
+    """w_median is the smallest value whose cumulative scaled weight in
+    (value, id) order reaches half the key total — duplicate values and
+    ties included."""
+    from shmr_spark.operators.ranking import weighted_median
+
+    rows = [(k, i, v, w / 100.0) for i, (k, v, w) in enumerate(raw)]
+    df = spark.createDataFrame(rows, "k string, iid long, v long, w double")
+    got = {
+        r.k: (r.w_median, r.total_weight_scaled)
+        for r in weighted_median(
+            df, ["k"], "v", "w", tiebreak_cols=["iid"]
+        ).collect()
+    }
+    want = {}
+    for k in {r[0] for r in rows}:
+        mine = sorted((v, i) for kk, i, v, _w in rows if kk == k)
+        ws = {i: int(w * 100 + 0.5) for kk, i, _v, w in rows if kk == k}
+        tot = sum(ws.values())
+        cum = 0
+        for v, i in mine:
+            cum += ws[i]
+            if 2 * cum >= tot:
+                want[k] = (v, tot)
+                break
+    assert got == want
+
+
+# -- interval_self_join: binned equi-join ≡ all-pairs within tolerance -------
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["p", "q"]),
+            st.integers(0, 50_000_000),  # microseconds
+        ),
+        min_size=2,
+        max_size=25,
+    ),
+    st.sampled_from([1_000_000, 3_000_000, 7_500_000]),
+)
+def test_interval_self_join_finds_all_pairs(spark, raw, tol):
+    """The 3-bin fan-out misses NO qualifying pair and invents none:
+    result set == brute-force {(key, a, b): |ts_a - ts_b| <= tol},
+    including pairs that straddle a bin boundary (the off-by-one
+    hotspot the fan-out exists for)."""
+    from shmr_spark.operators.interval import interval_self_join
+
+    rows = [(k, i, us) for i, (k, us) in enumerate(raw)]
+    df = (
+        spark.createDataFrame(rows, "k string, iid long, us long")
+        .withColumn("ts", F.timestamp_micros("us"))
+        .drop("us")
+    )
+    got = {
+        (r.k, r.iid_a, r.iid_b): r.gap_us
+        for r in interval_self_join(
+            df, key_col="k", ts_col="ts", id_col="iid", tolerance_us=tol
+        ).collect()
+    }
+    want = {
+        (ka, ia, ib): abs(ua - ub)
+        for ka, ia, ua in rows
+        for kb, ib, ub in rows
+        if ka == kb and ia < ib and abs(ua - ub) <= tol
+    }
+    assert got == want
