@@ -89,6 +89,64 @@ def test_token_counts_on_degenerate_text(spark):
     assert rows[4][0] is None and rows[4][1] is None  # null propagates
 
 
+def test_operators_on_empty_inputs(spark):
+    """Every multi-stage operator must degrade to an empty result on
+    an empty input — not raise from a min/max scan, a broadcast of a
+    0-row offsets table, or a window over nothing. One sweep so a
+    future operator edit can't regress the empty shape unnoticed."""
+    from shmr_spark.operators.interval import (
+        interval_self_join,
+        interval_union_length,
+    )
+    from shmr_spark.operators.packing import pack_sequences
+    from shmr_spark.operators.ranking import (
+        global_rank,
+        range_shards,
+        weighted_median,
+    )
+    from shmr_spark.operators.selection import (
+        apportion,
+        select_by_token_budget,
+        select_by_token_fraction,
+    )
+    from shmr_spark.operators.heavy_hitters import heavy_hitters
+
+    docs = spark.createDataFrame(
+        [], "doc_id long, quality double, n_tokens long"
+    )
+    assert pack_sequences(docs).collect() == []
+    assert select_by_token_budget(docs, budget=100).collect() == []
+    assert select_by_token_fraction(docs, fraction=0.5).collect() == []
+    assert apportion(docs, total=10, key_cols=["doc_id"], weight_col="n_tokens").collect() == []
+    assert global_rank(docs, "quality", "doc_id").collect() == []
+    assert range_shards(docs, "quality", "doc_id", n_shards=4).collect() == []
+
+    iv = spark.createDataFrame([], "k string, iid long, s long, e long")
+    assert interval_union_length(iv, ["k"], "s", "e", tiebreak_col="iid").collect() == []
+    ts = spark.createDataFrame([], "k string, iid long, ts timestamp")
+    assert interval_self_join(ts, "k", "ts", "iid", tolerance_us=10**6).collect() == []
+
+    wm = spark.createDataFrame([], "k string, iid long, v long, w double")
+    assert weighted_median(wm, ["k"], "v", "w", tiebreak_cols=["iid"]).collect() == []
+
+    toks = spark.createDataFrame([], "tok string")
+    assert heavy_hitters(toks, "tok", phi=0.01).collect() == []
+
+
+def test_apportion_zero_total_weight_fails_loudly(spark):
+    """All-zero weights make every share 0/0; under the session's ANSI
+    mode that must surface as DIVIDE_BY_ZERO, never as silent NULL
+    quotas that sum to nothing."""
+    import pytest
+
+    from shmr_spark.operators.selection import apportion
+
+    df = spark.createDataFrame([("a", 0), ("b", 0)], "k string, n long")
+    with pytest.raises(Exception) as exc:
+        apportion(df, total=10, key_cols=["k"], weight_col="n").collect()
+    assert "DIVIDE_BY_ZERO" in str(exc.value)
+
+
 def test_read_ndjson_tolerant_quarantines_bad_lines(spark, tmp_path):
     """One corrupt byte costs one row: good lines parse, malformed
     lines land raw in the quarantine side, nothing is dropped."""
