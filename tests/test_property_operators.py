@@ -122,6 +122,46 @@ def test_select_by_token_budget_matches_greedy(spark, docs, budget):
     assert out == want
 
 
+# -- global_rank / range_shards: bucketed rank ≡ sequential enumerate --------
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(-1000, 1000), st.integers(0, 10_000)),
+        min_size=1,
+        max_size=40,
+        unique=True,
+    ),
+    st.integers(1, 7),
+)
+def test_global_rank_and_range_shards_match_enumerate(spark, rows, n_shards):
+    """rank is the exact 1-based position in (key, id) order for any
+    key distribution the auto-bucketer sees (duplicates, negatives,
+    single-value keys), and shard populations differ by at most one
+    row while staying key-contiguous."""
+    from shmr_spark.operators.ranking import global_rank, range_shards
+
+    df = spark.createDataFrame(rows, "k long, iid long")
+    got = {
+        (r.k, r.iid): r.rank
+        for r in global_rank(df, "k", "iid").collect()
+    }
+    want = {kv: i + 1 for i, kv in enumerate(sorted(rows))}
+    assert got == want
+
+    shards = {
+        (r.k, r.iid): r.shard_id
+        for r in range_shards(df, "k", "iid", n_shards=n_shards).collect()
+    }
+    total = len(rows)
+    assert shards == {
+        kv: (want[kv] - 1) * n_shards // total for kv in want
+    }
+    sizes = [list(shards.values()).count(s) for s in set(shards.values())]
+    assert max(sizes) - min(sizes) <= 1
+
+
 # -- interval_union_length: sweep line ≡ per-unit coverage -------------------
 
 
