@@ -242,6 +242,76 @@ def test_weighted_median_matches_bruteforce(spark, raw):
     assert got == want
 
 
+# -- asof_join: union-scan carry ≡ brute-force boundary pick -----------------
+
+
+@settings(max_examples=4, deadline=None)
+@given(
+    st.lists(  # left rows: (id, key, ts) — ts range tiny to force collisions
+        st.tuples(st.integers(0, 99), st.sampled_from(["k1", "k2"]), st.integers(0, 8)),
+        min_size=1,
+        max_size=15,
+        unique_by=lambda t: t[0],
+    ),
+    st.lists(  # right rows: (rid, key, ts, value)
+        st.tuples(
+            st.integers(0, 99),
+            st.sampled_from(["k1", "k2"]),
+            st.integers(0, 8),
+            st.integers(0, 1000),
+        ),
+        min_size=1,
+        max_size=15,
+        unique_by=lambda t: t[0],
+    ),
+)
+def test_asof_join_matches_bruteforce_all_configs(spark, lrows, rrows):
+    """For every (direction, inclusive) combination the carried value
+    equals the brute-force boundary pick — latest-tiebreak-wins at
+    equal right_ts — under heavy timestamp collisions on BOTH sides,
+    the regime where the union-scan's side/tiebreak ordering does all
+    the work."""
+    from shmr_spark.operators import asof_join
+
+    left = spark.createDataFrame(lrows, "eid long, k string, ts long")
+    right = spark.createDataFrame(rrows, "rid long, k string, ts long, value long")
+
+    for direction in ("backward", "forward"):
+        for inclusive in (False, True):
+            got = {
+                r.eid: r.value_asof
+                for r in asof_join(
+                    left,
+                    right,
+                    on="k",
+                    left_ts="ts",
+                    right_ts="ts",
+                    right_cols=["value"],
+                    inclusive=inclusive,
+                    tiebreak="rid",
+                    direction=direction,
+                ).collect()
+            }
+            want = {}
+            for eid, k, lts in lrows:
+                if direction == "backward":
+                    cand = [
+                        (rts, rid, v)
+                        for rid, rk, rts, v in rrows
+                        if rk == k and (rts <= lts if inclusive else rts < lts)
+                    ]
+                    pick = max(cand) if cand else None
+                else:
+                    cand = [
+                        (-rts, rid, v)
+                        for rid, rk, rts, v in rrows
+                        if rk == k and (rts >= lts if inclusive else rts > lts)
+                    ]
+                    pick = max(cand) if cand else None  # min ts, max rid
+                want[eid] = pick[2] if pick else None
+            assert got == want, (direction, inclusive)
+
+
 # -- interval_self_join: binned equi-join ≡ all-pairs within tolerance -------
 
 
