@@ -445,10 +445,23 @@ def _parse_any(v: str) -> Any:
     digit-string → int, float-string → float, the literal "set()" →
     an empty set (the reference's distinct-accumulator idiom for
     --init_val), else JSON, else the raw string. fastnumbers.isfloat
-    defaults reject inf/nan spellings, so we do too."""
+    defaults reject inf/nan spellings, so we do too.
+
+    Verification limits (real fastnumbers / orjson are not installed
+    here): the float branch is differential-tested against
+    tests/ref_shims/fastnumbers.py, a shim pinned to the library's
+    documented default semantics — equivalence vs the real C
+    extension is asserted by documentation, not execution. And stdlib
+    json recurses, so input nested deeper than the interpreter limit
+    (~900+ levels) falls back to the RAW STRING here where orjson
+    (iterative) would parse it — a documented residual divergence,
+    never a crash."""
     if v.isdigit():
         return int(v)
-    if v.strip().lower() not in {"inf", "+inf", "-inf", "infinity", "+infinity", "-infinity", "nan", "+nan", "-nan"}:
+    # "_" guard: fastnumbers.isfloat rejects underscores by default
+    # (allow_underscores=False since 4.0) where CPython's float()
+    # accepts "1_0" — so "1_0" must fall through to the raw string.
+    if "_" not in v and v.strip().lower() not in {"inf", "+inf", "-inf", "infinity", "+infinity", "-infinity", "nan", "+nan", "-nan"}:
         try:
             return float(v)
         except ValueError:
@@ -457,7 +470,10 @@ def _parse_any(v: str) -> Any:
         return set()
     try:
         return _json_loads_orjson_like(v)
-    except (ValueError, TypeError):
+    except (ValueError, TypeError, RecursionError):
+        # RecursionError: stdlib json is recursive; orjson is not.
+        # Beyond ~900 nesting levels we degrade to the raw string
+        # (documented divergence) instead of crashing the CLI.
         return v
 
 

@@ -60,7 +60,10 @@ def clear_pipeline_caches() -> int:
         dropped = list(_cache_slots.values())
         _cache_slots.clear()
     for df in dropped:
-        df.unpersist()
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # slot's session already stopped
     return len(dropped)
 
 
@@ -106,7 +109,12 @@ def training_pipeline(
     from pyspark import StorageLevel
 
     slot = (
-        id(spark),
+        # applicationId, not id(spark): CPython can reuse an id()
+        # after a stopped session is collected, aliasing a dead
+        # session's slot; the app id is stable and unique per app
+        # (and persistence is context-level, so two sessions on one
+        # context sharing a slot is correct, not a collision).
+        spark.sparkContext.applicationId,
         sf_dir,
         budget_fraction,
         neardup_threshold,
@@ -124,7 +132,12 @@ def training_pipeline(
         prev = _cache_slots.pop(slot, None)
         _cache_slots[slot] = scored
     if prev is not None:
-        prev.unpersist()
+        try:
+            prev.unpersist()
+        except Exception:
+            # best-effort: the previous slot's session may already
+            # be stopped; its JVM-side cache died with it
+            pass
     sel = select_by_token_fraction(scored, fraction=budget_fraction)
 
     packed = pack_sequences(

@@ -221,7 +221,12 @@ def degenerate_codebook_df(
     Gate/oracle machinery only: the per-subspace row_number is a
     single-task sort per j and the codebook is corpus-sized — at
     production scale you train a fixed-size codebook with pq_train
-    (m·k·d_sub floats on the driver) and never build this frame."""
+    (m·k·d_sub floats on the driver) and never build this frame.
+    Skew note: downstream _nearest_codes(broadcast=False) joins this
+    frame on ``j``, which has only m distinct values — if the planner
+    picks a shuffle join, at most m tasks carry the O(n²·m) scan
+    (the same few-key-skew class salted elsewhere). Acceptable at
+    gate SFs; salt ``j`` before growing the gate corpus."""
     from pyspark.sql import Window
 
     subs = _subvectors(df, id_col, vec_col, m, d_sub)

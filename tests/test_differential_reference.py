@@ -610,7 +610,18 @@ def test_fuzz_parse_argval_equivalence(argstr):
     from shmr_spark.compat.cli import _parse_any
 
     ref = test_fuzz_parse_argval_equivalence._ref
-    ours, want = _parse_any(argstr), ref(argstr)
+    # Both parsers RAISE on isdigit-true/int-false numerals ('²':
+    # str.isdigit accepts superscripts that int() rejects) — the
+    # reference crashes identically (main.py:24), so equivalence for
+    # raising inputs is same-exception-type, argparse surfaces both
+    # as an invalid-argument exit.
+    try:
+        want = ref(argstr)
+    except ValueError:
+        with pytest.raises(ValueError):
+            _parse_any(argstr)
+        return
+    ours = _parse_any(argstr)
     if (
         isinstance(ours, float)
         and isinstance(want, float)
@@ -621,3 +632,57 @@ def test_fuzz_parse_argval_equivalence(argstr):
     assert type(ours) is type(want) and ours == want, (
         f"{argstr!r}: ours={ours!r} ref={want!r}"
     )
+
+
+def _ref_parse_argval():
+    """Import reference parse_argval once (real orjson, shimmed
+    fastnumbers) without leaving /root/reference on sys.path."""
+    import importlib
+
+    if not hasattr(_ref_parse_argval, "_fn"):
+        sys.path.insert(0, SHIMS)
+        sys.path.insert(0, REF)
+        try:
+            _ref_parse_argval._fn = importlib.import_module("shmr.main").parse_argval
+        finally:
+            sys.path.remove(SHIMS)
+            sys.path.remove(REF)
+    return _ref_parse_argval._fn
+
+
+@pytest.mark.parametrize("s", ["1_0", "1_000.5", "-3_4e2", "_1", "1_"])
+def test_diff_parse_argval_underscores(s):
+    """fastnumbers.isfloat rejects underscores by default
+    (allow_underscores=False since 4.0) where CPython's float()
+    accepts "1_0" — so underscore numerics must come back as RAW
+    STRINGS from both parsers, never floats. Round-7 audit found our
+    float() branch (and the shim) silently accepted them."""
+    from shmr_spark.compat.cli import _parse_any
+
+    ours, want = _parse_any(s), _ref_parse_argval()(s)
+    assert ours == want == s and type(ours) is str
+
+
+def test_diff_parse_argval_nesting_depth():
+    """Depth envelope of the JSON fallback. stdlib json recurses, so
+    _parse_any degrades to the raw string past the interpreter limit
+    (~900+ levels) where the reference's orjson (iterative) parses
+    the document — a DOCUMENTED divergence (compat/cli.py), pinned
+    here so a future parser swap that closes or widens it is noticed.
+    Below the limit the two parsers must agree exactly; above it ours
+    must fall back cleanly, never crash the CLI. The exact boundary
+    is CALLER-STACK-dependent (the recursion limit counts total
+    Python frames, not json's own — under pytest it bites near ~300),
+    which is exactly why the fallback must be by exception, not by a
+    counted depth."""
+    from shmr_spark.compat.cli import _parse_any
+
+    ref = _ref_parse_argval()
+
+    shallow = "[" * 100 + "]" * 100
+    assert _parse_any(shallow) == ref(shallow)
+
+    deep = "[" * 5000 + "]" * 5000
+    assert _parse_any(deep) == deep  # raw-string fallback, no crash
+    want = ref(deep)  # orjson: parsed 5000-level list
+    assert isinstance(want, list), "orjson grew a depth cap — update docs"
