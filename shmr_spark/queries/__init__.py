@@ -47,87 +47,73 @@ def query(name: str, oracle: str | None = None, headline: bool = False):
 # Registry emission order. The driver's correctness gate has a budget
 # (every round so far recorded exactly the first 50 registered
 # queries), so the order below is part of the verification strategy.
-# After round 5 the registry is CLOSED (all 176 queries have a green
-# driver row in r1-r5), so round-6's window is pure rotation +
-# re-verification: 30 + 11 + 9 = 50, in three groups:
-#   1. the 30 queries whose newest green is round 2 — the oldest
-#      driver evidence left in the series (and r2 is the round whose
-#      window caught 12 reds, so this cohort has history). Landing
-#      these makes every registry query's newest green r3+. One of
-#      them, embedding_neardup, was found VACUOUS this round (its r2
-#      "green" compared empty-vs-empty at tau=0.99 — the corpus max
-#      natural cosine is ~0.51) and reshaped to tau=0.35; its row
-#      here is its first NON-vacuous driver evidence.
-#   2. the 12 queries whose code changed in round 6 and therefore
-#      need fresh driver rows regardless of when they last greened:
-#      the two PQ gates (codebook now built in-plan, no corpus
-#      collect), q7 + q22 (reshaped non-vacuous at every SF),
-#      dedup_embedding_lsh (degenerate config now an explicit
-#      parallel cross join), join_grouped (merge hint now opt-in,
-#      gate passes merge_other=True), triangle_count_trade (vertex
-#      encoding string→long), and the 5 streaming gates (batched
-#      triggers are now the engine default).
-#   3. canaries (standing policy): previously-green anchors spread
+# The registry has been CLOSED since round 5 (every query has a green
+# driver row somewhere in r1-r6), so windows are pure rotation +
+# re-verification. Round-7's window is 44 + 6 = 50, in two groups:
+#   1. the 44 queries whose newest green is round 3 — after round 6
+#      rotated the r2 cohort, these are the oldest driver evidence
+#      left in the series. Landing them makes every registry query's
+#      newest green r4+; round 8 takes the 43-query r4 cohort, which
+#      completes the full second pass over the registry.
+#   2. canaries (standing policy): previously-green anchors spread
 #      across modules/tiers so a regression in rotated-out code is
 #      caught on a bounded cadence — the flagship aggregate, the
-#      compat RDD fold, §2 trivia, and one gate each from dedup/
-#      relational tiers. Names absent from this list keep module
-#      registration order after it.
+#      compat RDD fold (also covers this round's _parse_any envelope
+#      change), §2 trivia, and one gate each from the dedup / ANN /
+#      relational fact-fact tiers. Names absent from this list keep
+#      module registration order after it.
 _PRIORITY: list[str] = [
-    # -- group 1: the 30 r2-latest greens (rotation cohort)
-    "approx_distinct",
-    "approx_percentiles",
-    "chunk_documents",
-    "clean_text",
-    "contamination_check",
-    "doc_token_overlap",
-    "embedding_neardup",
-    "fingerprint_docs",
-    "fingerprint_winnow",
-    "funnel_stages",
-    "heavy_hitters_tokens",
-    "join_three_way",
-    "label_centroids",
-    "mix_training_sources",
-    "multimodal_featurize",
-    "ngram_jaccard",
-    "numbers_in_text",
-    "q3_top_orders",
-    "q6_promo_revenue",
-    "quality_length_band",
-    "quality_score",
-    "quantize_embeddings",
-    "repetition_ratio",
-    "sample_k_per_group",
-    "shuffle_shards",
-    "text_stats",
-    "token_count",
-    "token_frequencies",
-    "vector_stats",
-    "vocab_growth",
-    # -- group 2: round-6 code changes needing fresh rows (12)
-    "triangle_count_trade",
-    "similarity_pq_topk",
-    "similarity_ivfpq_topk",
-    "q7_nation_volume",
-    "q22_dormant_customers",
-    "dedup_embedding_lsh",
-    "join_grouped",
-    "streaming_tumbling",
-    "streaming_dedup",
-    "streaming_enrich",
-    "streaming_interval_join",
-    "streaming_topk_trending",
-    # -- group 3: canaries (8) — filter_orders rotated out to make
-    #    room for triangle's re-verification (its pushdown shape is
-    #    exercised by most relational gates; it has r4 evidence)
+    # -- group 1: the 44 r3-latest greens (rotation cohort)
+    "activity_bitmaps",
+    "activity_streaks",
+    "asof_join_prev",
+    "bm25_top_terms",
+    "cogroup_reconcile",
+    "cohort_retention",
+    "conversion_latency",
+    "daily_spine_counts",
+    "dedup_corpus_neardup",
+    "dedup_minhash",
+    "dedup_simhash",
+    "forward_fill_values",
+    "fuzzy_name_pairs",
+    "grouped_mad",
+    "grouping_sets_agg",
+    "histogram",
+    "json_extract_props",
+    "knn_join_lsh",
+    "latest_event_state",
+    "merge_upsert",
+    "moving_average_orders",
+    "multimodal_audio_featurize",
+    "multimodal_jpeg_featurize",
+    "null_safe_join",
+    "order_value_deciles",
+    "profile_columns",
+    "referential_integrity",
+    "revenue_contribution",
+    "salted_agg_revenue",
+    "salted_join_revenue",
+    "similarity_indexed_topk",
+    "similarity_ivf_kmeans_topk",
+    "similarity_ivf_topk",
+    "similarity_lsh_topk",
+    "similarity_quantized_rerank",
+    "stratified_sample",
+    "tfidf_top_terms",
+    "time_weighted_avg",
+    "train_test_split",
+    "udtf_sentences",
+    "unigram_logprob_score",
+    "unpivot_melt",
+    "variant_extract",
+    "window_tumbling",
+    # -- group 2: canaries (6)
     "reduce_by_key_q1",
     "compat_records_fold",
     "head_sorted",
-    "count_lineitem",
-    "map_project",
-    "reduce_global",
-    "join_inner",
+    "sql_q5_region_revenue",
+    "similarity_topk",
     "dedup_exact",
 ]
 

@@ -1276,3 +1276,47 @@ def missing_id_ranges(spark, sf_dir):
         F.col("o_orderstatus") == "O"
     )
     return missing_ranges(orders, "o_orderkey", bucket_size=1000)
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter semi-join reduction: the fact side is pre-filtered by a
+# broadcast bitmap over the dim keys BEFORE any exchange, then a real
+# left_semi clears Bloom false positives — exact result, reduced
+# shuffle (operators/bloom.py). The oracle is the plain IN-subquery
+# the operator is provably equivalent to.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "bloom_semi_join_revenue",
+    oracle=f"""
+SELECT l_returnflag, COUNT(*) AS n_items,
+       {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem
+WHERE l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_nationkey = 3)
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def bloom_semi_join_revenue(spark, sf_dir):
+    """Revenue of lineitems supplied by nation 3 (non-empty at every gate SF), with the lineitem
+    scan Bloom-reduced on l_suppkey before the confirming semi-join.
+    Gate uses a 64 Kbit filter (1 Kword literal); production default
+    is 1 Mbit (operators/bloom.py)."""
+    from shmr_spark.operators.bloom import bloom_semi_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_returnflag", "l_extendedprice", "l_discount"
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .where(F.col("s_nationkey") == 3)
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    kept = bloom_semi_join(li, supp, "l_suppkey", num_bits=1 << 16)
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("double")
+    return (
+        kept.groupBy("l_returnflag")
+        .agg(F.count("*").alias("n_items"), dsum(rev).alias("revenue"))
+        .orderBy("l_returnflag")
+    )

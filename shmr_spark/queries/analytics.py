@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 from shmr_spark.catalog import load_table
 from shmr_spark.functions.zorder import sql_zorder_key
 from shmr_spark.dataset import Dataset, bounded_sort
-from shmr_spark.functions.numeric import dsum, sql_dsum
+from shmr_spark.functions.numeric import dmul, dsum, sql_dsum
 from shmr_spark.queries import query
 
 # --------------------------------------------------------------------------
@@ -1778,3 +1778,63 @@ def apportion_sample_quota(spark, sf_dir):
     counts = docs.groupBy("lang").agg(F.count("*").alias("n"))
     out = apportion(counts, total=1000, key_cols=["lang"])
     return bounded_sort(out, "lang")  # 5 languages
+
+
+# --------------------------------------------------------------------------
+# Per-group OLS regression from exact sufficient statistics: slope and
+# intercept derive from five order-insensitive aggregates (n, Σx, Σy,
+# Σxy, Σx²) computed via the scaled-int64 dsum discipline, so both
+# engines feed IDENTICAL doubles into the identical closed-form
+# arithmetic — the one place float regression is hash-comparable.
+# (F.regr_slope / DuckDB regr_slope are NOT: their internal summation
+# orders differ.) One partial+final aggregate pass; no second scan.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "regression_price_qty",
+    oracle=f"""
+WITH s AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         {sql_dsum('l_quantity')} AS sx,
+         {sql_dsum('l_extendedprice')} AS sy,
+         {sql_dsum('l_quantity * l_extendedprice')} AS sxy,
+         {sql_dsum('l_quantity * l_quantity')} AS sxx
+  FROM lineitem
+  GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       CAST(n AS BIGINT) AS n,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+       round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+         AS intercept
+FROM s
+ORDER BY l_returnflag
+""",
+)
+def regression_price_qty(spark, sf_dir):
+    """OLS fit of extendedprice against quantity per returnflag.
+    |Σxy| ≈ 2.6e10 at sf0.01 — three orders under dsum's int64 wrap
+    bound, and the runtime wrap guard fails loudly if a larger corpus
+    ever crosses it."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+    x = F.col("l_quantity").cast("double")
+    y = F.col("l_extendedprice").cast("double")
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("double").alias("n"),
+        dsum(x).alias("sx"),
+        dsum(y).alias("sy"),
+        dsum(dmul(x, y)).alias("sxy"),
+        dsum(dmul(x, x)).alias("sxx"),
+    )
+    n, sx, sy, sxy, sxx = (F.col(c) for c in ("n", "sx", "sy", "sxy", "sxx"))
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        "l_returnflag",
+        n.cast("long").alias("n"),
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+    ).orderBy("l_returnflag")
