@@ -42,16 +42,21 @@ def _positions(key: Column, num_bits: int, num_hashes: int) -> list[Column]:
     """Kirsch-Mitzenmacher double hashing: two independent xxhash64
     draws (seeded by a literal second argument — xxhash64 SKIPS null
     args, so the literal also keeps a NULL key from hashing to the
-    empty input) combine into k positions. pmod keeps positions
-    non-negative."""
-    h1 = F.xxhash64(key, F.lit(0x5BD1))
-    h2 = F.xxhash64(key, F.lit(0x9E37))
-    # force h2 odd so it is coprime with the power-of-two m and the k
-    # positions cannot collapse onto one bit when h2 % m == 0
-    h2 = h2.bitwiseOR(F.lit(1))
-    return [
-        F.pmod(h1 + F.lit(i) * h2, F.lit(num_bits)) for i in range(num_hashes)
-    ]
+    empty input) combine into k positions.
+
+    Both draws are reduced modulo num_bits BEFORE the i*h2 combine:
+    Spark 4 runs ANSI mode by default, where ``i * <full-range int64>``
+    raises ARITHMETIC_OVERFLOW instead of wrapping (for a uniform h2
+    the chance that all k-1 products fit in int64 is ~1/(k-1)!). After
+    the reduction every intermediate is < k * num_bits, overflow-free
+    for any num_bits ≤ 2^59. pmod by the power-of-two num_bits
+    preserves h2's low bit, so forcing it odd AFTER the reduction
+    keeps it coprime with num_bits and the k positions cannot collapse
+    onto one bit."""
+    m = F.lit(num_bits)
+    h1 = F.pmod(F.xxhash64(key, F.lit(0x5BD1)), m)
+    h2 = F.pmod(F.xxhash64(key, F.lit(0x9E37)), m).bitwiseOR(F.lit(1))
+    return [F.pmod(h1 + F.lit(i) * h2, m) for i in range(num_hashes)]
 
 
 def build_bloom_bits(
@@ -112,15 +117,18 @@ def bloom_might_contain(
 ) -> Column:
     """Pure-expression membership probe against a built bitmap: AND
     over the k bit tests, each an element_at + bitwiseAND on a literal
-    array<long> — no UDF, stays in codegen. NULL key probes to NULL
-    (filter drops it), matching semi-join semantics."""
+    array<long> — no UDF, stays in codegen. A NULL key probes to NULL
+    (so a WHERE drops it, matching semi-join semantics) — this needs
+    an explicit isNotNull guard because xxhash64 SKIPS null arguments:
+    without it a NULL key would hash to the constant seed-only
+    positions and return a real (possibly true) boolean."""
     kc = F.col(key) if isinstance(key, str) else key
     arr = _bits_literal(bits)
     test = F.lit(True)
     for pos in _positions(kc, num_bits, num_hashes):
         word = F.element_at(arr, (pos / 64).cast("int") + 1)
         test = test & (word.bitwiseAND(_shl1(pos.cast("int") % 64)) != 0)
-    return test
+    return F.when(kc.isNotNull(), test)
 
 
 def bloom_semi_join(

@@ -67,10 +67,17 @@ def heavy_hitters(df: DataFrame, col: str, phi: float) -> DataFrame:
         src.mapInPandas(_mg_sketch_partition(capacity, col), schema=src.schema)
         .distinct()
     )
-    total = src.count()
+    # The φ·N threshold rides IN-PLAN as a broadcast 1-row aggregate
+    # (not a driver count()): building this DataFrame must not run
+    # jobs — a plan-construction action would execute the corpus scan
+    # once for the threshold and again on the caller's action, and it
+    # breaks lazy composition (the round-8 gate-walk enforcement).
+    total = src.agg(F.count(F.lit(1)).alias("__total"))
     return (
         src.join(F.broadcast(candidates), col)
         .groupBy(col)
         .agg(F.count("*").alias("n"))
-        .filter(F.col("n") > phi * total)
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("n") > F.lit(phi) * F.col("__total"))
+        .drop("__total")
     )

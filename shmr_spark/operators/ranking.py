@@ -34,31 +34,44 @@ from pyspark.sql import functions as F
 N_BUCKETS = 4096
 
 
-def _auto_bucket(df: DataFrame, key_col: str) -> Column:
-    """Order-preserving coarsening of a numeric key into at most
-    N_BUCKETS fixed-width cells: floor((key - min) / width). One
-    cheap min/max scan-aggregate sizes the width (two doubles to the
-    driver — kmeans economics), so the bucket-totals table stays
+def _auto_bucketed(df: DataFrame, key_col: str) -> DataFrame:
+    """``df`` + ``__bucket``: an order-preserving coarsening of a
+    numeric key into at most N_BUCKETS fixed-width cells —
+    floor((key - min) / width) — so the bucket-totals table stays
     O(N_BUCKETS) no matter how large or how unique the corpus keys
     are. A naive floor(key) bucket would make the totals table O(N)
     for near-unique float keys and single-task its offsets window —
     the exact failure this module exists to avoid.
 
+    min/max ride IN-PLAN as a broadcast 1-row aggregate (one extra
+    pass over df at action time) rather than a driver ``first()``:
+    plan construction runs zero jobs, so composing this under an
+    unexecuted pipeline segment no longer executes that segment
+    eagerly (the round-8 gate-walk enforcement; previously
+    training_pipeline had to pass an explicit bucket to dodge it).
+
     Monotonicity (not placement) is what correctness needs: IEEE
     subtract/divide by positive constants and floor are all monotone
     non-decreasing, so equal keys share a bucket and larger keys
     never get a smaller one, regardless of rounding at cell edges.
+    The lo==hi (or all-NULL) degenerate collapses to bucket 0 via the
+    guard — the double division itself can't raise (ANSI exempts
+    floating-point /0), the guard keeps the bucket deterministic.
     """
-    lo, hi = df.groupBy().agg(
-        F.min(F.col(key_col).cast("double")), F.max(F.col(key_col).cast("double"))
-    ).first()
-    if lo is None or hi is None or lo == hi:
-        return F.lit(0).cast("long")
-    width = (hi - lo) / N_BUCKETS
-    return F.least(
-        F.floor((F.col(key_col).cast("double") - F.lit(lo)) / F.lit(width)),
-        F.lit(N_BUCKETS - 1),
-    ).cast("long")
+    kd = F.col(key_col).cast("double")
+    mm = df.groupBy().agg(F.min(kd).alias("__lo"), F.max(kd).alias("__hi"))
+    width = (F.col("__hi") - F.col("__lo")) / F.lit(N_BUCKETS)
+    bucket = F.when(
+        F.col("__lo").isNull() | (F.col("__lo") == F.col("__hi")),
+        F.lit(0),
+    ).otherwise(
+        F.least(F.floor((kd - F.col("__lo")) / width), F.lit(N_BUCKETS - 1))
+    )
+    return (
+        df.crossJoin(F.broadcast(mm))
+        .withColumn("__bucket", bucket.cast("long"))
+        .drop("__lo", "__hi")
+    )
 
 
 def global_rank(
@@ -72,14 +85,15 @@ def global_rank(
 
     ``bucket`` must be an order-preserving coarsening of ``key_col``
     (same bucket ordering as key ordering); default: fixed-width
-    cells sized from a min/max scan (numeric keys — see
-    _auto_bucket; pass an explicit bucket for strings/dates).
+    cells sized from an in-plan min/max aggregate (numeric keys — see
+    _auto_bucketed; pass an explicit bucket for strings/dates).
     (key_col, id_col) pairs must be unique per row — the rank is
     then total-order deterministic.
     """
     if bucket is None:
-        bucket = _auto_bucket(df, key_col)
-    rows = df.withColumn("__bucket", bucket)
+        rows = _auto_bucketed(df, key_col)
+    else:
+        rows = df.withColumn("__bucket", bucket)
 
     totals = rows.groupBy("__bucket").agg(F.count(F.lit(1)).alias("__bcnt"))
     w_b = Window.orderBy("__bucket").rowsBetween(Window.unboundedPreceding, -1)

@@ -144,14 +144,14 @@ def training_pipeline(
         sel.select("doc_id", "n_tokens"), budget=pack_budget
     ).join(sel.select("doc_id", "quality"), "doc_id")
 
-    # Explicit shard bucket: range_shards' default _auto_bucket runs a
-    # min/max scan at PLAN-CONSTRUCTION time, which would execute the
-    # whole selection→packing segment eagerly and then again on the
-    # caller's action. start_tok's range is known up front (selection
-    # keeps start_tok < fraction·total), so a fixed-width coarsening
-    # derives from one cheap aggregate over the already-persisted
-    # survivors — the expensive segment executes exactly once, and the
-    # bucket count stays ≤ ~4096 at any corpus size.
+    # Explicit shard bucket: range_shards' default in-plan min/max
+    # (ranking._auto_bucketed) would add a second action-time pass
+    # over the selection→packing segment just to size the cells.
+    # start_tok's range is known up front (selection keeps start_tok
+    # < fraction·total), so a fixed-width coarsening derives from one
+    # cheap aggregate over the already-persisted survivors — the
+    # expensive segment executes exactly once, and the bucket count
+    # stays ≤ ~4096 at any corpus size.
     total_tokens = scored.agg(F.sum("n_tokens")).collect()[0][0] or 0
     width = max(1, int(total_tokens * budget_fraction) // 4096 + 1)
     shard_bucket = F.floor(F.col("start_tok") / F.lit(width)).cast("long")

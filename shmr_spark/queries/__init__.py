@@ -47,74 +47,84 @@ def query(name: str, oracle: str | None = None, headline: bool = False):
 # Registry emission order. The driver's correctness gate has a budget
 # (every round so far recorded exactly the first 50 registered
 # queries), so the order below is part of the verification strategy.
-# The registry has been CLOSED since round 5 (every query has a green
-# driver row somewhere in r1-r6), so windows are pure rotation +
-# re-verification. Round-7's window is 44 + 6 = 50, in two groups:
-#   1. the 44 queries whose newest green is round 3 — after round 6
-#      rotated the r2 cohort, these are the oldest driver evidence
-#      left in the series. Landing them makes every registry query's
-#      newest green r4+; round 8 takes the 43-query r4 cohort, which
-#      completes the full second pass over the registry.
-#   2. canaries (standing policy): previously-green anchors spread
-#      across modules/tiers so a regression in rotated-out code is
-#      caught on a bounded cadence — the flagship aggregate, the
-#      compat RDD fold (also covers this round's _parse_any envelope
-#      change), §2 trivia, and one gate each from the dedup / ANN /
-#      relational fact-fact tiers. Names absent from this list keep
-#      module registration order after it.
+# The registry was CLOSED at 176 through round 6, REOPENED to 178 in
+# round 7 (bloom_semi_join_revenue, regression_price_qty) — and those
+# two shipped WITHOUT window slots, which is how the bloom ANSI
+# overflow reached the tree unverified (VERDICT r7). Round-8's window
+# re-establishes the rule that new/changed code outranks rotation:
+#   1. the two r7-introduced gates, never driver-checked (bloom now
+#      carries the r8 overflow fix, verified at sf0.001 + sf0.01
+#      locally and by tests/test_bloom.py);
+#   2. the three queries whose plans changed this round when the
+#      gate-walk job-count enforcement (tests/test_gate_schemas.py)
+#      flagged their plan-construction driver actions — each now
+#      computes its scalar (token total / φ·N threshold / min-max
+#      bucket width) as an in-plan broadcast 1-row aggregate;
+#   3. 41 of the 43 queries whose newest green is round 4 — the
+#      oldest evidence left after r7 rotated the r3 cohort (40 listed
+#      below; range_shards_orders is the 41st, already in group 2).
+#      The remaining 2 (window_sliding, zorder_keys) roll to round 9,
+#      which completes the second full registry pass;
+#   4. canaries (standing policy): previously-green anchors spread
+#      across modules/tiers — the flagship aggregate, the compat RDD
+#      fold, and one gate each from the dedup / ANN / relational
+#      fact-fact tiers. Names absent from this list keep module
+#      registration order after it.
 _PRIORITY: list[str] = [
-    # -- group 1: the 44 r3-latest greens (rotation cohort)
-    "activity_bitmaps",
-    "activity_streaks",
-    "asof_join_prev",
-    "bm25_top_terms",
-    "cogroup_reconcile",
-    "cohort_retention",
-    "conversion_latency",
-    "daily_spine_counts",
-    "dedup_corpus_neardup",
-    "dedup_minhash",
-    "dedup_simhash",
-    "forward_fill_values",
-    "fuzzy_name_pairs",
-    "grouped_mad",
-    "grouping_sets_agg",
-    "histogram",
-    "json_extract_props",
-    "knn_join_lsh",
-    "latest_event_state",
-    "merge_upsert",
-    "moving_average_orders",
-    "multimodal_audio_featurize",
-    "multimodal_jpeg_featurize",
-    "null_safe_join",
-    "order_value_deciles",
-    "profile_columns",
-    "referential_integrity",
-    "revenue_contribution",
-    "salted_agg_revenue",
-    "salted_join_revenue",
-    "similarity_indexed_topk",
-    "similarity_ivf_kmeans_topk",
-    "similarity_ivf_topk",
-    "similarity_lsh_topk",
-    "similarity_quantized_rerank",
-    "stratified_sample",
-    "tfidf_top_terms",
-    "time_weighted_avg",
-    "train_test_split",
-    "udtf_sentences",
+    # -- group 1: the r7 gates, first driver evidence (2)
+    "bloom_semi_join_revenue",
+    "regression_price_qty",
+    # -- group 2: plans changed this round (3)
     "unigram_logprob_score",
-    "unpivot_melt",
-    "variant_extract",
-    "window_tumbling",
-    # -- group 2: canaries (6)
+    "heavy_hitters_tokens",
+    "range_shards_orders",
+    # -- group 3: 40 of the 43 r4-latest greens (rotation cohort)
+    "apply_side_effect",
+    "bool_aggregates",
+    "bpe_pair_counts",
+    "corpus_snapshot_diff",
+    "correlation",
+    "count_distinct",
+    "cube_agg",
+    "dedup_incremental",
+    "dedup_minhash_incremental",
+    "dedup_semantic",
+    "duplicate_spans",
+    "event_transitions",
+    "filter_orders",
+    "interval_join_events",
+    "monthly_trend",
+    "multimodal_resize",
+    "outlier_filter",
+    "pack_sequences",
+    "pagerank_trade_graph",
+    "percentile_ranks",
+    "percentiles",
+    "pivot_agg",
+    "q10_returned_top_customers",
+    "q14_promo_share",
+    "q18_large_orders",
+    "redact_pii",
+    "rolling_user_window",
+    "rollup_agg",
+    "rollup_incremental",
+    "scd2_intervals",
+    "sentence_dedup",
+    "session_window_agg",
+    "sessionize",
+    "split_by_key_buckets",
+    "token_budget_select",
+    "topk_global",
+    "topk_per_group",
+    "training_subset",
+    "validate_orders",
+    "window_functions",
+    # -- group 4: canaries (5)
     "reduce_by_key_q1",
     "compat_records_fold",
-    "head_sorted",
-    "sql_q5_region_revenue",
-    "similarity_topk",
     "dedup_exact",
+    "similarity_topk",
+    "q9_profit_by_nation",
 ]
 
 

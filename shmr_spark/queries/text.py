@@ -793,12 +793,16 @@ def unigram_logprob_score(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
     vocab = toks.groupBy("token").agg(F.count("*").alias("tf"))
-    total = toks.count()
+    # corpus token total as an in-plan broadcast scalar, not a driver
+    # count(): identical double division (tf/long-cast-double), zero
+    # plan-construction jobs (round-8 gate-walk enforcement)
+    total = toks.agg(F.count(F.lit(1)).cast("double").alias("__total"))
     scored = (
         toks.join(F.broadcast(vocab), "token")
+        .crossJoin(F.broadcast(total))
         .groupBy("doc_id")
         .agg(
-            davg(F.log(F.col("tf") / F.lit(float(total)))).alias("mean_logprob"),
+            davg(F.log(F.col("tf") / F.col("__total"))).alias("mean_logprob"),
             F.count("*").alias("n_tokens"),
         )
     )

@@ -1,0 +1,123 @@
+"""Bloom semi-join reduction (shmr_spark/operators/bloom.py).
+
+The round-7 lesson encoded here: the Kirsch-Mitzenmacher combine
+``h1 + i*h2`` on full-range xxhash64 values overflows int64, and
+Spark 4's default ANSI mode turns that into ARITHMETIC_OVERFLOW — but
+the failure only shows on a MULTI-key dim (per key, the chance that
+all four i*h2 products fit in int64 is ~1/24, so a single lucky key
+can pass). Every test here therefore (a) asserts the session really
+is ANSI, and (b) drives hundreds-to-thousands of distinct keys so a
+lucky-hash fluke cannot green-light an overflow again.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from shmr_spark.catalog import load_table
+from shmr_spark.operators.bloom import (
+    bloom_might_contain,
+    bloom_semi_join,
+    build_bloom_bits,
+)
+
+
+def test_session_is_ansi(spark):
+    """The overflow class only exists under ANSI arithmetic; if this
+    flips, the suite silently stops covering it."""
+    assert spark.conf.get("spark.sql.ansi.enabled") == "true"
+
+
+def test_bloom_semi_join_equals_left_semi(spark, sf_dir):
+    """bloom_semi_join ≡ left_semi row-for-row on real tables, with a
+    multi-key dim (hundreds of distinct custkeys, vs the single
+    supplier key that masked the r7 overflow at sf0.001)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("o_custkey"))
+    )
+    assert dim.count() > 20  # multi-key guarantee (34 at sf0.001)
+    got = bloom_semi_join(orders, dim, "o_custkey", num_bits=1 << 14)
+    want = orders.join(dim.distinct(), "o_custkey", "left_semi")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_no_false_negatives_and_fp_rate(spark):
+    """Every inserted key probes true; absent keys probe true at below
+    the theoretical rate (n=1000, m=2^14, k=5 → (1-e^(-kn/m))^k ≈
+    0.0013; bound at 0.01 for slack)."""
+    num_bits = 1 << 14
+    present = spark.range(0, 1000).select(F.col("id").alias("k"))
+    bits = build_bloom_bits(present, "k", num_bits=num_bits)
+    probe = bloom_might_contain("k", bits, num_bits)
+    hits = present.where(probe).count()
+    assert hits == 1000  # no false negatives, ever
+    absent = spark.range(1000, 11000).select(F.col("id").alias("k"))
+    fps = absent.where(probe).count()
+    assert fps / 10000 < 0.01
+
+
+def test_ansi_overflow_regression_many_keys(spark):
+    """10k full-range string keys through build+probe under the
+    default (ANSI) session — the exact shape that crashed r7. The
+    assertion is simply that it RUNS and keeps every inserted key."""
+    keys = spark.range(0, 10000).select(
+        F.sha2(F.col("id").cast("string"), 256).alias("k")
+    )
+    bits = build_bloom_bits(keys, "k", num_bits=1 << 16)
+    assert keys.where(bloom_might_contain("k", bits, 1 << 16)).count() == 10000
+
+
+def test_null_key_probes_null(spark):
+    """A NULL key must probe to NULL (filter drops it), not to a real
+    boolean — xxhash64 skips null args, so this needs the explicit
+    isNotNull guard in bloom_might_contain."""
+    bits = build_bloom_bits(
+        spark.range(0, 100).select(F.col("id").alias("k")), "k", num_bits=1 << 10
+    )
+    df = spark.range(0, 3).select(
+        F.when(F.col("id") < 2, F.col("id")).alias("k")
+    )
+    rows = df.select(
+        F.col("k"), bloom_might_contain("k", bits, 1 << 10).alias("hit")
+    ).collect()
+    by_k = {r["k"]: r["hit"] for r in rows}
+    assert by_k[0] is True and by_k[1] is True
+    assert by_k[None] is None
+    # and the semi-join never keeps the NULL-key row
+    dim = spark.range(0, 100).select(F.col("id").alias("k"))
+    kept = bloom_semi_join(df, dim, "k", num_bits=1 << 10)
+    assert sorted(r["k"] for r in kept.collect()) == [0, 1]
+
+
+def test_bits_literal_constant_folds(spark):
+    """The split-a-string bitmap literal (bloom._bits_literal) must
+    collapse to ONE array Literal under ConstantFolding — the plan the
+    probe broadcasts must not re-split the string per row."""
+    bits = build_bloom_bits(
+        spark.range(0, 50).select(F.col("id").alias("k")), "k", num_bits=1 << 10
+    )
+    df = spark.range(0, 10).select(
+        bloom_might_contain(F.col("id"), bits, 1 << 10).alias("hit")
+    )
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "split(" not in optimized  # folded away
+    assert "element_at" in optimized  # probe itself stays an expression
+
+
+def test_probe_filter_stays_in_codegen(spark):
+    """The probe is a pure expression: the filtered scan must sit
+    inside a WholeStageCodegen span, with no BatchEvalPython /
+    ArrowEvalPython node anywhere."""
+    bits = build_bloom_bits(
+        spark.range(0, 50).select(F.col("id").alias("k")), "k", num_bits=1 << 10
+    )
+    df = spark.range(0, 1000).where(bloom_might_contain(F.col("id"), bits, 1 << 10))
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "*(1) Filter" in plan  # *(n) = WholeStageCodegen span marker
+    assert "EvalPython" not in plan

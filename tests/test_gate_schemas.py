@@ -42,8 +42,9 @@ FORBIDDEN = (T.ArrayType, T.MapType, T.StructType, T.DecimalType)
 # Queries whose bodies legitimately run driver actions while BUILDING
 # their result DataFrame (not merely when the caller acts on it), and
 # the action class each runs. Everything else must derive its schema
-# via plan analysis only; a non-listed query tripping the watchdog is
-# a finding (either remove the action or list it here with a reason).
+# via plan analysis only — ENFORCED below via a per-query job group +
+# statusTracker check (round 8; previously advisory, which let a fast
+# unlisted action slip through), on top of the hang watchdog.
 ACTION_RUNNING: dict[str, str] = {
     # full Structured Streaming replays to a memory sink
     "streaming_tumbling": "stream replay",
@@ -74,6 +75,14 @@ ACTION_RUNNING: dict[str, str] = {
     "bpe_pair_counts": "per-merge 1-row winner collects",
     # the opaque-Python-fn compat tier materializes through RDDs
     "compat_records_fold": "RDD fold",
+    # eager Bloom bitmap build (≤ num_bits/64 rows by construction)
+    "bloom_semi_join_revenue": "bounded bitmap collect",
+    # minhash banding pins lineage at lazy localCheckpoints; building
+    # the plan under AQE materializes those checkpoint stages (the
+    # compute is needed exactly once and is reused by every consumer —
+    # deliberate design, dedup/minhash.py band_rows docstring)
+    "dedup_minhash": "AQE stage materialization at banding checkpoints",
+    "leakage_safe_split": "banding checkpoints + component rounds",
 }
 
 # generous on a loaded machine, small enough that a real hang fails
@@ -95,14 +104,25 @@ def _derive_schema(spec, spark, sf_dir, budget_s):
     """Run spec.fn in a watchdog thread; raise TimeoutError past the
     budget. The hung thread is daemonic and leaks (a stuck Spark
     action cannot be cancelled in-process) — the value is failing BY
-    QUERY NAME instead of stalling the sweep."""
+    QUERY NAME instead of stalling the sweep.
+
+    The thread also pins a per-query job GROUP (thread-local under
+    PySpark's pinned-thread mode) so the caller can ask the
+    statusTracker whether the body ran any Spark job at all — the
+    round-7 lesson: the watchdog alone only catches HANGS, so a FAST
+    unlisted driver action (bloom's eager bitmap collect) slipped
+    through the advisory policy. Returns (schema, ran_jobs)."""
     out: dict = {}
+    group = f"schema-derivation::{spec.name}"
 
     def run():
         try:
+            spark.sparkContext.setJobGroup(group, "gate schema walk")
             out["schema"] = spec.fn(spark, sf_dir).schema
         except Exception as exc:  # noqa: BLE001 - reported by caller
             out["error"] = exc
+        finally:
+            spark.sparkContext.setJobGroup("", "")
 
     t = threading.Thread(target=run, daemon=True)
     t.start()
@@ -111,16 +131,29 @@ def _derive_schema(spec, spark, sf_dir, budget_s):
         raise TimeoutError(f"still running after {budget_s}s")
     if "error" in out:
         raise out["error"]
-    return out["schema"]
+    jobs = spark.sparkContext.statusTracker().getJobIdsForGroup(group)
+    return out["schema"], bool(jobs)
 
 
 def test_all_gate_outputs_are_primitive_scalars(spark, sf_dir, registry):
+    # Pre-warm the per-session table cache: the FIRST spark.read of
+    # each parquet table runs a footer/schema-inference job, which
+    # would otherwise be charged to whichever query happens to touch
+    # that table first in walk order — the job check below must
+    # measure query-BODY actions only.
+    from shmr_spark.catalog import load_tables
+
+    load_tables(spark, sf_dir)
+
     violations: list[str] = []
     errors: list[str] = []
+    stealth_actions: list[str] = []
     for name, spec in registry.items():
         budget = ACTION_BUDGET_S if name in ACTION_RUNNING else FAST_BUDGET_S
         try:
-            schema = _derive_schema(spec, spark, sf_dir, budget)
+            schema, ran_jobs = _derive_schema(spec, spark, sf_dir, budget)
+            if ran_jobs and name not in ACTION_RUNNING:
+                stealth_actions.append(name)
         except TimeoutError as exc:
             hint = (
                 f"(allowlisted: {ACTION_RUNNING[name]})"
@@ -139,6 +172,12 @@ def test_all_gate_outputs_are_primitive_scalars(spark, sf_dir, registry):
                     f"{name}.{field.name}: {field.dataType.simpleString()}"
                 )
     assert not errors, "\n".join(errors)
+    assert not stealth_actions, (
+        "queries ran Spark jobs during schema derivation without an "
+        "ACTION_RUNNING entry (the policy is enforced, not advisory — "
+        "either remove the action or list it with a reason): "
+        + ", ".join(stealth_actions)
+    )
     assert not violations, (
         "gate outputs must be primitive scalars (driver harness cannot "
         "hash DECIMAL/ARRAY/MAP/STRUCT through pandas):\n"

@@ -1,0 +1,169 @@
+"""Measure the Bloom semi-join reduction against its alternatives
+(verdict r7 task 6): the claim in operators/bloom.py — "pre-filters
+the fact scan down to selectivity+FP of its rows BEFORE the exchange"
+— carried as a number, not a docstring assertion.
+
+Regime framing (what this A/B is and is not): bloom_semi_join targets
+the dim-too-big-to-BROADCAST regime, where a plain left_semi must
+shuffle the ENTIRE fact table on the join key. The bench therefore
+pins spark.sql.autoBroadcastJoinThreshold=-1 for the shuffle arms —
+at 100 TB a multi-ten-million-key dim is past broadcast range by
+construction, while at bench scale Catalyst would happily broadcast
+the 400-key dim and make every arm look alike. The broadcast
+baseline is still REPORTED (explicit F.broadcast hint) so the regime
+boundary is visible: when the dim fits in a broadcast, use the
+broadcast join; the bloom reduction is for when it doesn't.
+
+Arms (all row-identical, asserted before timing):
+  semi_plain   lineitem LEFT SEMI supplier(nation=3) on l_suppkey,
+               shuffle (sort-merge) join + revenue agg
+  semi_bloom   same, fact pre-filtered by operators/bloom.py's
+               broadcast-literal bitmap, then the confirming semi
+  semi_spark_bf same shape but Spark's own bloom_filter_agg /
+               might_contain pair builds the bitmap (cross-check
+               that our literal-bitmap design is at least as good
+               as the built-in sketch)
+  semi_broadcast the explicit-broadcast baseline (the other regime)
+
+Also prints the pre-filter selectivity — kept/total fact rows, the
+shuffle-bytes proxy that holds at any scale.
+
+Run: python tools/bench_bloom.py [--sf10]  → one JSON line (also
+written to BLOOM_BENCH.json at the repo root). --sf10 adds the 100×
+corpus pass (~minutes).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from shmr_spark import get_spark  # noqa: E402
+from shmr_spark.catalog import load_table  # noqa: E402
+from shmr_spark.functions.numeric import dsum  # noqa: E402
+from shmr_spark.operators.bloom import (  # noqa: E402
+    bloom_might_contain,
+    bloom_semi_join,
+    build_bloom_bits,
+)
+from tools.make_scaled_sf import make_scaled  # noqa: E402
+
+NUM_BITS = 1 << 20
+DIM_NATION = 3  # the gate query's nation — non-empty at every SF
+
+
+def _timed(df_factory, reps: int = 3) -> float:
+    df_factory().write.format("noop").mode("overwrite").save()  # warm
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        df_factory().write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
+def _corpus_pass(spark, sf_dir: str, label: str) -> dict:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_returnflag", "l_extendedprice", "l_discount"
+    )
+    dim = (
+        load_table(spark, sf_dir, "supplier")
+        .where(F.col("s_nationkey") == DIM_NATION)
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("double")
+
+    def agg(kept):
+        return kept.groupBy("l_returnflag").agg(
+            F.count("*").alias("n"), dsum(revenue).alias("revenue")
+        )
+
+    def semi_plain():
+        return agg(li.join(dim.distinct(), "l_suppkey", "left_semi"))
+
+    def semi_bloom():
+        return agg(bloom_semi_join(li, dim, "l_suppkey", num_bits=NUM_BITS))
+
+    # Spark's own sketch pair: build the binary filter once (same
+    # bounded-collect class as our bitmap), probe with might_contain,
+    # confirm with the real semi — identical exactness contract.
+    n_keys = dim.count()
+    bf = dim.agg(
+        F.expr(
+            f"bloom_filter_agg(xxhash64(l_suppkey), "
+            f"CAST({max(n_keys, 1)} AS BIGINT), CAST({NUM_BITS} AS BIGINT))"
+        ).alias("bf")
+    ).collect()[0]["bf"]
+
+    def semi_spark_bf():
+        return agg(
+            li.withColumn("__bf", F.lit(bytearray(bf)))
+            .where(F.expr("might_contain(__bf, xxhash64(l_suppkey))"))
+            .drop("__bf")
+            .join(dim.distinct(), "l_suppkey", "left_semi")
+        )
+
+    def semi_broadcast():
+        return agg(li.join(F.broadcast(dim.distinct()), "l_suppkey", "left_semi"))
+
+    # correctness cross-check: every arm row-identical
+    want = sorted(map(tuple, semi_plain().collect()))
+    for arm, name in (
+        (semi_bloom, "bloom"),
+        (semi_spark_bf, "spark_bf"),
+        (semi_broadcast, "broadcast"),
+    ):
+        got = sorted(map(tuple, arm().collect()))
+        assert got == want, f"{name} arm diverged from plain left_semi"
+
+    # pre-filter selectivity: the shuffle-rows proxy
+    fact_rows = li.count()
+    bits = build_bloom_bits(dim, "l_suppkey", num_bits=NUM_BITS)
+    kept_rows = li.where(
+        bloom_might_contain("l_suppkey", bits, NUM_BITS)
+    ).count()
+
+    return {
+        "corpus": label,
+        "fact_rows": fact_rows,
+        "dim_keys": n_keys,
+        "bloom_kept_rows": kept_rows,
+        "bloom_kept_frac": round(kept_rows / fact_rows, 5),
+        "semi_plain_sec": _timed(semi_plain),
+        "semi_bloom_sec": _timed(semi_bloom),
+        "semi_spark_bf_sec": _timed(semi_spark_bf),
+        "semi_broadcast_sec": _timed(semi_broadcast),
+    }
+
+
+def main() -> None:
+    spark = get_spark(
+        app_name="bench_bloom",
+        extra_conf={"spark.sql.autoBroadcastJoinThreshold": "-1"},
+    )
+    base = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf1 = os.path.join(REPO, ".scaled", "sf1")
+    make_scaled(spark, 10, base, sf1)
+
+    passes = [_corpus_pass(spark, sf1, "sf1 (10x sf0.1)")]
+    if "--sf10" in sys.argv:
+        sf10 = os.path.join(REPO, ".scaled", "sf10")
+        make_scaled(spark, 100, base, sf10)
+        passes.append(_corpus_pass(spark, sf10, "sf10 (100x sf0.1)"))
+
+    result = {"metric": "bloom_bench", "num_bits": NUM_BITS, "passes": passes}
+    line = json.dumps(result)
+    print(line)
+    with open(os.path.join(REPO, "BLOOM_BENCH.json"), "w") as f:
+        f.write(line + "\n")
+
+
+if __name__ == "__main__":
+    main()
