@@ -11,7 +11,12 @@ semi-join reduction. The result is still EXACT: a confirming
 ``left_semi`` against the real key set removes Bloom false positives,
 so ``bloom_semi_join(fact, dim, k) ≡ fact SEMI JOIN dim USING (k)``
 row-for-row — which is how the gate query carries a plain IN-subquery
-DuckDB oracle. (Spark's own runtime bloom pruning —
+DuckDB oracle. Measured (tools/bench_bloom.py, BLOOM_BENCH.json): at
+60M fact rows the reduction keeps 3.7 % of the scan and wins 2.1×
+over the plain shuffle semi-join; at 6M the bitmap build still
+outweighs the saved exchange (0.85 → 1.01 s) — this is a
+big-fact-side operator, and when the dim fits in a broadcast, the
+broadcast join beats both (SCALING.md has the full table). (Spark's own runtime bloom pruning —
 ``spark.sql.optimizer.runtime.bloomFilter.enabled`` — does this
 opportunistically inside AQE; this operator makes the reduction an
 explicit, testable plan step with a deterministic filter.)

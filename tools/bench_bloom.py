@@ -19,11 +19,13 @@ Arms (all row-identical, asserted before timing):
                shuffle (sort-merge) join + revenue agg
   semi_bloom   same, fact pre-filtered by operators/bloom.py's
                broadcast-literal bitmap, then the confirming semi
-  semi_spark_bf same shape but Spark's own bloom_filter_agg /
-               might_contain pair builds the bitmap (cross-check
-               that our literal-bitmap design is at least as good
-               as the built-in sketch)
   semi_broadcast the explicit-broadcast baseline (the other regime)
+
+(A cross-check arm against Spark's own bloom_filter_agg/might_contain
+pair is not possible from SQL: both are INTERNAL expressions in Spark
+4.1 — UNRESOLVED_ROUTINE from spark.sql — reachable only through the
+optimizer's runtime-filter injection, which tests/test_plans.py
+already pins on a selective shuffle join.)
 
 Also prints the pre-filter selectivity — kept/total fact rows, the
 shuffle-bytes proxy that holds at any scale.
@@ -91,24 +93,7 @@ def _corpus_pass(spark, sf_dir: str, label: str) -> dict:
     def semi_bloom():
         return agg(bloom_semi_join(li, dim, "l_suppkey", num_bits=NUM_BITS))
 
-    # Spark's own sketch pair: build the binary filter once (same
-    # bounded-collect class as our bitmap), probe with might_contain,
-    # confirm with the real semi — identical exactness contract.
     n_keys = dim.count()
-    bf = dim.agg(
-        F.expr(
-            f"bloom_filter_agg(xxhash64(l_suppkey), "
-            f"CAST({max(n_keys, 1)} AS BIGINT), CAST({NUM_BITS} AS BIGINT))"
-        ).alias("bf")
-    ).collect()[0]["bf"]
-
-    def semi_spark_bf():
-        return agg(
-            li.withColumn("__bf", F.lit(bytearray(bf)))
-            .where(F.expr("might_contain(__bf, xxhash64(l_suppkey))"))
-            .drop("__bf")
-            .join(dim.distinct(), "l_suppkey", "left_semi")
-        )
 
     def semi_broadcast():
         return agg(li.join(F.broadcast(dim.distinct()), "l_suppkey", "left_semi"))
@@ -117,7 +102,6 @@ def _corpus_pass(spark, sf_dir: str, label: str) -> dict:
     want = sorted(map(tuple, semi_plain().collect()))
     for arm, name in (
         (semi_bloom, "bloom"),
-        (semi_spark_bf, "spark_bf"),
         (semi_broadcast, "broadcast"),
     ):
         got = sorted(map(tuple, arm().collect()))
@@ -138,7 +122,6 @@ def _corpus_pass(spark, sf_dir: str, label: str) -> dict:
         "bloom_kept_frac": round(kept_rows / fact_rows, 5),
         "semi_plain_sec": _timed(semi_plain),
         "semi_bloom_sec": _timed(semi_bloom),
-        "semi_spark_bf_sec": _timed(semi_spark_bf),
         "semi_broadcast_sec": _timed(semi_broadcast),
     }
 
