@@ -67,17 +67,18 @@ def heavy_hitters(df: DataFrame, col: str, phi: float) -> DataFrame:
         src.mapInPandas(_mg_sketch_partition(capacity, col), schema=src.schema)
         .distinct()
     )
-    # The φ·N threshold rides IN-PLAN as a broadcast 1-row aggregate
-    # (not a driver count()): building this DataFrame must not run
-    # jobs — a plan-construction action would execute the corpus scan
-    # once for the threshold and again on the caller's action, and it
-    # breaks lazy composition (the round-8 gate-walk enforcement).
+    # the φ·N threshold rides in-plan, not as a driver count()
+    # (functions/scalars.py has the zero-jobs-at-plan-build rationale)
+    from shmr_spark.functions.scalars import with_scalars
+
     total = src.agg(F.count(F.lit(1)).alias("__total"))
-    return (
+    counted = (
         src.join(F.broadcast(candidates), col)
         .groupBy(col)
         .agg(F.count("*").alias("n"))
-        .crossJoin(F.broadcast(total))
+    )
+    return (
+        with_scalars(counted, total)
         .filter(F.col("n") > F.lit(phi) * F.col("__total"))
         .drop("__total")
     )

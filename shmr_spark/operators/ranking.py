@@ -54,21 +54,29 @@ def _auto_bucketed(df: DataFrame, key_col: str) -> DataFrame:
     subtract/divide by positive constants and floor are all monotone
     non-decreasing, so equal keys share a bucket and larger keys
     never get a smaller one, regardless of rounding at cell edges.
-    The lo==hi (or all-NULL) degenerate collapses to bucket 0 via the
-    guard — the double division itself can't raise (ANSI exempts
-    floating-point /0), the guard keeps the bucket deterministic.
+    Degenerates are pinned explicitly: a NULL key goes to bucket -1 —
+    matching the NULLS-FIRST order Spark's default ascending sort
+    gives the in-bucket window, so the global rank stays a total
+    order (floor(NULL) falling into least() would otherwise land
+    NULL keys in the TOP bucket while sorting them first WITHIN it);
+    the lo==hi (or all-NULL) corpus collapses to bucket 0. The
+    double division itself can't raise (ANSI exempts floating-point
+    /0) — the guards are for determinism, not safety.
     """
+    from shmr_spark.functions.scalars import with_scalars
+
     kd = F.col(key_col).cast("double")
     mm = df.groupBy().agg(F.min(kd).alias("__lo"), F.max(kd).alias("__hi"))
     width = (F.col("__hi") - F.col("__lo")) / F.lit(N_BUCKETS)
-    bucket = F.when(
-        F.col("__lo").isNull() | (F.col("__lo") == F.col("__hi")),
-        F.lit(0),
-    ).otherwise(
-        F.least(F.floor((kd - F.col("__lo")) / width), F.lit(N_BUCKETS - 1))
+    bucket = (
+        F.when(kd.isNull(), F.lit(-1))
+        .when(F.col("__lo").isNull() | (F.col("__lo") == F.col("__hi")), F.lit(0))
+        .otherwise(
+            F.least(F.floor((kd - F.col("__lo")) / width), F.lit(N_BUCKETS - 1))
+        )
     )
     return (
-        df.crossJoin(F.broadcast(mm))
+        with_scalars(df, mm)
         .withColumn("__bucket", bucket.cast("long"))
         .drop("__lo", "__hi")
     )

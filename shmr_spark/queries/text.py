@@ -794,12 +794,13 @@ def unigram_logprob_score(spark, sf_dir):
     toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
     vocab = toks.groupBy("token").agg(F.count("*").alias("tf"))
     # corpus token total as an in-plan broadcast scalar, not a driver
-    # count(): identical double division (tf/long-cast-double), zero
-    # plan-construction jobs (round-8 gate-walk enforcement)
+    # count(): identical double division (tf/long-cast-double); see
+    # functions/scalars.py for the zero-jobs-at-plan-build rationale
+    from shmr_spark.functions.scalars import with_scalars
+
     total = toks.agg(F.count(F.lit(1)).cast("double").alias("__total"))
     scored = (
-        toks.join(F.broadcast(vocab), "token")
-        .crossJoin(F.broadcast(total))
+        with_scalars(toks.join(F.broadcast(vocab), "token"), total)
         .groupBy("doc_id")
         .agg(
             davg(F.log(F.col("tf") / F.col("__total"))).alias("mean_logprob"),

@@ -507,6 +507,29 @@ def test_global_rank_matches_naive_window(spark, sf_dir):
     assert got == want
 
 
+def test_global_rank_null_keys_rank_first(spark):
+    """NULL keys must occupy the FIRST ranks (Spark's default
+    ascending sort is NULLS FIRST, and the in-bucket window uses it)
+    — the round-8 review found floor(NULL) falling through least()
+    into the TOP bucket, which ranked NULL rows in the middle of the
+    largest keys' range and broke the total order."""
+    from pyspark.sql import Window
+
+    from shmr_spark.operators.ranking import global_rank
+
+    df = spark.range(1, 101).select(
+        F.col("id").alias("iid"),
+        F.when(F.col("id") % 10 != 0, F.col("id")).alias("k"),
+    )
+    got = {r.iid: r.rank for r in global_rank(df, "k", "iid").collect()}
+    w = Window.orderBy(F.asc_nulls_first("k"), "iid")
+    want = {
+        r.iid: r.rn
+        for r in df.select("iid", F.row_number().over(w).alias("rn")).collect()
+    }
+    assert got == want  # the 10 NULL-key rows hold ranks 1..10
+
+
 def test_range_shards_balanced_and_contiguous(spark, sf_dir):
     from shmr_spark.catalog import load_table
     from shmr_spark.operators.ranking import range_shards

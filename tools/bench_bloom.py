@@ -40,7 +40,6 @@ from __future__ import annotations
 import json
 import os
 import sys
-import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
@@ -55,20 +54,11 @@ from shmr_spark.operators.bloom import (  # noqa: E402
     bloom_semi_join,
     build_bloom_bits,
 )
+from tools.bench_common import timed  # noqa: E402
 from tools.make_scaled_sf import make_scaled  # noqa: E402
 
 NUM_BITS = 1 << 20
 DIM_NATION = 3  # the gate query's nation — non-empty at every SF
-
-
-def _timed(df_factory, reps: int = 3) -> float:
-    df_factory().write.format("noop").mode("overwrite").save()  # warm
-    best = float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        df_factory().write.format("noop").mode("overwrite").save()
-        best = min(best, time.perf_counter() - t0)
-    return round(best, 3)
 
 
 def _corpus_pass(spark, sf_dir: str, label: str) -> dict:
@@ -120,9 +110,9 @@ def _corpus_pass(spark, sf_dir: str, label: str) -> dict:
         "dim_keys": n_keys,
         "bloom_kept_rows": kept_rows,
         "bloom_kept_frac": round(kept_rows / fact_rows, 5),
-        "semi_plain_sec": _timed(semi_plain),
-        "semi_bloom_sec": _timed(semi_bloom),
-        "semi_broadcast_sec": _timed(semi_broadcast),
+        "semi_plain_sec": timed(semi_plain),
+        "semi_bloom_sec": timed(semi_bloom),
+        "semi_broadcast_sec": timed(semi_broadcast),
     }
 
 
@@ -135,8 +125,9 @@ def main() -> None:
     sf1 = os.path.join(REPO, ".scaled", "sf1")
     make_scaled(spark, 10, base, sf1)
 
+    full = "--sf10" in sys.argv
     passes = [_corpus_pass(spark, sf1, "sf1 (10x sf0.1)")]
-    if "--sf10" in sys.argv:
+    if full:
         sf10 = os.path.join(REPO, ".scaled", "sf10")
         make_scaled(spark, 100, base, sf10)
         passes.append(_corpus_pass(spark, sf10, "sf10 (100x sf0.1)"))
@@ -144,8 +135,15 @@ def main() -> None:
     result = {"metric": "bloom_bench", "num_bits": NUM_BITS, "passes": passes}
     line = json.dumps(result)
     print(line)
-    with open(os.path.join(REPO, "BLOOM_BENCH.json"), "w") as f:
-        f.write(line + "\n")
+    if full:
+        # only the two-pass run may replace the committed artifact —
+        # the sf10 row backs SCALING.md's headline 2.1x; a default
+        # (sf1-only) sanity run must not silently drop it
+        with open(os.path.join(REPO, "BLOOM_BENCH.json"), "w") as f:
+            f.write(line + "\n")
+    else:
+        print("(sf1-only run: BLOOM_BENCH.json left untouched; "
+              "pass --sf10 to refresh the committed artifact)")
 
 
 if __name__ == "__main__":

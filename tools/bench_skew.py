@@ -27,7 +27,6 @@ from __future__ import annotations
 import json
 import os
 import sys
-import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
@@ -38,20 +37,11 @@ from shmr_spark import get_spark  # noqa: E402
 from shmr_spark.catalog import load_table  # noqa: E402
 from shmr_spark.functions.numeric import dsum  # noqa: E402
 from shmr_spark.operators.skew import salted_agg, salted_join  # noqa: E402
+from tools.bench_common import timed as _timed  # noqa: E402
 from tools.make_scaled_sf import make_scaled, make_skewed  # noqa: E402
 
 N_SALTS = 16
 SHUFFLE_PARTS = 32
-
-
-def _timed(df_factory, reps: int = 3) -> float:
-    df_factory().write.format("noop").mode("overwrite").save()  # warm
-    best = float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        df_factory().write.format("noop").mode("overwrite").save()
-        best = min(best, time.perf_counter() - t0)
-    return round(best, 3)
 
 
 def main() -> None:
