@@ -1,4 +1,4 @@
-"""Bloom-filter semi-join reduction.
+"""Bloom-filter semi-join / anti-join reduction.
 
 The 100 TB join problem this solves: a fact table too big to move
 semi-joined against a dim table too big to BROADCAST as a hash
@@ -14,9 +14,16 @@ row-for-row — which is how the gate query carries a plain IN-subquery
 DuckDB oracle. Measured (tools/bench_bloom.py, BLOOM_BENCH.json): at
 60M fact rows the reduction keeps 3.7 % of the scan and wins 2.1×
 over the plain shuffle semi-join; at 6M the bitmap build still
-outweighs the saved exchange (0.85 → 1.01 s) — this is a
+outweighs the saved exchange (0.78 → 0.96 s) — this is a
 big-fact-side operator, and when the dim fits in a broadcast, the
-broadcast join beats both (SCALING.md has the full table). (Spark's own runtime bloom pruning —
+broadcast join beats both (SCALING.md has the full table).
+``bloom_anti_join`` is the same reduction pointed the other way:
+probe-MISS rows are definite non-matches and skip the exchange
+entirely; only the probe-positive fraction is confirmed. Its trade
+— the full-fact exchange for a second pruned scan — measures
+~break-even on local narrow-column scans (4.24 → 4.11 s at 60M) and
+pays in the wide-row / real-network regime where shuffle bytes, not
+scans, are the cost. (Spark's own runtime bloom pruning —
 ``spark.sql.optimizer.runtime.bloomFilter.enabled`` — does this
 opportunistically inside AQE; this operator makes the reduction an
 explicit, testable plan step with a deterministic filter.)
@@ -40,7 +47,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["build_bloom_bits", "bloom_might_contain", "bloom_semi_join"]
+__all__ = [
+    "build_bloom_bits",
+    "bloom_might_contain",
+    "bloom_semi_join",
+    "bloom_anti_join",
+]
 
 
 def _positions(key: Column, num_bits: int, num_hashes: int) -> list[Column]:
@@ -153,3 +165,38 @@ def bloom_semi_join(
     bits = build_bloom_bits(dim, key, num_bits, num_hashes)
     pre = fact.where(bloom_might_contain(key, bits, num_bits, num_hashes))
     return pre.join(dim.select(key).distinct(), key, "left_semi")
+
+
+def bloom_anti_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    num_bits: int = 1 << 20,
+    num_hashes: int = 5,
+) -> DataFrame:
+    """EXACT anti-join with Bloom short-circuit:
+    ``bloom_anti_join(fact, dim, k) ≡ fact ANTI JOIN dim USING (k)``
+    row-for-row. A negative Bloom probe is DEFINITE (no false
+    negatives), so probe-miss rows pass the anti-join with no
+    exchange at all; only probe-positive rows — selectivity + FP rate
+    of the fact — go through a real confirming ``left_anti`` against
+    the distinct dim keys, which removes the false positives.
+
+    Scale shape: the fact is scanned twice (once per branch, both
+    scans pruned/pushed-down), but the exchange — the expensive part
+    at 100 TB — moves only the probe-positive fraction instead of
+    every row. A plain ``left_anti`` shuffles 100% of the fact.
+
+    NULL-key rows are KEPT, matching ``left_anti`` semantics (a NULL
+    key equals nothing, so it never matches dim): the probe yields
+    NULL for a NULL key, and ``~coalesce(probe, FALSE)`` routes it to
+    the definite-miss branch. (SQL ``NOT IN`` differs — it DROPS
+    NULL-key rows; gate oracles must use columns that are non-null or
+    spell out the NULL handling.)"""
+    bits = build_bloom_bits(dim, key, num_bits, num_hashes)
+    probe = bloom_might_contain(key, bits, num_bits, num_hashes)
+    definite_miss = fact.where(~F.coalesce(probe, F.lit(False)))
+    confirmed = fact.where(F.coalesce(probe, F.lit(False))).join(
+        dim.select(key).distinct(), key, "left_anti"
+    )
+    return definite_miss.unionByName(confirmed)

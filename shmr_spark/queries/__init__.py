@@ -50,35 +50,40 @@ def query(name: str, oracle: str | None = None, headline: bool = False):
 # The registry was CLOSED at 176 through round 6, REOPENED to 178 in
 # round 7 (bloom_semi_join_revenue, regression_price_qty) — and those
 # two shipped WITHOUT window slots, which is how the bloom ANSI
-# overflow reached the tree unverified (VERDICT r7). Round-8's window
-# re-establishes the rule that new/changed code outranks rotation:
+# overflow reached the tree unverified (VERDICT r7). It is 179 as of
+# round 8 (bloom_anti_join_revenue, windowed on arrival). Round-8's
+# window re-establishes the rule that new/changed code outranks
+# rotation:
 #   1. the two r7-introduced gates, never driver-checked (bloom now
 #      carries the r8 overflow fix, verified at sf0.001 + sf0.01
-#      locally and by tests/test_bloom.py);
+#      locally and by tests/test_bloom.py), plus the r8 anti-join
+#      twin;
 #   2. the three queries whose plans changed this round when the
 #      gate-walk job-count enforcement (tests/test_gate_schemas.py)
 #      flagged their plan-construction driver actions — each now
 #      computes its scalar (token total / φ·N threshold / min-max
 #      bucket width) as an in-plan broadcast 1-row aggregate;
-#   3. 41 of the 43 queries whose newest green is round 4 — the
-#      oldest evidence left after r7 rotated the r3 cohort (40 listed
-#      below; range_shards_orders is the 41st, already in group 2).
-#      The remaining 2 (window_sliding, zorder_keys) roll to round 9,
-#      which completes the second full registry pass;
+#   3. 40 of the 43 queries whose newest green is round 4 — the
+#      oldest evidence left after r7 rotated the r3 cohort (39 listed
+#      below; range_shards_orders is the 40th, already in group 2).
+#      The remaining 3 (window_functions, window_sliding,
+#      zorder_keys) roll to round 9, which completes the second full
+#      registry pass;
 #   4. canaries (standing policy): previously-green anchors spread
 #      across modules/tiers — the flagship aggregate, the compat RDD
 #      fold, and one gate each from the dedup / ANN / relational
 #      fact-fact tiers. Names absent from this list keep module
 #      registration order after it.
 _PRIORITY: list[str] = [
-    # -- group 1: the r7 gates, first driver evidence (2)
+    # -- group 1: gates new in r7/r8, first driver evidence (3)
     "bloom_semi_join_revenue",
     "regression_price_qty",
+    "bloom_anti_join_revenue",
     # -- group 2: plans changed this round (3)
     "unigram_logprob_score",
     "heavy_hitters_tokens",
     "range_shards_orders",
-    # -- group 3: 40 of the 43 r4-latest greens (rotation cohort)
+    # -- group 3: 39 of the 43 r4-latest greens (rotation cohort)
     "apply_side_effect",
     "bool_aggregates",
     "bpe_pair_counts",
@@ -118,7 +123,6 @@ _PRIORITY: list[str] = [
     "topk_per_group",
     "training_subset",
     "validate_orders",
-    "window_functions",
     # -- group 4: canaries (5)
     "reduce_by_key_q1",
     "compat_records_fold",

@@ -1320,3 +1320,41 @@ def bloom_semi_join_revenue(spark, sf_dir):
         .agg(F.count("*").alias("n_items"), dsum(rev).alias("revenue"))
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "bloom_anti_join_revenue",
+    oracle=f"""
+SELECT l_returnflag, COUNT(*) AS n_items,
+       {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem
+WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_nationkey = 3)
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def bloom_anti_join_revenue(spark, sf_dir):
+    """Revenue of lineitems NOT supplied by nation 3: the anti
+    direction of the Bloom reduction (operators/bloom.py
+    bloom_anti_join) — probe-miss rows (~96% of the fact here) skip
+    the confirming exchange as definite non-matches. NOT IN is a
+    sound oracle because l_suppkey and s_suppkey are non-null in this
+    corpus (left_anti KEEPS null-key rows where NOT IN drops them —
+    bloom_anti_join follows left_anti; see its docstring)."""
+    from shmr_spark.operators.bloom import bloom_anti_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_returnflag", "l_extendedprice", "l_discount"
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .where(F.col("s_nationkey") == 3)
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    kept = bloom_anti_join(li, supp, "l_suppkey", num_bits=1 << 16)
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("double")
+    return (
+        kept.groupBy("l_returnflag")
+        .agg(F.count("*").alias("n_items"), dsum(rev).alias("revenue"))
+        .orderBy("l_returnflag")
+    )

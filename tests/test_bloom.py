@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from shmr_spark.catalog import load_table
 from shmr_spark.operators.bloom import (
+    bloom_anti_join,
     bloom_might_contain,
     bloom_semi_join,
     build_bloom_bits,
@@ -44,6 +45,43 @@ def test_bloom_semi_join_equals_left_semi(spark, sf_dir):
     got = bloom_semi_join(orders, dim, "o_custkey", num_bits=1 << 14)
     want = orders.join(dim.distinct(), "o_custkey", "left_semi")
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_bloom_anti_join_equals_left_anti(spark, sf_dir):
+    """bloom_anti_join ≡ left_anti row-for-row on real tables — the
+    anti direction keeps ~(1 - selectivity) of the fact, so false
+    positives that slip past the probe MUST be restored by the
+    confirming branch for the counts to match."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("o_custkey"))
+    )
+    cols = ["o_orderkey", "o_custkey", "o_totalprice"]
+    got = bloom_anti_join(orders, dim, "o_custkey", num_bits=1 << 14).select(cols)
+    want = orders.join(dim.distinct(), "o_custkey", "left_anti").select(cols)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_bloom_anti_join_keeps_null_keys(spark):
+    """left_anti KEEPS NULL-key rows (NULL equals nothing); the
+    Bloom short-circuit must route them to the definite-miss branch,
+    not drop them on a NULL probe."""
+    fact = spark.range(0, 10).select(
+        F.col("id").alias("rid"),
+        F.when(F.col("id") < 8, F.col("id")).alias("k"),
+    )
+    dim = spark.range(0, 4).select(F.col("id").alias("k"))
+    got = bloom_anti_join(fact, dim, "k", num_bits=1 << 10)
+    want = fact.join(dim, "k", "left_anti")
+    assert sorted(r["rid"] for r in got.collect()) == sorted(
+        r["rid"] for r in want.collect()
+    )
+    # the two NULL-key rows (ids 8, 9) are among the kept
+    assert {8, 9} <= {r["rid"] for r in got.collect()}
 
 
 def test_no_false_negatives_and_fp_rate(spark):

@@ -77,6 +77,7 @@ ACTION_RUNNING: dict[str, str] = {
     "compat_records_fold": "RDD fold",
     # eager Bloom bitmap build (≤ num_bits/64 rows by construction)
     "bloom_semi_join_revenue": "bounded bitmap collect",
+    "bloom_anti_join_revenue": "bounded bitmap collect",
     # minhash banding pins lineage at lazy localCheckpoints; building
     # the plan under AQE materializes those checkpoint stages (the
     # compute is needed exactly once and is reused by every consumer —

@@ -14,12 +14,15 @@ baseline is still REPORTED (explicit F.broadcast hint) so the regime
 boundary is visible: when the dim fits in a broadcast, use the
 broadcast join; the bloom reduction is for when it doesn't.
 
-Arms (all row-identical, asserted before timing):
+Arms (all row-identical to their plain twin, asserted before timing):
   semi_plain   lineitem LEFT SEMI supplier(nation=3) on l_suppkey,
                shuffle (sort-merge) join + revenue agg
   semi_bloom   same, fact pre-filtered by operators/bloom.py's
                broadcast-literal bitmap, then the confirming semi
   semi_broadcast the explicit-broadcast baseline (the other regime)
+  anti_plain / anti_bloom / anti_broadcast — the anti direction:
+               bloom's definite-miss rows (~96% of the fact here)
+               skip the confirming exchange entirely
 
 (A cross-check arm against Spark's own bloom_filter_agg/might_contain
 pair is not possible from SQL: both are INTERNAL expressions in Spark
@@ -50,6 +53,7 @@ from shmr_spark import get_spark  # noqa: E402
 from shmr_spark.catalog import load_table  # noqa: E402
 from shmr_spark.functions.numeric import dsum  # noqa: E402
 from shmr_spark.operators.bloom import (  # noqa: E402
+    bloom_anti_join,
     bloom_might_contain,
     bloom_semi_join,
     build_bloom_bits,
@@ -88,14 +92,26 @@ def _corpus_pass(spark, sf_dir: str, label: str) -> dict:
     def semi_broadcast():
         return agg(li.join(F.broadcast(dim.distinct()), "l_suppkey", "left_semi"))
 
-    # correctness cross-check: every arm row-identical
-    want = sorted(map(tuple, semi_plain().collect()))
-    for arm, name in (
-        (semi_bloom, "bloom"),
-        (semi_broadcast, "broadcast"),
+    # anti direction: definite-miss rows (~96% of the fact here)
+    # skip the confirming exchange entirely
+    def anti_plain():
+        return agg(li.join(dim.distinct(), "l_suppkey", "left_anti"))
+
+    def anti_bloom():
+        return agg(bloom_anti_join(li, dim, "l_suppkey", num_bits=NUM_BITS))
+
+    def anti_broadcast():
+        return agg(li.join(F.broadcast(dim.distinct()), "l_suppkey", "left_anti"))
+
+    # correctness cross-check: every arm row-identical to its plain twin
+    for base, arms in (
+        (semi_plain, [(semi_bloom, "semi_bloom"), (semi_broadcast, "semi_bc")]),
+        (anti_plain, [(anti_bloom, "anti_bloom"), (anti_broadcast, "anti_bc")]),
     ):
-        got = sorted(map(tuple, arm().collect()))
-        assert got == want, f"{name} arm diverged from plain left_semi"
+        want = sorted(map(tuple, base().collect()))
+        for arm, name in arms:
+            got = sorted(map(tuple, arm().collect()))
+            assert got == want, f"{name} arm diverged from its plain twin"
 
     # pre-filter selectivity: the shuffle-rows proxy
     fact_rows = li.count()
@@ -113,6 +129,9 @@ def _corpus_pass(spark, sf_dir: str, label: str) -> dict:
         "semi_plain_sec": timed(semi_plain),
         "semi_bloom_sec": timed(semi_bloom),
         "semi_broadcast_sec": timed(semi_broadcast),
+        "anti_plain_sec": timed(anti_plain),
+        "anti_bloom_sec": timed(anti_bloom),
+        "anti_broadcast_sec": timed(anti_broadcast),
     }
 
 
