@@ -187,6 +187,16 @@ def bloom_anti_join(
     at 100 TB — moves only the probe-positive fraction instead of
     every row. A plain ``left_anti`` shuffles 100% of the fact.
 
+    PRECONDITION — deterministic ``fact``: the two branches are
+    independent evaluations of the same plan, so a non-deterministic
+    input (``df.sample(...)``, keys derived from ``F.rand()`` /
+    ``monotonically_increasing_id()``) can land a row in both
+    branches (duplicated) or neither (dropped). ``bloom_semi_join``
+    references the fact once and has no such precondition. Callers
+    with a non-deterministic source must materialize it first
+    (``localCheckpoint()`` / write-read) — same contract as Spark's
+    own multi-reference patterns (e.g. ``randomSplit`` consumers).
+
     NULL-key rows are KEPT, matching ``left_anti`` semantics (a NULL
     key equals nothing, so it never matches dim): the probe yields
     NULL for a NULL key, and ``~coalesce(probe, FALSE)`` routes it to

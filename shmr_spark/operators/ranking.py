@@ -128,11 +128,13 @@ def range_shards(
     """Assign every row to one of ``n_shards`` equal-population,
     key-contiguous shards. Output: input columns + ``shard_id``
     (0-based; populations differ by at most 1 row)."""
+    from shmr_spark.functions.scalars import with_scalars
+
     ranked = global_rank(df, key_col, id_col, bucket=bucket)
     total = ranked.groupBy().agg(F.count(F.lit(1)).alias("__total"))
     shard = F.expr(f"(rank - 1) * {int(n_shards)} div __total")
     return (
-        ranked.crossJoin(F.broadcast(total))
+        with_scalars(ranked, total)
         .withColumn("shard_id", shard)
         .drop("rank", "__total")
     )

@@ -136,6 +136,46 @@ def _derive_schema(spec, spark, sf_dir, budget_s):
     return out["schema"], bool(jobs)
 
 
+def _assert_job_group_tracking_works(spark):
+    """Fail LOUDLY if the enforcement mechanism itself is inert.
+
+    The stealth-action check rides on ``setJobGroup`` +
+    ``getJobIdsForGroup`` attribution from a worker thread. Under
+    PySpark's pinned-thread mode (Spark 4 default) the group is
+    thread-local; with ``PYSPARK_PIN_THREAD=false`` it degrades to
+    process-GLOBAL — verified empirically: attribution still happens
+    (the walk is sequential, so at worst a concurrent foreign job is
+    over-attributed — loud, not silent). But that behavior is
+    version/runtime-dependent, and a future mode where worker-thread
+    groups attribute to NOTHING would make every query's job list
+    empty and silently restore the advisory behavior round 8
+    eliminated. So: before the walk, run a trivial job under a
+    sentinel group from a worker thread — the same shape as
+    ``_derive_schema`` — and assert the statusTracker attributes it.
+    (Same "guard the guard" pattern as
+    tests/test_bloom.py::test_session_is_ansi.)"""
+    sentinel = "schema-derivation::__selfcheck__"
+
+    def run():
+        try:
+            spark.sparkContext.setJobGroup(sentinel, "pin-mode selfcheck")
+            spark.range(1).count()
+        finally:
+            spark.sparkContext.setJobGroup("", "")
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    t.join(60)
+    assert not t.is_alive(), "selfcheck job did not finish in 60s"
+    jobs = spark.sparkContext.statusTracker().getJobIdsForGroup(sentinel)
+    assert jobs, (
+        "statusTracker did not attribute the selfcheck job to its "
+        "thread-local job group — pinned-thread mode is off "
+        "(PYSPARK_PIN_THREAD?), so the stealth-action enforcement "
+        "below would be INERT. Refusing to run the walk blind."
+    )
+
+
 def test_all_gate_outputs_are_primitive_scalars(spark, sf_dir, registry):
     # Pre-warm the per-session table cache: the FIRST spark.read of
     # each parquet table runs a footer/schema-inference job, which
@@ -145,6 +185,10 @@ def test_all_gate_outputs_are_primitive_scalars(spark, sf_dir, registry):
     from shmr_spark.catalog import load_tables
 
     load_tables(spark, sf_dir)
+
+    # Guard the guard: verify job-group attribution actually works in
+    # this environment before trusting zero-job results below.
+    _assert_job_group_tracking_works(spark)
 
     violations: list[str] = []
     errors: list[str] = []
