@@ -686,3 +686,70 @@ def test_diff_parse_argval_nesting_depth():
     assert _parse_any(deep) == deep  # raw-string fallback, no crash
     want = ref(deep)  # orjson: parsed 5000-level list
     assert isinstance(want, list), "orjson grew a depth cap — update docs"
+
+
+# -- chained pipeline: each engine consumes its OWN intermediates ------------
+
+
+def test_diff_chained_pipeline(spark, fixture_dir, tmp_path):
+    """END-TO-END chain against the reference binary — the reference's
+    real usage pattern is one CLI call per step with files in between
+    (/root/reference/README.md pipeline examples), so a chain where
+    each engine reads the intermediates IT wrote is the shape users
+    actually run. Single-op differentials above cannot see cross-step
+    defects: sidecar propagation into a later count, csv round-trips
+    through engine-written intermediates, glob ordering over output
+    files, header handling after step 1 strips it.
+
+    Chain: filter(is_adult) per partition ×3 → partitions.concat over
+    the engine's own adults.*.csv glob → reduce_by_key(age_mod5,
+    max_name) → map(get_age). Steps 1–2 are order-preserving
+    (byte-equal); 3–4 cross a shuffle (multiset-equal)."""
+    CSV_NOHDR = ["-d", "shmr.csv_loads", "-s", "shmr.csv_dumps"]
+
+    def run_chain(runner, work):
+        work.mkdir()
+        for i in range(3):
+            runner([
+                "-i", f"{fixture_dir}/people.{i:02d}.csv", *CSV,
+                "partition.filter", "--fn", "tests.cli_fixture_fns.is_adult",
+                "--outfile", str(work / f"adults.{i:02d}.csv"),
+            ])
+        runner([
+            "-i", str(work / "adults.*.csv"), *CSV_NOHDR,
+            "partitions.concat", "--outfile", str(work / "all.csv"),
+        ])
+        runner([
+            "-i", str(work / "all.csv"), *CSV_NOHDR,
+            "partition.reduce_by_key",
+            "--key_fn", "tests.cli_fixture_fns.age_mod5",
+            "--fn", "tests.cli_fixture_fns.max_name",
+            "--outfile", str(work / "rbk.csv"),
+        ])
+        runner([
+            "-i", str(work / "rbk.csv"),
+            "-d", "shmr.csv_loads", "-s", "shmr.str_dumps",
+            "partition.map", "--fn", "tests.cli_fixture_fns.get_age",
+            "--outfile", str(work / "ages.txt"),
+        ])
+
+    ref_w, our_w = tmp_path / "ref", tmp_path / "ours"
+    run_chain(run_ref, ref_w)
+    run_chain(lambda argv: run_compat(spark, argv), our_w)
+
+    # steps 1-2: order-preserving, byte-equal + sidecar-equal
+    n_adults = 0
+    for i in range(3):
+        rp, op = str(ref_w / f"adults.{i:02d}.csv"), str(our_w / f"adults.{i:02d}.csv")
+        assert _read(rp) == _read(op)
+        assert _meta(rp) == _meta(op)
+        n_adults += _meta(rp)
+    assert 0 < n_adults <= 300  # non-vacuous: the filter kept rows
+    assert _read(str(ref_w / "all.csv")) == _read(str(our_w / "all.csv"))
+    assert _meta(str(ref_w / "all.csv")) == _meta(str(our_w / "all.csv")) == n_adults
+
+    # steps 3-4: shuffle-reordered, multiset-equal
+    assert _sorted_lines(str(ref_w / "rbk.csv")) == _sorted_lines(str(our_w / "rbk.csv"))
+    assert _meta(str(ref_w / "rbk.csv")) == _meta(str(our_w / "rbk.csv")) == 5
+    assert _sorted_lines(str(ref_w / "ages.txt")) == _sorted_lines(str(our_w / "ages.txt"))
+    assert _meta(str(ref_w / "ages.txt")) == _meta(str(our_w / "ages.txt")) == 5
