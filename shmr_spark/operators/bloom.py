@@ -197,6 +197,13 @@ def bloom_anti_join(
     (``localCheckpoint()`` / write-read) — same contract as Spark's
     own multi-reference patterns (e.g. ``randomSplit`` consumers).
 
+    Column ORDER: output follows the FACT's column order (the
+    definite-miss branch is a plain filter). A plain
+    ``fact.join(dim, "k", "left_anti")`` instead moves the key column
+    first — same columns by NAME, different positions; positional
+    consumers switching between the two spellings must select
+    explicitly.
+
     NULL-key rows are KEPT, matching ``left_anti`` semantics (a NULL
     key equals nothing, so it never matches dim): the probe yields
     NULL for a NULL key, and ``~coalesce(probe, FALSE)`` routes it to

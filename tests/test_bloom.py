@@ -159,3 +159,16 @@ def test_probe_filter_stays_in_codegen(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "*(1) Filter" in plan  # *(n) = WholeStageCodegen span marker
     assert "EvalPython" not in plan
+
+
+def test_bloom_anti_join_preserves_fact_column_order(spark):
+    """Documented contract (bloom.py): bloom_anti_join output follows
+    the FACT's column order (its definite-miss branch is a plain
+    filter), while a string-`on` left_anti moves the key first —
+    pinned so a refactor that silently changes the order is caught."""
+    fact = spark.range(0, 4).select(
+        F.col("id").alias("a"), F.col("id").alias("k"), F.lit("x").alias("z")
+    )
+    dim = spark.range(0, 2).select(F.col("id").alias("k"))
+    assert bloom_anti_join(fact, dim, "k", num_bits=1 << 10).columns == ["a", "k", "z"]
+    assert fact.join(dim, "k", "left_anti").columns == ["k", "a", "z"]

@@ -33,6 +33,13 @@ already pins on a selective shuffle join.)
 Also prints the pre-filter selectivity — kept/total fact rows, the
 shuffle-bytes proxy that holds at any scale.
 
+The --sf10 run adds a WIDE pass (all 11 lineitem columns + a 128-byte
+deterministic payload, materialized to parquet; the agg hashes every
+column so pruning can't re-narrow the shuffle): the anti-join's
+documented win regime — exchange cost grows with row width, the
+definite-miss branch's rescan cost grows only with scan bytes — as a
+measured number instead of the docstring's "win case is wide rows".
+
 Run: python tools/bench_bloom.py [--sf10]  → one JSON line (also
 written to BLOOM_BENCH.json at the repo root). --sf10 adds the 100×
 corpus pass (~minutes).
@@ -135,6 +142,91 @@ def _corpus_pass(spark, sf_dir: str, label: str) -> dict:
     }
 
 
+def _make_wide(spark, sf_dir: str, out_dir: str) -> None:
+    """Materialize a WIDE lineitem once: all 11 columns + a 128-byte
+    deterministic payload (sha2 of the row's orderkey — NOT rand();
+    bloom_anti_join's two plan branches require a deterministic
+    source). Written to parquet so every arm pays REAL scan bytes —
+    synthesizing the payload per-scan would bill sha2 CPU to
+    whichever arm scans more, distorting the exchange-vs-rescan
+    trade this pass exists to measure."""
+    if os.path.exists(os.path.join(out_dir, "_SUCCESS")):
+        return
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = li.withColumn(
+        "payload",
+        F.repeat(F.sha2(F.col("l_orderkey").cast("string"), 256), 2),
+    )
+    wide.write.mode("overwrite").parquet(out_dir)
+
+
+def _wide_pass(spark, sf_dir: str, wide_dir: str, label: str) -> dict:
+    """The anti-join's claimed WIN regime, measured: rows wide enough
+    that the exchange (serialize + spill + deserialize every byte)
+    costs more than a second pruned scan. The aggregate hashes EVERY
+    column (pmod-reduced so the ANSI sum cannot overflow) — without
+    that, Catalyst's column pruning would narrow the shuffle and
+    quietly turn this back into the narrow pass."""
+    _make_wide(spark, sf_dir, wide_dir)
+    fact = spark.read.parquet(wide_dir)
+    dim = (
+        load_table(spark, sf_dir, "supplier")
+        .where(F.col("s_nationkey") == DIM_NATION)
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+
+    def agg(kept):
+        # hash columns in SORTED-NAME order: a string-`on` join moves
+        # the key column first while bloom_anti_join's union keeps the
+        # fact's original order — xxhash64 is order-sensitive, so the
+        # raw kept.columns order would diverge between arms that are
+        # row-identical by name
+        allhash = F.pmod(F.xxhash64(*sorted(kept.columns)), F.lit(1_000_000))
+        return kept.groupBy("l_returnflag").agg(
+            F.count("*").alias("n"), F.sum(allhash).alias("h")
+        )
+
+    def semi_plain():
+        return agg(fact.join(dim.distinct(), "l_suppkey", "left_semi"))
+
+    def semi_bloom():
+        return agg(bloom_semi_join(fact, dim, "l_suppkey", num_bits=NUM_BITS))
+
+    def semi_broadcast():
+        return agg(fact.join(F.broadcast(dim.distinct()), "l_suppkey", "left_semi"))
+
+    def anti_plain():
+        return agg(fact.join(dim.distinct(), "l_suppkey", "left_anti"))
+
+    def anti_bloom():
+        return agg(bloom_anti_join(fact, dim, "l_suppkey", num_bits=NUM_BITS))
+
+    def anti_broadcast():
+        return agg(fact.join(F.broadcast(dim.distinct()), "l_suppkey", "left_anti"))
+
+    for base, arms in (
+        (semi_plain, [(semi_bloom, "semi_bloom"), (semi_broadcast, "semi_bc")]),
+        (anti_plain, [(anti_bloom, "anti_bloom"), (anti_broadcast, "anti_bc")]),
+    ):
+        want = sorted(map(tuple, base().collect()))
+        for arm, name in arms:
+            got = sorted(map(tuple, arm().collect()))
+            assert got == want, f"wide {name} arm diverged from its plain twin"
+
+    return {
+        "corpus": label,
+        "fact_rows": fact.count(),
+        "dim_keys": dim.count(),
+        "row_shape": "11 cols + 128B payload, all-column hash agg",
+        "semi_plain_sec": timed(semi_plain),
+        "semi_bloom_sec": timed(semi_bloom),
+        "semi_broadcast_sec": timed(semi_broadcast),
+        "anti_plain_sec": timed(anti_plain),
+        "anti_bloom_sec": timed(anti_bloom),
+        "anti_broadcast_sec": timed(anti_broadcast),
+    }
+
+
 def main() -> None:
     spark = get_spark(
         app_name="bench_bloom",
@@ -150,6 +242,14 @@ def main() -> None:
         sf10 = os.path.join(REPO, ".scaled", "sf10")
         make_scaled(spark, 100, base, sf10)
         passes.append(_corpus_pass(spark, sf10, "sf10 (100x sf0.1)"))
+        passes.append(
+            _wide_pass(
+                spark,
+                sf10,
+                os.path.join(REPO, ".scaled", "sf10_wide_lineitem"),
+                "sf10 wide (100x, +128B payload)",
+            )
+        )
 
     result = {"metric": "bloom_bench", "num_bits": NUM_BITS, "passes": passes}
     line = json.dumps(result)
