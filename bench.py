@@ -13,6 +13,19 @@ FK-preserving key offsets, built and cached by tools/make_scaled_sf.py
 under .scaled/) to catch plans that only behave at sf0.1 — broadcast
 thresholds, AQE switches, skew. Reported under the "scale_check" key
 of the same JSON line. Disable with SPARK_GRAFT_SCALE_CHECK=0.
+
+Shuffle-byte accounting: each headline query's shuffle read/write
+bytes are recorded (untimed passes) at BOTH scales under
+"shuffle_bytes" — local wall time cannot see a plan that shuffles
+bytes it doesn't need (the cost only appears on a real network), but
+the byte ratio across the 10× corpus can: ~10× growth is linear and
+healthy. A superlinear ratio is a FINDING to explain, not
+automatically a regression — it can be a broadcast→shuffle regime
+boundary where AQE correctly stops broadcasting a side that grew
+past the threshold (q3_top_orders crosses exactly this boundary
+between sf0.1 and the 10× corpus: BHJ+BHJ → BHJ+SMJ, measured in
+SCALING.md); confirm by diffing the executed join strategies before
+treating it as a plan defect.
 """
 
 from __future__ import annotations
@@ -252,6 +265,33 @@ def main() -> None:
     for name, spec in sorted(headline.items()):
         spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    # Shuffle-byte accounting (untimed passes, never inside a timed
+    # loop): wall time at one scale cannot see a plan that starts
+    # shuffling 10× the bytes it needs — the regression only costs
+    # wall on a real network. The app status store's executor totals
+    # are deltas-safe (monotonic per app), and the listener bus is
+    # drained first so an action's metrics are fully posted before
+    # the read.
+    def _shuffle_totals() -> tuple[int, int]:
+        jsc = spark.sparkContext._jsc.sc()
+        jsc.listenerBus().waitUntilEmpty()
+        lst = jsc.statusStore().executorList(True)
+        r = w = 0
+        for i in range(lst.size()):
+            e = lst.apply(i)
+            r += e.totalShuffleRead()
+            w += e.totalShuffleWrite()
+        return r, w
+
+    def _shuffle_pass(specs, d) -> dict[str, dict[str, int]]:
+        out: dict[str, dict[str, int]] = {}
+        for name, spec in sorted(specs.items()):
+            r0, w0 = _shuffle_totals()
+            spec.fn(spark, d).write.format("noop").mode("overwrite").save()
+            r1, w1 = _shuffle_totals()
+            out[name] = {"read": r1 - r0, "write": w1 - w0}
+        return out
+
     # min over 3 timed repetitions: one GC pause or CPU-frequency dip
     # would otherwise dominate a sub-second query's number
     timings: dict[str, float] = {}
@@ -270,6 +310,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "shuffle_bytes": _shuffle_pass(headline, sf_dir),
     }
 
     if os.environ.get("SPARK_GRAFT_SCALE_CHECK", "1") != "0":
@@ -325,6 +366,12 @@ def main() -> None:
             ),
             "extra_base": extra_base,
             "corpus_build_sec": build_s,
+            # headline shuffle bytes at 10×: the ratio vs the base
+            # result["shuffle_bytes"] is the scale story wall time
+            # can't tell — a shuffle growing ~10× at 10× rows is
+            # linear (good); superlinear growth is a plan regression
+            # even if local wall looks flat
+            "shuffle_bytes": _shuffle_pass(headline, scaled_dir),
         }
 
     print(json.dumps(result))
