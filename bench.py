@@ -283,13 +283,20 @@ def main() -> None:
             w += e.totalShuffleWrite()
         return r, w
 
-    def _shuffle_pass(specs, d) -> dict[str, dict[str, int]]:
+    def _shuffle_pass(specs, d) -> dict[str, dict[str, int]] | None:
         out: dict[str, dict[str, int]] = {}
         for name, spec in sorted(specs.items()):
             r0, w0 = _shuffle_totals()
             spec.fn(spark, d).write.format("noop").mode("overwrite").save()
             r1, w1 = _shuffle_totals()
             out[name] = {"read": r1 - r0, "write": w1 - w0}
+        # guard the instrument: the headline set always contains
+        # queries that genuinely shuffle (join_three_way, q5), so an
+        # all-zero pass means the status-store read broke (API drift,
+        # lagging listener bus) — record None, never a fake zero that
+        # would read as "this plan stopped shuffling" round-over-round
+        if not any(v["read"] or v["write"] for v in out.values()):
+            return None
         return out
 
     # min over 3 timed repetitions: one GC pause or CPU-frequency dip
