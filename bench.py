@@ -347,6 +347,26 @@ def main() -> None:
 
         clear_pipeline_caches()
 
+        shuffle_extras = {
+            n: scale_extra[n]
+            for n in (
+                "dedup_minhash_prod",
+                "pipeline_e2e",
+                "duplicate_spans",
+                "q9_profit_by_nation",
+                "q21_single_fault_suppliers",
+            )
+            if n in scale_extra
+        }
+
+        def _extras_shuffle(d) -> dict[str, dict[str, int]] | None:
+            # pipeline_e2e caches survivors per corpus — a cache hit
+            # would record ~0 shuffle bytes for whichever scale ran
+            # second in the timed loops, making the base/sf1 ratio
+            # meaningless; both passes measure the cold plan
+            clear_pipeline_caches()
+            return _shuffle_pass(shuffle_extras, d)
+
         big: dict[str, float] = {}
         timed = {**headline, **scale_extra}
         for _ in range(2):
@@ -379,6 +399,15 @@ def main() -> None:
             # linear (good); superlinear growth is a plan regression
             # even if local wall looks flat
             "shuffle_bytes": _shuffle_pass(headline, scaled_dir),
+            # and for the heaviest batch extras (the LLM-pipeline
+            # flagships) at both scales — streaming/staging extras
+            # excluded: their job streams interleave staging copies
+            # and micro-batch planning, so an app-total delta would
+            # not isolate the query's own exchange
+            "extras_shuffle_bytes": {
+                "base": _extras_shuffle(sf_dir),
+                "sf1": _extras_shuffle(scaled_dir),
+            },
         }
 
     print(json.dumps(result))
