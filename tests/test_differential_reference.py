@@ -753,3 +753,61 @@ def test_diff_chained_pipeline(spark, fixture_dir, tmp_path):
     assert _meta(str(ref_w / "rbk.csv")) == _meta(str(our_w / "rbk.csv")) == 5
     assert _sorted_lines(str(ref_w / "ages.txt")) == _sorted_lines(str(our_w / "ages.txt"))
     assert _meta(str(ref_w / "ages.txt")) == _meta(str(our_w / "ages.txt")) == 5
+
+
+@pytest.mark.skipif(not _HYP, reason="hypothesis absent")
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=_ROWS,
+    chain=st.lists(st.sampled_from("FDX"), min_size=2, max_size=4),
+)
+def test_fuzz_differential_chained(spark, rows, chain):
+    """Property: a RANDOM chain of order-preserving ops —
+    F=filter(is_nonneg), D=distinct(key0), X=flat_map(dup_twice) —
+    over arbitrary CSV rows yields byte-identical files from both
+    engines at EVERY step, each engine consuming its own
+    intermediates. Interplay the fixed chain test can't reach:
+    distinct after flat_map must collapse the dup_twice copies,
+    filter after distinct must pass raw survivor lines through
+    verbatim, and sidecars must stay correct through any prefix."""
+    import csv as csvmod
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="fuzz_chain_")
+    try:
+        d = os.path.join(base, "in")
+        os.mkdir(d)
+        src = os.path.join(d, "part.00.csv")
+        with open(src, "w", newline="", encoding="utf-8") as f:
+            w = csvmod.writer(f, lineterminator="\n")
+            w.writerow(["s", "n"])
+            for s, n in rows:
+                w.writerow([s, str(n)])
+
+        OPS = {
+            "F": ["partition.filter", "--fn", "tests.cli_fixture_fns.fuzz_is_nonneg"],
+            "D": ["partition.distinct", "--key_fn", "tests.cli_fixture_fns.fuzz_key0"],
+            "X": ["partition.flat_map", "--fn", "tests.cli_fixture_fns.dup_twice"],
+        }
+
+        def run_chain(runner, tag):
+            cur, codec = src, CSV  # header on the raw input only
+            outs = []
+            for i, opname in enumerate(chain):
+                out = os.path.join(base, f"{tag}.{i}.csv")
+                runner(["-i", cur, *codec, *OPS[opname], "--outfile", out])
+                outs.append(out)
+                cur, codec = out, CSV[2:]  # intermediates: no header
+            return outs
+
+        refs = run_chain(run_ref, "ref")
+        ours = run_chain(lambda argv: run_compat(spark, argv), "our")
+        for i, (rp, op) in enumerate(zip(refs, ours)):
+            assert _read(rp) == _read(op), f"step {i} ({chain[i]}) diverged"
+            assert _meta(rp) == _meta(op), f"step {i} ({chain[i]}) sidecar diverged"
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
