@@ -268,14 +268,19 @@ def main() -> None:
     # Shuffle-byte accounting (untimed passes, never inside a timed
     # loop): wall time at one scale cannot see a plan that starts
     # shuffling 10× the bytes it needs — the regression only costs
-    # wall on a real network. The app status store's executor totals
-    # are deltas-safe (monotonic per app), and the listener bus is
+    # wall on a real network. Executors are listed INCLUDING inactive
+    # ones (executorList(False)) so the summed totals stay monotonic
+    # even if an executor dies or deallocates between the bracketing
+    # reads — active-only sums would drop the dead executor's bytes
+    # and record a negative/undercounted delta. The listener bus is
     # drained first so an action's metrics are fully posted before
-    # the read.
+    # the read. (On this bench's local[...] master there is exactly
+    # one never-dying executor, but the instrument shouldn't depend
+    # on that.)
     def _shuffle_totals() -> tuple[int, int]:
         jsc = spark.sparkContext._jsc.sc()
         jsc.listenerBus().waitUntilEmpty()
-        lst = jsc.statusStore().executorList(True)
+        lst = jsc.statusStore().executorList(False)
         r = w = 0
         for i in range(lst.size()):
             e = lst.apply(i)

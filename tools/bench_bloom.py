@@ -72,43 +72,42 @@ NUM_BITS = 1 << 20
 DIM_NATION = 3  # the gate query's nation — non-empty at every SF
 
 
-def _corpus_pass(spark, sf_dir: str, label: str) -> dict:
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_suppkey", "l_returnflag", "l_extendedprice", "l_discount"
-    )
-    dim = (
+def _dim(spark, sf_dir: str):
+    return (
         load_table(spark, sf_dir, "supplier")
         .where(F.col("s_nationkey") == DIM_NATION)
         .select(F.col("s_suppkey").alias("l_suppkey"))
     )
-    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("double")
 
-    def agg(kept):
-        return kept.groupBy("l_returnflag").agg(
-            F.count("*").alias("n"), dsum(revenue).alias("revenue")
-        )
+
+def _six_arm_ab(fact, dim, agg, label: str, extra: dict | None = None) -> dict:
+    """The shared A/B harness for every pass: plain / bloom /
+    broadcast in both join directions, each arm asserted
+    row-identical to its plain twin BEFORE timing (the assert run
+    doubles as the warm). One harness, two callers — the narrow and
+    wide passes must never drift apart in arm construction or
+    cross-check discipline (the sorted-column-order bug in the first
+    wide run came from exactly such a divergence)."""
 
     def semi_plain():
-        return agg(li.join(dim.distinct(), "l_suppkey", "left_semi"))
+        return agg(fact.join(dim.distinct(), "l_suppkey", "left_semi"))
 
     def semi_bloom():
-        return agg(bloom_semi_join(li, dim, "l_suppkey", num_bits=NUM_BITS))
-
-    n_keys = dim.count()
+        return agg(bloom_semi_join(fact, dim, "l_suppkey", num_bits=NUM_BITS))
 
     def semi_broadcast():
-        return agg(li.join(F.broadcast(dim.distinct()), "l_suppkey", "left_semi"))
+        return agg(fact.join(F.broadcast(dim.distinct()), "l_suppkey", "left_semi"))
 
     # anti direction: definite-miss rows (~96% of the fact here)
     # skip the confirming exchange entirely
     def anti_plain():
-        return agg(li.join(dim.distinct(), "l_suppkey", "left_anti"))
+        return agg(fact.join(dim.distinct(), "l_suppkey", "left_anti"))
 
     def anti_bloom():
-        return agg(bloom_anti_join(li, dim, "l_suppkey", num_bits=NUM_BITS))
+        return agg(bloom_anti_join(fact, dim, "l_suppkey", num_bits=NUM_BITS))
 
     def anti_broadcast():
-        return agg(li.join(F.broadcast(dim.distinct()), "l_suppkey", "left_anti"))
+        return agg(fact.join(F.broadcast(dim.distinct()), "l_suppkey", "left_anti"))
 
     # correctness cross-check: every arm row-identical to its plain twin
     for base, arms in (
@@ -118,21 +117,13 @@ def _corpus_pass(spark, sf_dir: str, label: str) -> dict:
         want = sorted(map(tuple, base().collect()))
         for arm, name in arms:
             got = sorted(map(tuple, arm().collect()))
-            assert got == want, f"{name} arm diverged from its plain twin"
-
-    # pre-filter selectivity: the shuffle-rows proxy
-    fact_rows = li.count()
-    bits = build_bloom_bits(dim, "l_suppkey", num_bits=NUM_BITS)
-    kept_rows = li.where(
-        bloom_might_contain("l_suppkey", bits, NUM_BITS)
-    ).count()
+            assert got == want, f"{label}: {name} arm diverged from its plain twin"
 
     return {
         "corpus": label,
-        "fact_rows": fact_rows,
-        "dim_keys": n_keys,
-        "bloom_kept_rows": kept_rows,
-        "bloom_kept_frac": round(kept_rows / fact_rows, 5),
+        "fact_rows": fact.count(),
+        "dim_keys": dim.count(),
+        **(extra or {}),
         "semi_plain_sec": timed(semi_plain),
         "semi_bloom_sec": timed(semi_bloom),
         "semi_broadcast_sec": timed(semi_broadcast),
@@ -142,6 +133,37 @@ def _corpus_pass(spark, sf_dir: str, label: str) -> dict:
     }
 
 
+def _corpus_pass(spark, sf_dir: str, label: str) -> dict:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_returnflag", "l_extendedprice", "l_discount"
+    )
+    dim = _dim(spark, sf_dir)
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("double")
+
+    def agg(kept):
+        return kept.groupBy("l_returnflag").agg(
+            F.count("*").alias("n"), dsum(revenue).alias("revenue")
+        )
+
+    # pre-filter selectivity: the shuffle-rows proxy
+    fact_rows = li.count()
+    bits = build_bloom_bits(dim, "l_suppkey", num_bits=NUM_BITS)
+    kept_rows = li.where(
+        bloom_might_contain("l_suppkey", bits, NUM_BITS)
+    ).count()
+
+    return _six_arm_ab(
+        li,
+        dim,
+        agg,
+        label,
+        extra={
+            "bloom_kept_rows": kept_rows,
+            "bloom_kept_frac": round(kept_rows / fact_rows, 5),
+        },
+    )
+
+
 def _make_wide(spark, sf_dir: str, out_dir: str) -> None:
     """Materialize a WIDE lineitem once: all 11 columns + a 128-byte
     deterministic payload (sha2 of the row's orderkey — NOT rand();
@@ -149,8 +171,18 @@ def _make_wide(spark, sf_dir: str, out_dir: str) -> None:
     source). Written to parquet so every arm pays REAL scan bytes —
     synthesizing the payload per-scan would bill sha2 CPU to
     whichever arm scans more, distorting the exchange-vs-rescan
-    trade this pass exists to measure."""
-    if os.path.exists(os.path.join(out_dir, "_SUCCESS")):
+    trade this pass exists to measure.
+
+    Staleness: the cache is keyed on the SOURCE corpus's mtime, not
+    just the wide dir's existence — a regenerated .scaled/sf10 must
+    rebuild the wide fact, or this pass would silently measure (and
+    publish) numbers for the old corpus; the row-identity asserts
+    can't catch that because every arm joins the same stale fact."""
+    src = os.path.join(sf_dir, "lineitem")
+    if not os.path.exists(src):
+        src = os.path.join(sf_dir, "lineitem.parquet")
+    marker = os.path.join(out_dir, "_SUCCESS")
+    if os.path.exists(marker) and os.path.getmtime(marker) >= os.path.getmtime(src):
         return
     li = load_table(spark, sf_dir, "lineitem")
     wide = li.withColumn(
@@ -169,11 +201,7 @@ def _wide_pass(spark, sf_dir: str, wide_dir: str, label: str) -> dict:
     quietly turn this back into the narrow pass."""
     _make_wide(spark, sf_dir, wide_dir)
     fact = spark.read.parquet(wide_dir)
-    dim = (
-        load_table(spark, sf_dir, "supplier")
-        .where(F.col("s_nationkey") == DIM_NATION)
-        .select(F.col("s_suppkey").alias("l_suppkey"))
-    )
+    dim = _dim(spark, sf_dir)
 
     def agg(kept):
         # hash columns in SORTED-NAME order: a string-`on` join moves
@@ -186,45 +214,13 @@ def _wide_pass(spark, sf_dir: str, wide_dir: str, label: str) -> dict:
             F.count("*").alias("n"), F.sum(allhash).alias("h")
         )
 
-    def semi_plain():
-        return agg(fact.join(dim.distinct(), "l_suppkey", "left_semi"))
-
-    def semi_bloom():
-        return agg(bloom_semi_join(fact, dim, "l_suppkey", num_bits=NUM_BITS))
-
-    def semi_broadcast():
-        return agg(fact.join(F.broadcast(dim.distinct()), "l_suppkey", "left_semi"))
-
-    def anti_plain():
-        return agg(fact.join(dim.distinct(), "l_suppkey", "left_anti"))
-
-    def anti_bloom():
-        return agg(bloom_anti_join(fact, dim, "l_suppkey", num_bits=NUM_BITS))
-
-    def anti_broadcast():
-        return agg(fact.join(F.broadcast(dim.distinct()), "l_suppkey", "left_anti"))
-
-    for base, arms in (
-        (semi_plain, [(semi_bloom, "semi_bloom"), (semi_broadcast, "semi_bc")]),
-        (anti_plain, [(anti_bloom, "anti_bloom"), (anti_broadcast, "anti_bc")]),
-    ):
-        want = sorted(map(tuple, base().collect()))
-        for arm, name in arms:
-            got = sorted(map(tuple, arm().collect()))
-            assert got == want, f"wide {name} arm diverged from its plain twin"
-
-    return {
-        "corpus": label,
-        "fact_rows": fact.count(),
-        "dim_keys": dim.count(),
-        "row_shape": "11 cols + 128B payload, all-column hash agg",
-        "semi_plain_sec": timed(semi_plain),
-        "semi_bloom_sec": timed(semi_bloom),
-        "semi_broadcast_sec": timed(semi_broadcast),
-        "anti_plain_sec": timed(anti_plain),
-        "anti_bloom_sec": timed(anti_bloom),
-        "anti_broadcast_sec": timed(anti_broadcast),
-    }
+    return _six_arm_ab(
+        fact,
+        dim,
+        agg,
+        label,
+        extra={"row_shape": "11 cols + 128B payload, all-column hash agg"},
+    )
 
 
 def main() -> None:
