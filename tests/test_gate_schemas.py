@@ -228,3 +228,16 @@ def test_all_gate_outputs_are_primitive_scalars(spark, sf_dir, registry):
         "hash DECIMAL/ARRAY/MAP/STRUCT through pandas):\n"
         + "\n".join(violations)
     )
+
+
+def test_priority_window_is_exactly_the_driver_budget():
+    """The driver records the FIRST 50 registered queries; _PRIORITY
+    is that window. A short window wastes verification slots, a long
+    one silently pushes its own tail out of the budget, and a
+    duplicate burns a slot on a query already recorded — all three
+    drift modes fail here by count instead of being discovered in the
+    next round's CORRECTNESS file."""
+    from shmr_spark.queries import _PRIORITY
+
+    assert len(_PRIORITY) == 50, f"window is {len(_PRIORITY)}, budget is 50"
+    assert len(set(_PRIORITY)) == 50, "duplicate names in _PRIORITY"
