@@ -1,11 +1,23 @@
 """Benchmark harness (driver contract): run the headline queries at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
-local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
-  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+local[$SPARK_GRAFT_CPUS]. The LAST stdout line is a compact JSON
+summary the driver parses:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...},
+   "sf": ..., "scale_value": N, "extras_value": N,
+   "detail": "BENCH_DETAIL.json"}
+The full result — per-query shuffle-byte maps, 10x extras, pair
+counts — goes to BENCH_DETAIL.json and an earlier stdout line. (The
+driver keeps only a ~2000-char stdout TAIL; round 8 printed one
+everything-included line that outgrew it and the round recorded
+"parsed": null. tests/test_bench_contract.py pins the final line's
+length bound against the real registry.)
 
 Timing is end-to-end per query (plan + execute) with a JVM-side noop
 sink — no rows cross to Python, so this measures the engine, not
-py4j serialization.
+py4j serialization. All timed loops run BEFORE any untimed
+instrumentation pass (the r8 10x extras drifted +15-60% purely from
+sharing a session with interleaved cache-clearing byte-accounting
+passes).
 
 Scale check: after the contract run, the same headline set executes
 once against a derived sf1-equivalent corpus (10× sf0.1 with
@@ -265,36 +277,23 @@ def main() -> None:
     for name, spec in sorted(headline.items()):
         spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
-    # Shuffle-byte accounting (untimed passes, never inside a timed
-    # loop): wall time at one scale cannot see a plan that starts
-    # shuffling 10× the bytes it needs — the regression only costs
-    # wall on a real network. Executors are listed INCLUDING inactive
-    # ones (executorList(False)) so the summed totals stay monotonic
-    # even if an executor dies or deallocates between the bracketing
-    # reads — active-only sums would drop the dead executor's bytes
-    # and record a negative/undercounted delta. The listener bus is
-    # drained first so an action's metrics are fully posted before
-    # the read. (On this bench's local[...] master there is exactly
-    # one never-dying executor, but the instrument shouldn't depend
-    # on that.)
-    def _shuffle_totals() -> tuple[int, int]:
-        jsc = spark.sparkContext._jsc.sc()
-        jsc.listenerBus().waitUntilEmpty()
-        lst = jsc.statusStore().executorList(False)
-        r = w = 0
-        for i in range(lst.size()):
-            e = lst.apply(i)
-            r += e.totalShuffleRead()
-            w += e.totalShuffleWrite()
-        return r, w
+    # Shuffle-byte accounting helpers (UNTIMED passes — and, since
+    # round 9, run strictly AFTER every timed loop in the session: r8
+    # interleaved these cache-clearing re-execution passes between the
+    # timed loops and the 10x extras drifted +15-60% with flat/linear
+    # shuffle bytes, i.e. the instrument contaminated the measurement
+    # it shared a session with). Wall time at one scale cannot see a
+    # plan that starts shuffling 10x the bytes it needs — the
+    # regression only costs wall on a real network. The bracketing
+    # status-store reads live in shmr_spark.metrics (shared with
+    # tests/test_scaling.py, which pins byte-ratio linearity in the
+    # suite).
+    from shmr_spark.metrics import noop_sink, shuffle_bytes_of
 
     def _shuffle_pass(specs, d) -> dict[str, dict[str, int]] | None:
         out: dict[str, dict[str, int]] = {}
         for name, spec in sorted(specs.items()):
-            r0, w0 = _shuffle_totals()
-            spec.fn(spark, d).write.format("noop").mode("overwrite").save()
-            r1, w1 = _shuffle_totals()
-            out[name] = {"read": r1 - r0, "write": w1 - w0}
+            out[name] = shuffle_bytes_of(spark, lambda: noop_sink(spec.fn(spark, d)))
         # guard the instrument: the headline set always contains
         # queries that genuinely shuffle (join_three_way, q5), so an
         # all-zero pass means the status-store read broke (API drift,
@@ -303,6 +302,11 @@ def main() -> None:
         if not any(v["read"] or v["write"] for v in out.values()):
             return None
         return out
+
+    # ---- TIMED SECTION: every timed loop runs before any untimed
+    # instrumentation pass (shuffle-byte accounting, pair counting) so
+    # the instrument's cache clears / re-executions cannot poison the
+    # min-of-N via GC and page-cache pressure (the r8 lesson).
 
     # min over 3 timed repetitions: one GC pause or CPU-frequency dip
     # would otherwise dominate a sub-second query's number
@@ -322,13 +326,16 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        "shuffle_bytes": _shuffle_pass(headline, sf_dir),
     }
 
-    if os.environ.get("SPARK_GRAFT_SCALE_CHECK", "1") != "0":
+    scale_on = os.environ.get("SPARK_GRAFT_SCALE_CHECK", "1") != "0"
+    scaled_dir = os.path.join(REPO, ".scaled", "sf1")
+    build_s = None
+    extra_base: dict[str, float] = {}
+    big: dict[str, float] = {}
+    if scale_on:
         from tools.make_scaled_sf import make_scaled
 
-        scaled_dir = os.path.join(REPO, ".scaled", "sf1")
         t0 = time.perf_counter()
         make_scaled(spark, 10, sf_dir, scaled_dir)
         build_s = round(time.perf_counter() - t0, 3)
@@ -336,7 +343,6 @@ def main() -> None:
         # base (sf0.1) timings for the extras, so the 10x ratio is
         # computable for them too (headliners' base times are in
         # result["queries"])
-        extra_base: dict[str, float] = {}
         for _ in range(2):
             for name, spec in sorted(scale_extra.items()):
                 t0 = time.perf_counter()
@@ -344,7 +350,7 @@ def main() -> None:
                 dt = round(time.perf_counter() - t0, 3)
                 extra_base[name] = min(extra_base.get(name, dt), dt)
 
-        # release the sf0.1 pipeline's survivor cache before the 10×
+        # release the sf0.1 pipeline's survivor cache before the 10x
         # phase — slots are per-(session, corpus, params), so the
         # base-corpus cache would otherwise sit in MEMORY_AND_DISK
         # for the whole scaled pass with zero reuse
@@ -352,27 +358,6 @@ def main() -> None:
 
         clear_pipeline_caches()
 
-        shuffle_extras = {
-            n: scale_extra[n]
-            for n in (
-                "dedup_minhash_prod",
-                "pipeline_e2e",
-                "duplicate_spans",
-                "q9_profit_by_nation",
-                "q21_single_fault_suppliers",
-            )
-            if n in scale_extra
-        }
-
-        def _extras_shuffle(d) -> dict[str, dict[str, int]] | None:
-            # pipeline_e2e caches survivors per corpus — a cache hit
-            # would record ~0 shuffle bytes for whichever scale ran
-            # second in the timed loops, making the base/sf1 ratio
-            # meaningless; both passes measure the cold plan
-            clear_pipeline_caches()
-            return _shuffle_pass(shuffle_extras, d)
-
-        big: dict[str, float] = {}
         timed = {**headline, **scale_extra}
         for _ in range(2):
             for name, spec in sorted(timed.items()):
@@ -382,6 +367,37 @@ def main() -> None:
                 ).save()
                 dt = round(time.perf_counter() - t0, 3)
                 big[name] = min(big.get(name, dt), dt)
+
+    # ---- UNTIMED SECTION: instrumentation passes. Everything below
+    # re-executes plans for metrics, never for wall-clock numbers.
+
+    result["shuffle_bytes"] = _shuffle_pass(headline, sf_dir)
+
+    if scale_on:
+        shuffle_extras = {
+            n: scale_extra[n]
+            for n in (
+                "dedup_minhash_prod",
+                "pipeline_e2e",
+                "duplicate_spans",
+                "q9_profit_by_nation",
+                "q21_single_fault_suppliers",
+                # round 9: the remaining heavy LLM-pipeline flagships,
+                # so the whole set carries byte-scaling evidence
+                "knn_join_lsh_prod",
+                "heavy_hitters_tokens",
+            )
+            if n in scale_extra
+        }
+
+        def _extras_shuffle(d) -> dict[str, dict[str, int]] | None:
+            # pipeline_e2e caches survivors per corpus — a cache hit
+            # would record ~0 shuffle bytes for whichever scale ran
+            # second, making the base/sf1 ratio meaningless; both
+            # passes measure the cold plan
+            clear_pipeline_caches()
+            return _shuffle_pass(shuffle_extras, d)
+
         result["scale_check"] = {
             "sf": 1.0,
             "minhash_pairs": {
@@ -398,9 +414,9 @@ def main() -> None:
             ),
             "extra_base": extra_base,
             "corpus_build_sec": build_s,
-            # headline shuffle bytes at 10×: the ratio vs the base
+            # headline shuffle bytes at 10x: the ratio vs the base
             # result["shuffle_bytes"] is the scale story wall time
-            # can't tell — a shuffle growing ~10× at 10× rows is
+            # can't tell — a shuffle growing ~10x at 10x rows is
             # linear (good); superlinear growth is a plan regression
             # even if local wall looks flat
             "shuffle_bytes": _shuffle_pass(headline, scaled_dir),
@@ -415,7 +431,37 @@ def main() -> None:
             },
         }
 
+    # Output contract (the r8 lesson — BENCH_r08.json came back
+    # "parsed": null): the driver keeps only a bounded tail of stdout
+    # and parses the LAST line, so the full result (with per-query
+    # shuffle-byte detail, which outgrew that tail in r8) goes to
+    # BENCH_DETAIL.json and an EARLY stdout line, and the final line
+    # is a compact summary with a tested length bound
+    # (tests/test_bench_contract.py).
+    with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as f:
+        json.dump(result, f, indent=1, sort_keys=True)
     print(json.dumps(result))
+    print(json.dumps(compact_summary(result)))
+
+
+def compact_summary(result: dict) -> dict:
+    """The driver-facing final stdout line: headline metric + per-query
+    timings + scalar scale-check roll-ups, NO per-query byte maps.
+    Length-bounded by test against the real registry's headline set —
+    must stay well under the driver's ~2000-char stdout tail capture."""
+    out = {
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": result["unit"],
+        "sf": result["sf"],
+        "queries": result["queries"],
+        "detail": "BENCH_DETAIL.json",
+    }
+    sc = result.get("scale_check")
+    if sc:
+        out["scale_value"] = sc["value"]
+        out["extras_value"] = sc["extras_value"]
+    return out
 
 
 if __name__ == "__main__":
