@@ -12,18 +12,29 @@ semi-join reduction. The result is still EXACT: a confirming
 so ``bloom_semi_join(fact, dim, k) ≡ fact SEMI JOIN dim USING (k)``
 row-for-row — which is how the gate query carries a plain IN-subquery
 DuckDB oracle. Measured (tools/bench_bloom.py, BLOOM_BENCH.json): at
-60M fact rows the reduction keeps 3.7 % of the scan and wins 2.1×
-over the plain shuffle semi-join; at 6M the bitmap build still
-outweighs the saved exchange (0.78 → 0.96 s) — this is a
-big-fact-side operator, and when the dim fits in a broadcast, the
-broadcast join beats both (SCALING.md has the full table).
-``bloom_anti_join`` is the same reduction pointed the other way:
-probe-MISS rows are definite non-matches and skip the exchange
-entirely; only the probe-positive fraction is confirmed. Its trade
-— the full-fact exchange for a second pruned scan — measures
-~break-even on local narrow-column scans (4.24 → 4.11 s at 60M) and
-pays in the wide-row / real-network regime where shuffle bytes, not
-scans, are the cost. (Spark's own runtime bloom pruning —
+60M fact rows the reduction keeps 3.7 % of the scan and wins 2.0×
+over the plain shuffle semi-join (3.80 → 1.89 s); at 6M the bitmap
+build still outweighs the saved exchange (1.15 → 1.58 s) — this is a
+big-fact-side operator. ``bloom_anti_join`` is the same reduction
+pointed the other way: probe-MISS rows are definite non-matches and
+skip the exchange entirely; only the probe-positive fraction is
+confirmed. At 60M narrow rows it wins 1.76× (7.61 → 4.32 s), and the
+regime the reduction exists for — wide rows, where shuffle bytes are
+the cost — pays most: with an 11-column + 128-byte-payload fact at
+60M rows, semi 12.96 → 3.29 s (3.9×) and anti 23.25 → 6.23 s (3.7×).
+
+The same A/B also measured the losing regime: whenever the dim's key
+set fits in a broadcast, a plain BROADCAST semi/anti join beats both
+the shuffle join and the bloom reduction at every scale tried
+(0.36–2.1 s across all three corpora) — a bloom filter can only
+approximate the membership test a broadcast hash relation performs
+exactly. So the operator guards its own regime: the default
+``mode="auto"`` estimates the dim's distinct-key count and
+short-circuits to the broadcast join below
+``AUTO_BROADCAST_MAX_DIM_KEYS``; the bloom path runs only when the
+dim is plausibly too big to broadcast (or when forced with
+``mode="bloom"``, which tests and the gate queries use to pin the
+bloom plan itself). (Spark's own runtime bloom pruning —
 ``spark.sql.optimizer.runtime.bloomFilter.enabled`` — does this
 opportunistically inside AQE; this operator makes the reduction an
 explicit, testable plan step with a deterministic filter.)
@@ -48,11 +59,47 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
+    "AUTO_BROADCAST_MAX_DIM_KEYS",
     "build_bloom_bits",
     "bloom_might_contain",
     "bloom_semi_join",
     "bloom_anti_join",
 ]
+
+# Regime threshold for mode="auto" (A/B-backed, BLOOM_BENCH.json /
+# SCALING.md): broadcast semi/anti joins won every measured corpus
+# where the dim fit — 370 and 3,700 keys, narrow and wide facts, 6M
+# and 60M rows — because a broadcast hash relation answers the
+# membership test exactly where the bloom filter only pre-screens it.
+# The crossover is therefore not a measured point but the size at
+# which broadcasting stops being safe: 1M distinct keys is ~50 MB as
+# a LongHashedRelation (≈48 B/entry) — comfortably inside executor
+# memory on any production profile, and 5× Spark's own default
+# autoBroadcastJoinThreshold (10 MB), which the planner applies to
+# byte ESTIMATES that routinely undershoot post-distinct key sets.
+# Above this, per-executor memory for the relation (every executor
+# holds a full copy) starts competing with shuffle/execution memory
+# at 1000-executor scale, and the bloom bitmap's fixed 128 KiB wins.
+AUTO_BROADCAST_MAX_DIM_KEYS = 1_000_000
+
+# Hard cap on num_bits: keeps every downstream position expression
+# overflow-free under ANSI mode with huge margin (positions < 2^27,
+# int casts need < 2^31) and bounds the bitmap plan literal (2^27
+# bits = 2M int64 words ≈ a 16 MB string literal — already past the
+# point where a bigger bitmap should be a real bloom-join framework,
+# not a plan constant).
+MAX_NUM_BITS = 1 << 27
+
+
+def _check_num_bits(num_bits: int) -> None:
+    if num_bits & (num_bits - 1):
+        raise ValueError(f"num_bits must be a power of two, got {num_bits}")
+    if not 64 <= num_bits <= MAX_NUM_BITS:
+        raise ValueError(
+            f"num_bits must be in [64, 2^27], got {num_bits} — the bitmap "
+            "is a broadcast plan literal and the position arithmetic is "
+            "int-cast downstream; see MAX_NUM_BITS"
+        )
 
 
 def _positions(key: Column, num_bits: int, num_hashes: int) -> list[Column]:
@@ -65,8 +112,11 @@ def _positions(key: Column, num_bits: int, num_hashes: int) -> list[Column]:
     Spark 4 runs ANSI mode by default, where ``i * <full-range int64>``
     raises ARITHMETIC_OVERFLOW instead of wrapping (for a uniform h2
     the chance that all k-1 products fit in int64 is ~1/(k-1)!). After
-    the reduction every intermediate is < k * num_bits, overflow-free
-    for any num_bits ≤ 2^59. pmod by the power-of-two num_bits
+    the reduction every intermediate is < k * num_bits — and with
+    num_bits capped at MAX_NUM_BITS (2^27, enforced by
+    _check_num_bits), every position fits an int32 with margin, so
+    the downstream word-index and shift-amount int casts can never
+    hit an ANSI overflow either. pmod by the power-of-two num_bits
     preserves h2's low bit, so forcing it odd AFTER the reduction
     keeps it coprime with num_bits and the k positions cannot collapse
     onto one bit."""
@@ -89,9 +139,9 @@ def build_bloom_bits(
     equals anything, so a semi-join can never keep a NULL-key row.
 
     num_bits must be a power of two (cheap pmod, and the h2-odd
-    coprimality argument in _positions relies on it)."""
-    if num_bits & (num_bits - 1):
-        raise ValueError(f"num_bits must be a power of two, got {num_bits}")
+    coprimality argument in _positions relies on it) and ≤ MAX_NUM_BITS
+    (the overflow/literal-size bound in _check_num_bits)."""
+    _check_num_bits(num_bits)
     n_words = num_bits // 64
     kc = F.col(key)
     pos = F.array(*_positions(kc, num_bits, num_hashes))
@@ -139,6 +189,7 @@ def bloom_might_contain(
     an explicit isNotNull guard because xxhash64 SKIPS null arguments:
     without it a NULL key would hash to the constant seed-only
     positions and return a real (possibly true) boolean."""
+    _check_num_bits(num_bits)
     kc = F.col(key) if isinstance(key, str) else key
     arr = _bits_literal(bits)
     test = F.lit(True)
@@ -148,12 +199,31 @@ def bloom_might_contain(
     return F.when(kc.isNotNull(), test)
 
 
+def _resolve_mode(dim: DataFrame, key: str, mode: str) -> str:
+    """Regime guard for the joins' ``mode="auto"`` default. The A/B
+    (BLOOM_BENCH.json) shows the broadcast join beating the bloom
+    reduction at EVERY measured scale where the dim fits — so "auto"
+    estimates the dim's distinct keys (approx_count_distinct: one
+    partial-agg pass, no shuffle, 1-row action — strictly cheaper
+    than the full dim scan + bitmap collect a bloom build costs) and
+    short-circuits to broadcast below AUTO_BROADCAST_MAX_DIM_KEYS.
+    Misuse at small scale thereby degrades to the WINNING plan
+    instead of silently paying the bitmap build."""
+    if mode in ("bloom", "broadcast"):
+        return mode
+    if mode != "auto":
+        raise ValueError(f"mode must be 'auto', 'bloom' or 'broadcast', got {mode!r}")
+    n_keys = dim.agg(F.approx_count_distinct(key)).first()[0]
+    return "broadcast" if n_keys <= AUTO_BROADCAST_MAX_DIM_KEYS else "bloom"
+
+
 def bloom_semi_join(
     fact: DataFrame,
     dim: DataFrame,
     key: str,
     num_bits: int = 1 << 20,
     num_hashes: int = 5,
+    mode: str = "auto",
 ) -> DataFrame:
     """EXACT semi-join with Bloom pre-reduction: filter the fact side
     by the dim-key Bloom filter (false positives only, never false
@@ -161,10 +231,22 @@ def bloom_semi_join(
     against the distinct dim keys. At scale the exchange moves only
     the pre-filtered rows; the confirm join clears the FP rate
     (~0.01 at the defaults for ≤ 10^5 keys — and ANY rate is safe,
-    FPs cost shuffle bytes, not correctness)."""
+    FPs cost shuffle bytes, not correctness).
+
+    ``mode``: "auto" (default) applies the regime guard — a dim whose
+    distinct-key estimate fits AUTO_BROADCAST_MAX_DIM_KEYS runs the
+    measured-faster broadcast semi-join instead (_resolve_mode);
+    "bloom"/"broadcast" force a path (the gate query and the plan
+    tests force "bloom" so the reduction itself stays verified).
+    Every mode returns the same rows — the choice is plan shape, not
+    semantics."""
+    mode = _resolve_mode(dim, key, mode)
+    keys = dim.select(key).distinct()
+    if mode == "broadcast":
+        return fact.join(F.broadcast(keys), key, "left_semi")
     bits = build_bloom_bits(dim, key, num_bits, num_hashes)
     pre = fact.where(bloom_might_contain(key, bits, num_bits, num_hashes))
-    return pre.join(dim.select(key).distinct(), key, "left_semi")
+    return pre.join(keys, key, "left_semi")
 
 
 def bloom_anti_join(
@@ -173,6 +255,7 @@ def bloom_anti_join(
     key: str,
     num_bits: int = 1 << 20,
     num_hashes: int = 5,
+    mode: str = "auto",
 ) -> DataFrame:
     """EXACT anti-join with Bloom short-circuit:
     ``bloom_anti_join(fact, dim, k) ≡ fact ANTI JOIN dim USING (k)``
@@ -209,11 +292,25 @@ def bloom_anti_join(
     NULL for a NULL key, and ``~coalesce(probe, FALSE)`` routes it to
     the definite-miss branch. (SQL ``NOT IN`` differs — it DROPS
     NULL-key rows; gate oracles must use columns that are non-null or
-    spell out the NULL handling.)"""
+    spell out the NULL handling.)
+
+    ``mode``: "auto" (default) applies the regime guard — a dim whose
+    distinct-key estimate fits AUTO_BROADCAST_MAX_DIM_KEYS runs the
+    measured-faster broadcast anti-join instead (_resolve_mode; also
+    sidesteps the two-branch determinism precondition above, since
+    the broadcast plan references the fact once); "bloom"/"broadcast"
+    force a path. Every mode returns the same rows in the FACT's
+    column order — the choice is plan shape, not semantics."""
+    mode = _resolve_mode(dim, key, mode)
+    keys = dim.select(key).distinct()
+    if mode == "broadcast":
+        # a string-`on` join moves the key column first — re-select to
+        # keep the documented fact-column-order contract mode-invariant
+        return fact.join(F.broadcast(keys), key, "left_anti").select(fact.columns)
     bits = build_bloom_bits(dim, key, num_bits, num_hashes)
     probe = bloom_might_contain(key, bits, num_bits, num_hashes)
     definite_miss = fact.where(~F.coalesce(probe, F.lit(False)))
     confirmed = fact.where(F.coalesce(probe, F.lit(False))).join(
-        dim.select(key).distinct(), key, "left_anti"
+        keys, key, "left_anti"
     )
     return definite_miss.unionByName(confirmed)

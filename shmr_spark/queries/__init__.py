@@ -47,88 +47,86 @@ def query(name: str, oracle: str | None = None, headline: bool = False):
 # Registry emission order. The driver's correctness gate has a budget
 # (every round so far recorded exactly the first 50 registered
 # queries), so the order below is part of the verification strategy.
-# The registry was CLOSED at 176 through round 6, REOPENED to 178 in
-# round 7 (bloom_semi_join_revenue, regression_price_qty) — and those
-# two shipped WITHOUT window slots, which is how the bloom ANSI
-# overflow reached the tree unverified (VERDICT r7). It is 179 as of
-# round 8 (bloom_anti_join_revenue, windowed on arrival). Round-8's
-# window re-establishes the rule that new/changed code outranks
-# rotation:
-#   1. the two r7-introduced gates, never driver-checked (bloom now
-#      carries the r8 overflow fix, verified at sf0.001 + sf0.01
-#      locally and by tests/test_bloom.py), plus the r8 anti-join
-#      twin;
-#   2. the three queries whose plans changed this round when the
-#      gate-walk job-count enforcement (tests/test_gate_schemas.py)
-#      flagged their plan-construction driver actions — each now
-#      computes its scalar (token total / φ·N threshold / min-max
-#      bucket width) as an in-plan broadcast 1-row aggregate;
-#   3. 40 of the 43 queries whose newest green is round 4 — the
-#      oldest evidence left after r7 rotated the r3 cohort (39 listed
-#      below; range_shards_orders is the 40th, already in group 2).
-#      The remaining 3 (window_functions, window_sliding,
-#      zorder_keys) roll to round 9, which completes the second full
-#      registry pass;
+# The registry was CLOSED at 176 through round 6, reopened to 179
+# across rounds 7-8 (bloom semi/anti, regression), and stays at 179
+# in round 9 (no new gates; the round's work is instrumentation and
+# the bloom regime guard). Round-9 window: with round 8 recorded,
+# every one of the 179 gates has driver-green evidence at some round;
+# the freshness floor is 3 queries at r4 and 36 at r5. This window
+# takes ALL of them — completing the second full registry pass (every
+# gate's newest green >= r5) and closing most of the third:
+#   1. the 3 queries whose newest green is round 4 — explicitly
+#      rolled here by the round-8 window comment (window_functions,
+#      window_sliding, zorder_keys);
+#   2. changed-code-this-round (standing rule: new/changed plans
+#      outrank rotation): the two bloom gates now pass mode="bloom"
+#      through the round-9 regime guard (operators/bloom.py
+#      _resolve_mode — auto mode short-circuits small dims to the
+#      measured-faster broadcast join, so the gates pin the bloom
+#      path explicitly);
+#   3. the entire 36-query round-5 cohort (the oldest evidence after
+#      group 1);
 #   4. canaries (standing policy): previously-green anchors spread
-#      across modules/tiers — the flagship aggregate, the compat RDD
-#      fold, and one gate each from the dedup / ANN / relational
-#      fact-fact tiers. Names absent from this list keep module
+#      across modules/tiers, drawn from the r6 cohort so they also
+#      advance the next-oldest evidence — relational fact-fact,
+#      three-way join, compat map/reduce, dedup-LSH, PQ-ANN, text,
+#      streaming, multimodal. Names absent from this list keep module
 #      registration order after it.
 _PRIORITY: list[str] = [
-    # -- group 1: gates new in r7/r8, first driver evidence (3)
+    # -- group 1: newest green is r4, rolled from the r8 window (3)
+    "window_functions",
+    "window_sliding",
+    "zorder_keys",
+    # -- group 2: plans changed this round — bloom regime guard (2)
     "bloom_semi_join_revenue",
-    "regression_price_qty",
     "bloom_anti_join_revenue",
-    # -- group 2: plans changed this round (3)
-    "unigram_logprob_score",
-    "heavy_hitters_tokens",
-    "range_shards_orders",
-    # -- group 3: 39 of the 43 r4-latest greens (rotation cohort)
-    "apply_side_effect",
-    "bool_aggregates",
-    "bpe_pair_counts",
-    "corpus_snapshot_diff",
-    "correlation",
-    "count_distinct",
-    "cube_agg",
-    "dedup_incremental",
-    "dedup_minhash_incremental",
-    "dedup_semantic",
-    "duplicate_spans",
-    "event_transitions",
-    "filter_orders",
-    "interval_join_events",
-    "monthly_trend",
-    "multimodal_resize",
-    "outlier_filter",
-    "pack_sequences",
-    "pagerank_trade_graph",
-    "percentile_ranks",
-    "percentiles",
-    "pivot_agg",
-    "q10_returned_top_customers",
-    "q14_promo_share",
-    "q18_large_orders",
-    "redact_pii",
-    "rolling_user_window",
-    "rollup_agg",
-    "rollup_incremental",
-    "scd2_intervals",
-    "sentence_dedup",
-    "session_window_agg",
-    "sessionize",
-    "split_by_key_buckets",
-    "token_budget_select",
-    "topk_global",
-    "topk_per_group",
-    "training_subset",
-    "validate_orders",
-    # -- group 4: canaries (5)
-    "reduce_by_key_q1",
-    "compat_records_fold",
-    "dedup_exact",
-    "similarity_topk",
-    "q9_profit_by_nation",
+    # -- group 3: the full r5 cohort (36)
+    "apportion_sample_quota",
+    "asof_join_next",
+    "bpe_encode_counts",
+    "coalesce_count",
+    "concat_union",
+    "dedup_keep_best_quality",
+    "distinct_first",
+    "distinct_keys",
+    "distinct_sketch_rollup",
+    "drift_cusum_events",
+    "dsum_decimal_overflow",
+    "ewma_customer_orders",
+    "flat_map_tokens",
+    "interpolate_gaps",
+    "interval_union_coverage",
+    "inverted_index",
+    "join_anti",
+    "join_left",
+    "join_semi",
+    "knn_join_exact",
+    "lang_id",
+    "leakage_safe_split",
+    "missing_id_ranges",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_supplier_part_variety",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue",
+    "q21_single_fault_suppliers",
+    "q4_order_priority",
+    "q8_market_share",
+    "set_except",
+    "set_intersect",
+    "sliding_distinct_users",
+    "temperature_balanced_mix",
+    "weighted_median_price",
+    # -- group 4: canaries, module-diverse, from the r6 cohort (9)
+    "q3_top_orders",
+    "join_three_way",
+    "map_project",
+    "reduce_global",
+    "dedup_embedding_lsh",
+    "similarity_ivfpq_topk",
+    "text_stats",
+    "streaming_tumbling",
+    "multimodal_featurize",
 ]
 
 

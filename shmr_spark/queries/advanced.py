@@ -1302,7 +1302,10 @@ def bloom_semi_join_revenue(spark, sf_dir):
     """Revenue of lineitems supplied by nation 3 (non-empty at every gate SF), with the lineitem
     scan Bloom-reduced on l_suppkey before the confirming semi-join.
     Gate uses a 64 Kbit filter (1 Kword literal); production default
-    is 1 Mbit (operators/bloom.py)."""
+    is 1 Mbit (operators/bloom.py). mode="bloom" pins the reduction
+    path itself — the auto regime guard would (correctly) pick the
+    broadcast join for this gate-sized dim, and then the driver would
+    never verify the bloom plan."""
     from shmr_spark.operators.bloom import bloom_semi_join
 
     li = load_table(spark, sf_dir, "lineitem").select(
@@ -1313,7 +1316,7 @@ def bloom_semi_join_revenue(spark, sf_dir):
         .where(F.col("s_nationkey") == 3)
         .select(F.col("s_suppkey").alias("l_suppkey"))
     )
-    kept = bloom_semi_join(li, supp, "l_suppkey", num_bits=1 << 16)
+    kept = bloom_semi_join(li, supp, "l_suppkey", num_bits=1 << 16, mode="bloom")
     rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("double")
     return (
         kept.groupBy("l_returnflag")
@@ -1340,7 +1343,9 @@ def bloom_anti_join_revenue(spark, sf_dir):
     the confirming exchange as definite non-matches. NOT IN is a
     sound oracle because l_suppkey and s_suppkey are non-null in this
     corpus (left_anti KEEPS null-key rows where NOT IN drops them —
-    bloom_anti_join follows left_anti; see its docstring)."""
+    bloom_anti_join follows left_anti; see its docstring).
+    mode="bloom" pins the two-branch reduction plan — the auto regime
+    guard would pick the broadcast join at gate scale."""
     from shmr_spark.operators.bloom import bloom_anti_join
 
     li = load_table(spark, sf_dir, "lineitem").select(
@@ -1351,7 +1356,7 @@ def bloom_anti_join_revenue(spark, sf_dir):
         .where(F.col("s_nationkey") == 3)
         .select(F.col("s_suppkey").alias("l_suppkey"))
     )
-    kept = bloom_anti_join(li, supp, "l_suppkey", num_bits=1 << 16)
+    kept = bloom_anti_join(li, supp, "l_suppkey", num_bits=1 << 16, mode="bloom")
     rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("double")
     return (
         kept.groupBy("l_returnflag")

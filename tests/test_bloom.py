@@ -12,6 +12,7 @@ lucky-hash fluke cannot green-light an overflow again.
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from shmr_spark.catalog import load_table
@@ -42,7 +43,7 @@ def test_bloom_semi_join_equals_left_semi(spark, sf_dir):
         .select(F.col("c_custkey").alias("o_custkey"))
     )
     assert dim.count() > 20  # multi-key guarantee (34 at sf0.001)
-    got = bloom_semi_join(orders, dim, "o_custkey", num_bits=1 << 14)
+    got = bloom_semi_join(orders, dim, "o_custkey", num_bits=1 << 14, mode="bloom")
     want = orders.join(dim.distinct(), "o_custkey", "left_semi")
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
 
@@ -61,7 +62,9 @@ def test_bloom_anti_join_equals_left_anti(spark, sf_dir):
         .select(F.col("c_custkey").alias("o_custkey"))
     )
     cols = ["o_orderkey", "o_custkey", "o_totalprice"]
-    got = bloom_anti_join(orders, dim, "o_custkey", num_bits=1 << 14).select(cols)
+    got = bloom_anti_join(
+        orders, dim, "o_custkey", num_bits=1 << 14, mode="bloom"
+    ).select(cols)
     want = orders.join(dim.distinct(), "o_custkey", "left_anti").select(cols)
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
 
@@ -75,7 +78,7 @@ def test_bloom_anti_join_keeps_null_keys(spark):
         F.when(F.col("id") < 8, F.col("id")).alias("k"),
     )
     dim = spark.range(0, 4).select(F.col("id").alias("k"))
-    got = bloom_anti_join(fact, dim, "k", num_bits=1 << 10)
+    got = bloom_anti_join(fact, dim, "k", num_bits=1 << 10, mode="bloom")
     want = fact.join(dim, "k", "left_anti")
     assert sorted(r["rid"] for r in got.collect()) == sorted(
         r["rid"] for r in want.collect()
@@ -128,7 +131,7 @@ def test_null_key_probes_null(spark):
     assert by_k[None] is None
     # and the semi-join never keeps the NULL-key row
     dim = spark.range(0, 100).select(F.col("id").alias("k"))
-    kept = bloom_semi_join(df, dim, "k", num_bits=1 << 10)
+    kept = bloom_semi_join(df, dim, "k", num_bits=1 << 10, mode="bloom")
     assert sorted(r["k"] for r in kept.collect()) == [0, 1]
 
 
@@ -170,5 +173,96 @@ def test_bloom_anti_join_preserves_fact_column_order(spark):
         F.col("id").alias("a"), F.col("id").alias("k"), F.lit("x").alias("z")
     )
     dim = spark.range(0, 2).select(F.col("id").alias("k"))
-    assert bloom_anti_join(fact, dim, "k", num_bits=1 << 10).columns == ["a", "k", "z"]
+    for mode in ("bloom", "broadcast"):
+        got = bloom_anti_join(fact, dim, "k", num_bits=1 << 10, mode=mode)
+        assert got.columns == ["a", "k", "z"], mode
     assert fact.join(dim, "k", "left_anti").columns == ["k", "a", "z"]
+
+
+# ---------------------------------------------------------------------------
+# mode="auto" regime guard (round 9): BLOOM_BENCH.json shows the
+# broadcast join beating the bloom reduction at every measured scale
+# where the dim fits, so the default must not let a user deploy the
+# losing regime — below AUTO_BROADCAST_MAX_DIM_KEYS the operator
+# short-circuits to a plain broadcast semi/anti join.
+# ---------------------------------------------------------------------------
+
+
+def test_auto_mode_small_dim_plans_broadcast_semi(spark):
+    """auto + a dim far under the key threshold must produce a
+    BroadcastHashJoin LeftSemi plan with NO bloom probe (no xxhash64
+    anywhere) and the same rows as the plain semi-join."""
+    fact = spark.range(0, 5000).select((F.col("id") % 100).alias("k"), "id")
+    dim = spark.range(0, 30).select(F.col("id").alias("k"))
+    got = bloom_semi_join(fact, dim, "k")  # mode="auto" default
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "xxhash64" not in plan  # the bloom path did NOT build
+    want = fact.join(dim.distinct(), "k", "left_semi")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_auto_mode_small_dim_plans_broadcast_anti(spark):
+    """The anti direction's auto fallback: broadcast plan, left_anti
+    semantics (NULL-key rows KEPT), fact column order preserved."""
+    fact = spark.range(0, 10).select(
+        F.col("id").alias("rid"),
+        F.when(F.col("id") < 8, F.col("id")).alias("k"),
+    )
+    dim = spark.range(0, 4).select(F.col("id").alias("k"))
+    got = bloom_anti_join(fact, dim, "k")  # mode="auto" default
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "xxhash64" not in plan
+    assert got.columns == ["rid", "k"]
+    kept = {r["rid"] for r in got.collect()}
+    assert kept == {4, 5, 6, 7, 8, 9}  # 8, 9 are the NULL-key rows
+
+
+def test_forced_bloom_mode_keeps_probe_in_plan(spark):
+    """mode="bloom" must run the reduction even when auto would not —
+    the gate queries rely on this to keep the bloom plan verified."""
+    fact = spark.range(0, 5000).select((F.col("id") % 100).alias("k"), "id")
+    dim = spark.range(0, 30).select(F.col("id").alias("k"))
+    got = bloom_semi_join(fact, dim, "k", num_bits=1 << 10, mode="bloom")
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "xxhash64" in plan  # probe present
+    want = fact.join(dim.distinct(), "k", "left_semi")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_resolve_mode_thresholds(spark):
+    """_resolve_mode picks broadcast under the key threshold and bloom
+    above it (approx_count_distinct estimate; 2.5M distinct >> 1M
+    threshold even at ±5% rsd)."""
+    from shmr_spark.operators.bloom import _resolve_mode
+
+    small = spark.range(0, 1000).select(F.col("id").alias("k"))
+    big = spark.range(0, 2_500_000).select(F.col("id").alias("k"))
+    assert _resolve_mode(small, "k", "auto") == "broadcast"
+    assert _resolve_mode(big, "k", "auto") == "bloom"
+    # forced modes bypass the estimate entirely
+    assert _resolve_mode(big, "k", "broadcast") == "broadcast"
+    assert _resolve_mode(small, "k", "bloom") == "bloom"
+
+
+def test_mode_validation(spark):
+    fact = spark.range(0, 10).select(F.col("id").alias("k"))
+    dim = spark.range(0, 5).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError, match="mode must be"):
+        bloom_semi_join(fact, dim, "k", mode="bogus")
+
+
+def test_num_bits_bounds(spark):
+    """num_bits outside [64, 2^27] (or non-power-of-two) fails loudly
+    at build time — the cap is what makes every downstream int cast
+    provably overflow-free (the r8 docstring claimed 2^59 while the
+    casts capped it far lower; now the enforced and documented ranges
+    agree)."""
+    dim = spark.range(0, 5).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError, match="power of two"):
+        build_bloom_bits(dim, "k", num_bits=1000)
+    with pytest.raises(ValueError, match=r"\[64, 2\^27\]"):
+        build_bloom_bits(dim, "k", num_bits=1 << 28)
+    with pytest.raises(ValueError, match=r"\[64, 2\^27\]"):
+        bloom_might_contain("k", [0], num_bits=1 << 28)

@@ -233,11 +233,18 @@ def test_all_gate_outputs_are_primitive_scalars(spark, sf_dir, registry):
 def test_priority_window_is_exactly_the_driver_budget():
     """The driver records the FIRST 50 registered queries; _PRIORITY
     is that window. A short window wastes verification slots, a long
-    one silently pushes its own tail out of the budget, and a
-    duplicate burns a slot on a query already recorded — all three
-    drift modes fail here by count instead of being discovered in the
-    next round's CORRECTNESS file."""
-    from shmr_spark.queries import _PRIORITY
+    one silently pushes its own tail out of the budget, a duplicate
+    burns a slot on a query already recorded, and a renamed/typo'd
+    name would shift every slot after it — all four drift modes fail
+    here by name instead of being discovered in the next round's
+    CORRECTNESS file (load_all() raises on unknown names, and the
+    first-50 assertion pins that the ordering actually lands the
+    window in the budget)."""
+    from shmr_spark.queries import _PRIORITY, load_all
 
     assert len(_PRIORITY) == 50, f"window is {len(_PRIORITY)}, budget is 50"
     assert len(set(_PRIORITY)) == 50, "duplicate names in _PRIORITY"
+    ordered = load_all()  # KeyError here = a _PRIORITY name left the registry
+    assert list(ordered)[:50] == _PRIORITY, (
+        "the first 50 registered queries are not the _PRIORITY window"
+    )

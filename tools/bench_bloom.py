@@ -93,7 +93,7 @@ def _six_arm_ab(fact, dim, agg, label: str, extra: dict | None = None) -> dict:
         return agg(fact.join(dim.distinct(), "l_suppkey", "left_semi"))
 
     def semi_bloom():
-        return agg(bloom_semi_join(fact, dim, "l_suppkey", num_bits=NUM_BITS))
+        return agg(bloom_semi_join(fact, dim, "l_suppkey", num_bits=NUM_BITS, mode="bloom"))
 
     def semi_broadcast():
         return agg(fact.join(F.broadcast(dim.distinct()), "l_suppkey", "left_semi"))
@@ -104,7 +104,7 @@ def _six_arm_ab(fact, dim, agg, label: str, extra: dict | None = None) -> dict:
         return agg(fact.join(dim.distinct(), "l_suppkey", "left_anti"))
 
     def anti_bloom():
-        return agg(bloom_anti_join(fact, dim, "l_suppkey", num_bits=NUM_BITS))
+        return agg(bloom_anti_join(fact, dim, "l_suppkey", num_bits=NUM_BITS, mode="bloom"))
 
     def anti_broadcast():
         return agg(fact.join(F.broadcast(dim.distinct()), "l_suppkey", "left_anti"))
