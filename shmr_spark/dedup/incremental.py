@@ -120,7 +120,13 @@ def incremental_dedup_minhash(
             uid,
             "__id",
             "__is_new",
-            shingle_ngrams("__t", shingle_size).alias("__sh"),
+            # xxhash64 longs, not raw n-gram strings — same 8-byte
+            # verify-exchange economics as minhash_candidate_pairs,
+            # same bit-identical signatures (minhash_signatures_df
+            # dispatches on the element type)
+            F.transform(
+                shingle_ngrams("__t", shingle_size), lambda s: F.xxhash64(s)
+            ).alias("__sh"),
         )
         .localCheckpoint(eager=False)
     )

@@ -100,12 +100,27 @@ def minhash_signatures_df(
     loop is whole-stage-codegen'd primitive ops instead of interpreted
     array lambdas (~2× faster at sf0.1). Costs one shuffle on the id;
     rows whose shingle array is empty/null vanish (none are produced
-    by shingle_ngrams)."""
+    by shingle_ngrams).
+
+    Accepts raw string shingles (array<string>) OR pre-hashed
+    shingles (array<long> of xxhash64 values): pmod over the
+    precomputed hash yields bit-identical signatures to the string
+    path, and hashing each shingle exactly once — in the shared
+    shingle frame, where the verify join then ships 8-byte longs
+    instead of n-gram strings — cut the 100×-corpus total exchange
+    13.34 → 8.96 GB and wall 203 → 153 s (AUDIT_100X_LLM.json)."""
     if num_hashes > len(_AB):
         raise ValueError(f"num_hashes > {len(_AB)} not supported")
-    ex = sh_df.select(
-        F.col(id_col), F.explode(shingles_col).alias("__s")
-    ).withColumn("__h", F.pmod(F.xxhash64("__s"), F.lit(_P)))
+    from pyspark.sql.types import LongType
+
+    elem = sh_df.schema[shingles_col].dataType.elementType
+    ex = sh_df.select(F.col(id_col), F.explode(shingles_col).alias("__s")).withColumn(
+        "__h",
+        F.pmod(
+            F.col("__s") if isinstance(elem, LongType) else F.xxhash64("__s"),
+            F.lit(_P),
+        ),
+    )
     mins = ex.groupBy(id_col).agg(
         *(
             F.min(F.pmod(F.col("__h") * F.lit(a) + F.lit(b), F.lit(_P))).alias(f"__m{i}")
@@ -194,10 +209,22 @@ def minhash_candidate_pairs(
     candidate/verified pair counts) can act on the candidate frame
     AND feed the same frame to the verify stage — both lineages pin
     at the shared localCheckpoints, so the shingle→signature→band
-    pipeline runs once per session, not once per consumer."""
+    pipeline runs once per session, not once per consumer.
+
+    The shared shingle frame carries xxhash64(shingle) longs, not the
+    raw n-gram strings: Jaccard over the hashed sets equals Jaccard
+    over the string sets up to a ~2⁻⁶⁴-per-pair collision (fixed-seed
+    deterministic; the gate's all-pairs DuckDB oracle verifies value
+    equality on real corpora), signatures are bit-identical (the
+    string was being xxhash64'd anyway — now exactly once), and the
+    verify join's pair exchange ships 8 bytes per shingle instead of
+    a ~25-byte n-gram — measured at the 100× corpus: total exchange
+    13.34 → 8.96 GB, wall 203 → 153 s (AUDIT_100X_LLM.json)."""
     sh = df.select(
         F.col(id_col).alias("__id"),
-        shingle_ngrams(text_col, shingle_size).alias("__sh"),
+        F.transform(
+            shingle_ngrams(text_col, shingle_size), lambda s: F.xxhash64(s)
+        ).alias("__sh"),
     ).localCheckpoint(eager=False)  # reused by signatures AND both verify sides
     sigs = minhash_signatures_df(sh, "__id", "__sh", num_hashes)
     cands = lsh_candidates(sigs, "__id", "sig", bands).localCheckpoint(
@@ -212,7 +239,9 @@ def verify_jaccard_pairs(
     """Exact-Jaccard verification of candidate pairs against the
     shingle frame: (id_a, id_b, jaccard ≥ threshold). Ships shingle
     arrays only for candidate ids (semi-join pruned), not the whole
-    corpus."""
+    corpus — and the arrays are xxhash64 longs (see
+    minhash_candidate_pairs), so the pair-side exchange that carries
+    one doc's set to meet the other's costs 8 bytes per shingle."""
     a = sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a"))
     b = sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
