@@ -66,6 +66,29 @@ def test_minhash_signature_shape(spark, sf_dir):
         assert len(r.sig) == 32
 
 
+def test_signatures_identical_for_string_and_prehashed_shingles(spark, sf_dir):
+    """minhash_signatures_df dispatches on the shingle element type
+    (raw strings vs xxhash64 longs — the verify-exchange optimization,
+    BUILD_LOG §44). The two paths must produce BIT-IDENTICAL
+    signatures, or the hashed fast path would silently change every
+    candidate set downstream."""
+    from pyspark.sql import functions as F
+
+    from shmr_spark.dedup.minhash import minhash_signatures_df
+
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    sh_str = docs.select(
+        F.col("doc_id").alias("__id"),
+        shingle_ngrams("text", 3).alias("__sh"),
+    )
+    sh_hash = sh_str.select(
+        "__id", F.transform("__sh", lambda s: F.xxhash64(s)).alias("__sh")
+    )
+    a = {r["__id"]: r.sig for r in minhash_signatures_df(sh_str, "__id").collect()}
+    b = {r["__id"]: r.sig for r in minhash_signatures_df(sh_hash, "__id").collect()}
+    assert a == b and len(a) == 50
+
+
 def test_simhash_finds_planted_near_dups(spark, sf_dir):
     df = _docs_with_planted_dups(spark, sf_dir)
     pairs = simhash_near_duplicates(df, max_hamming=3).collect()

@@ -32,10 +32,21 @@ from shmr_spark.metrics import noop_sink, shuffle_bytes_of  # noqa: E402
 from shmr_spark.session import get_spark  # noqa: E402
 
 QUERIES = [
+    # the four expensive fact-fact joins (the original audit set)...
     "join_three_way",
     "sql_q5_region_revenue",
     "q9_profit_by_nation",
     "q21_single_fault_suppliers",
+    # ...plus the rest of the headline set, so the whole driver-facing
+    # benchmark has a measured 100x row, not just its join tier
+    "asof_join_prev",
+    "dedup_exact",
+    "q3_top_orders",
+    "q6_promo_revenue",
+    "reduce_by_key_q1",
+    "similarity_topk",
+    "text_stats",
+    "window_tumbling",
 ]
 
 

@@ -57,6 +57,23 @@ def _knn_join_lsh_prod(spark, sf_dir):
     return knn_join_lsh(probes, emb, k=5, n_planes=8, radius=1)
 
 
+def _knn_join_lsh_fixed_probes(spark, sf_dir):
+    # production framing: a FIXED probe set (200 vectors from the
+    # base-copy id range, constant across corpus scales) against the
+    # growing corpus — bench's prod shape scales probes WITH the
+    # corpus (vec_id % 100), which makes per-bucket rerank work grow
+    # ~quadratically across a 10x step and muddies the corpus-scaling
+    # read; this variant isolates it
+    from pyspark.sql import functions as F
+
+    from shmr_spark.catalog import load_table
+    from shmr_spark.similarity.knn import knn_join_lsh
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter((F.col("vec_id") % 10 == 0) & (F.col("vec_id") < 2000))
+    return knn_join_lsh(probes, emb, k=5, n_planes=8, radius=1)
+
+
 def _pipeline_e2e(spark, sf_dir):
     from shmr_spark.operators.training_pipeline import training_pipeline
 
@@ -80,6 +97,7 @@ def main() -> None:
         "heavy_hitters_tokens": reg["heavy_hitters_tokens"].fn,
         "similarity_indexed_topk": reg["similarity_indexed_topk"].fn,
         "knn_join_lsh_prod": _knn_join_lsh_prod,
+        "knn_join_lsh_fixed_probes": _knn_join_lsh_fixed_probes,
         "dedup_minhash_prod": _dedup_minhash_prod,
         "pipeline_e2e": _pipeline_e2e,
     }
