@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from shmr_spark.functions.vectors import cosine_similarity
+from shmr_spark.functions.vectors import dot, l2_norm
 
 
 def semantic_dedup(
@@ -68,13 +68,21 @@ def semantic_dedup(
         F.col("__cell"),
         F.col(id_col).alias("__id_a"),
         F.col(vec_col).alias("__vec_a"),
+        # per-row norm precompute — d flops per within-cell pair
+        # instead of 3d; identical values (same operand order as
+        # cosine_similarity)
+        l2_norm(vec_col).alias("__n_a"),
     )
     b = assigned.select(
         F.col("__cell"),
         F.col(id_col).alias("__id_b"),
         F.col(vec_col).alias("__vec_b"),
+        l2_norm(vec_col).alias("__n_b"),
     )
-    sim = F.round(cosine_similarity(F.col("__vec_a"), F.col("__vec_b")), 6)
+    sim = F.round(
+        dot(F.col("__vec_a"), F.col("__vec_b")) / (F.col("__n_a") * F.col("__n_b")),
+        6,
+    )
     dropped = (
         a.join(b, on="__cell")
         .filter(F.col("__id_a") < F.col("__id_b"))

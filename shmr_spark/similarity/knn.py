@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from shmr_spark.dedup.embedding import hyperplanes, lsh_bucket
-from shmr_spark.functions.vectors import cosine_similarity
+from shmr_spark.functions.vectors import dot, l2_norm
 
 
 def _topk_per_probe(pairs: DataFrame, k: int) -> DataFrame:
@@ -45,13 +45,24 @@ def knn_join_exact(
     corpus_vec: str = "embedding",
 ) -> DataFrame:
     """Exact top-k neighbors per probe (self-matches by id excluded)."""
+    # norms are computed ONCE per side before the join — cosine per
+    # pair then costs one dot (d flops) instead of dot + both norms
+    # (3d): the norm of a corpus vector is identical across every
+    # probe it meets. Same operands in the same order as
+    # cosine_similarity(__cv, __pv), so results are bit-identical.
     p = probes.select(
-        F.col(probe_id).alias("probe_id"), F.col(probe_vec).alias("__pv")
+        F.col(probe_id).alias("probe_id"),
+        F.col(probe_vec).alias("__pv"),
+        l2_norm(probe_vec).alias("__pn"),
     )
     c = corpus.select(
-        F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec).alias("__cv")
+        F.col(corpus_id).alias("neighbor_id"),
+        F.col(corpus_vec).alias("__cv"),
+        l2_norm(corpus_vec).alias("__cn"),
     )
-    sim = F.round(cosine_similarity(F.col("__cv"), F.col("__pv")), 6)
+    sim = F.round(
+        dot(F.col("__cv"), F.col("__pv")) / (F.col("__cn") * F.col("__pn")), 6
+    )
     pairs = (
         c.crossJoin(F.broadcast(p))
         .filter(F.col("neighbor_id") != F.col("probe_id"))
@@ -113,16 +124,23 @@ def knn_join_lsh(
     c = corpus.select(
         F.col(corpus_id).alias("neighbor_id"),
         F.col(corpus_vec).alias("__cv"),
+        # per-side norm precompute: d flops per pair in the rerank
+        # instead of 3d (see knn_join_exact) — measured 1.95× on the
+        # 100× prod-shape rerank (42.4 → 21.7 s, AUDIT_100X_LLM.json)
+        l2_norm(corpus_vec).alias("__cn"),
         lsh_bucket(corpus_vec, planes).alias("__bucket"),
     )
     p = probes.select(
         F.col(probe_id).alias("probe_id"),
         F.col(probe_vec).alias("__pv"),
+        l2_norm(probe_vec).alias("__pn"),
         F.explode(
             _neighbor_buckets(lsh_bucket(probe_vec, planes), n_planes, radius)
         ).alias("__bucket"),
     )
-    sim = F.round(cosine_similarity(F.col("__cv"), F.col("__pv")), 6)
+    sim = F.round(
+        dot(F.col("__cv"), F.col("__pv")) / (F.col("__cn") * F.col("__pn")), 6
+    )
     pairs = (
         c.join(F.broadcast(p), "__bucket")
         .filter(F.col("neighbor_id") != F.col("probe_id"))
