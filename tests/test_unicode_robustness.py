@@ -126,3 +126,59 @@ def test_minhash_signature_unicode_stable(spark):
         .collect()
     }
     assert rerun == sigs
+
+
+def test_prehashed_shingle_path_equals_string_path_on_adversarial_text(spark):
+    """The hashed-shingle verify optimization (BUILD_LOG §44) must not
+    diverge on web-crawl garbage: for adversarial texts plus seeded
+    random unicode soup, the pre-hashed path's signatures are
+    bit-identical to the string path's, and exact Jaccard over hashed
+    sets equals Jaccard over string sets pair-for-pair."""
+    import random
+
+    from shmr_spark.dedup.minhash import minhash_signatures_df
+
+    rng = random.Random(20260815)
+    soup = [
+        "".join(
+            chr(rng.choice([rng.randint(32, 0x2FFF), rng.randint(0x1F300, 0x1F64F)]))
+            if rng.random() < 0.3
+            else chr(rng.randint(97, 122))
+            for _ in range(rng.randint(0, 120))
+        )
+        for _ in range(40)
+    ]
+    texts = ADVERSARIAL + soup
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    sh_str = df.select(
+        F.col("doc_id").alias("__id"), shingle_ngrams("text", 3).alias("__sh")
+    )
+    sh_hash = sh_str.select(
+        "__id", F.transform("__sh", lambda s: F.xxhash64(s)).alias("__sh")
+    )
+    a = {r["__id"]: r.sig for r in minhash_signatures_df(sh_str, "__id").collect()}
+    b = {r["__id"]: r.sig for r in minhash_signatures_df(sh_hash, "__id").collect()}
+    assert a == b and len(a) == len(texts)
+
+    # exact Jaccard per pair: hashed == string (no collisions on this
+    # input, and none expected before ~2^32 distinct shingles)
+    def jac(frame):
+        x = frame.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a"))
+        y = frame.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b"))
+        return {
+            (r.id_a, r.id_b): r.j
+            for r in x.join(y, F.col("id_a") < F.col("id_b"))
+            .select(
+                "id_a",
+                "id_b",
+                (
+                    F.size(F.array_intersect("sh_a", "sh_b"))
+                    / F.size(F.array_union("sh_a", "sh_b"))
+                ).alias("j"),
+            )
+            .collect()
+        }
+
+    assert jac(sh_str) == jac(sh_hash)
