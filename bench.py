@@ -77,12 +77,14 @@ def main() -> None:
     # n=10 the verify stage does ~100× the pair work, and a ~5× wall
     # time is strongly sublinear in actual work, not superlinear in
     # rows.
-    def _dedup_minhash_prod(spark, sf_dir):
-        from shmr_spark.catalog import load_table
-        from shmr_spark.dedup import minhash_near_duplicates
-
-        docs = load_table(spark, sf_dir, "documents")
-        return minhash_near_duplicates(docs, threshold=0.7)
+    # (the shape itself lives in shmr_spark.prod_shapes, shared with
+    # tools/audit_100x_llm.py so the timed plan and the audited plan
+    # cannot drift apart)
+    from shmr_spark.prod_shapes import (
+        dedup_minhash_prod as _dedup_minhash_prod,
+        knn_join_lsh_prod as _knn_join_lsh_prod,
+        pipeline_e2e as _pipeline_e2e,
+    )
 
     # pair counts alongside the wall time (untimed pass): the ~5×
     # wall at 10× rows is only interpretable against the ~100× growth
@@ -106,18 +108,6 @@ def main() -> None:
         candidates = cands.count()
         verified = verify_jaccard_pairs(sh, cands, 0.7).count()
         return {"candidate_pairs": candidates, "verified_pairs": verified}
-
-    # kNN join in its PRODUCTION shape (radius=1 probe expansion), not
-    # the gate's full-probe oracle-equivalence shape (radius=n_planes,
-    # which deliberately admits the whole corpus per probe)
-    def _knn_join_lsh_prod(spark, sf_dir):
-        from pyspark.sql import functions as F
-        from shmr_spark.catalog import load_table
-        from shmr_spark.similarity.knn import knn_join_lsh
-
-        emb = load_table(spark, sf_dir, "embeddings")
-        probes = emb.filter(F.col("vec_id") % 100 == 0)
-        return knn_join_lsh(probes, emb, k=5, n_planes=8, radius=1)
 
     # the STATEFUL sessionizer (applyInPandasWithState) replayed to
     # completion over the corpus's events — the Python-state path whose
@@ -263,11 +253,6 @@ def main() -> None:
     # tests/test_training_pipeline.py; here it gets a measured
     # base-vs-10× wall so the composition (not just each stage) has
     # scale evidence.
-    def _pipeline_e2e(spark, sf_dir):
-        from shmr_spark.operators.training_pipeline import training_pipeline
-
-        return training_pipeline(spark, sf_dir)
-
     scale_extra["pipeline_e2e"] = _Spec(_pipeline_e2e)
 
     # Warmup pass (untimed): JVM JIT + whole-stage codegen compilation

@@ -199,31 +199,64 @@ def bloom_might_contain(
     return F.when(kc.isNotNull(), test)
 
 
-def _resolve_mode(dim: DataFrame, key: str, mode: str) -> str:
+def _estimate_keys(dim: DataFrame, key: str) -> int:
+    """Distinct-key estimate for mode resolution / bitmap sizing:
+    approx_count_distinct is one partial-agg pass, no shuffle, 1-row
+    action — strictly cheaper than the full dim scan + bitmap collect
+    a bloom build costs. It IS an eager Spark job at plan-construction
+    time (it re-runs the dim's lineage), which the joins document;
+    callers composing plans lazily pass ``dim_keys_hint`` instead."""
+    if dim.isStreaming:
+        raise ValueError(
+            "mode='auto' / num_bits=None need a distinct-key estimate, "
+            "which runs an eager job — impossible on a streaming "
+            "DataFrame; pass dim_keys_hint=, or an explicit mode AND "
+            "num_bits"
+        )
+    return int(dim.agg(F.approx_count_distinct(key)).first()[0])
+
+
+def _bits_for_keys(n_keys: int) -> int:
+    """Bitmap size for an expected key count: ~10 bits/key (FP ≈ 1%
+    at the default k=5), rounded up to a power of two, clamped to
+    [64, MAX_NUM_BITS]. Past MAX_NUM_BITS/10 ≈ 13M keys the bits/key
+    ratio — and with it the pre-filter's selectivity — decays (the
+    result stays EXACT; the confirm join clears any FP rate, so
+    saturation costs exchange bytes, never correctness), which the
+    join docstrings call out as the operator's effectiveness bound."""
+    target = 10 * max(1, n_keys)
+    return max(64, min(MAX_NUM_BITS, 1 << (target - 1).bit_length()))
+
+
+def _resolve_mode(
+    dim: DataFrame, key: str, mode: str, dim_keys_hint: int | None = None
+) -> tuple[str, int | None]:
     """Regime guard for the joins' ``mode="auto"`` default. The A/B
     (BLOOM_BENCH.json) shows the broadcast join beating the bloom
     reduction at EVERY measured scale where the dim fits — so "auto"
-    estimates the dim's distinct keys (approx_count_distinct: one
-    partial-agg pass, no shuffle, 1-row action — strictly cheaper
-    than the full dim scan + bitmap collect a bloom build costs) and
-    short-circuits to broadcast below AUTO_BROADCAST_MAX_DIM_KEYS.
-    Misuse at small scale thereby degrades to the WINNING plan
-    instead of silently paying the bitmap build."""
+    takes the dim's distinct-key count (the caller's ``dim_keys_hint``
+    when given, else one _estimate_keys job) and short-circuits to
+    broadcast below AUTO_BROADCAST_MAX_DIM_KEYS. Misuse at small
+    scale thereby degrades to the WINNING plan instead of silently
+    paying the bitmap build. Returns ``(mode, n_keys)`` so the caller
+    can reuse the estimate for bitmap sizing instead of re-running
+    it."""
     if mode in ("bloom", "broadcast"):
-        return mode
+        return mode, dim_keys_hint
     if mode != "auto":
         raise ValueError(f"mode must be 'auto', 'bloom' or 'broadcast', got {mode!r}")
-    n_keys = dim.agg(F.approx_count_distinct(key)).first()[0]
-    return "broadcast" if n_keys <= AUTO_BROADCAST_MAX_DIM_KEYS else "bloom"
+    n_keys = dim_keys_hint if dim_keys_hint is not None else _estimate_keys(dim, key)
+    return ("broadcast" if n_keys <= AUTO_BROADCAST_MAX_DIM_KEYS else "bloom"), n_keys
 
 
 def bloom_semi_join(
     fact: DataFrame,
     dim: DataFrame,
     key: str,
-    num_bits: int = 1 << 20,
+    num_bits: int | None = None,
     num_hashes: int = 5,
     mode: str = "auto",
+    dim_keys_hint: int | None = None,
 ) -> DataFrame:
     """EXACT semi-join with Bloom pre-reduction: filter the fact side
     by the dim-key Bloom filter (false positives only, never false
@@ -234,16 +267,35 @@ def bloom_semi_join(
     FPs cost shuffle bytes, not correctness).
 
     ``mode``: "auto" (default) applies the regime guard — a dim whose
-    distinct-key estimate fits AUTO_BROADCAST_MAX_DIM_KEYS runs the
+    distinct-key count fits AUTO_BROADCAST_MAX_DIM_KEYS runs the
     measured-faster broadcast semi-join instead (_resolve_mode);
     "bloom"/"broadcast" force a path (the gate query and the plan
     tests force "bloom" so the reduction itself stays verified).
     Every mode returns the same rows — the choice is plan shape, not
-    semantics."""
-    mode = _resolve_mode(dim, key, mode)
+    semantics.
+
+    ``num_bits=None`` (default) sizes the bitmap from the dim's
+    distinct-key count at ~10 bits/key (_bits_for_keys — FP ≈ 1%;
+    a fixed default would be saturated and useless in exactly the
+    >1M-key regime auto reserves for bloom). Effectiveness bound:
+    past ~13M keys the MAX_NUM_BITS cap dilutes bits/key and the
+    pre-filter passes more non-matches (still exact — FPs cost
+    exchange bytes, not correctness).
+
+    CONSTRUCTION COST — ``mode="auto"`` or ``num_bits=None`` needs
+    the key count, which runs ONE eager 1-row job (_estimate_keys,
+    re-executing the dim's lineage) when this function is CALLED,
+    not when the plan runs. Callers composing lazy plans (or using a
+    dim with expensive lineage / a streaming dim) pass
+    ``dim_keys_hint=`` — then no job runs before the action."""
+    mode, n_keys = _resolve_mode(dim, key, mode, dim_keys_hint)
     keys = dim.select(key).distinct()
     if mode == "broadcast":
         return fact.join(F.broadcast(keys), key, "left_semi")
+    if num_bits is None:
+        num_bits = _bits_for_keys(
+            n_keys if n_keys is not None else _estimate_keys(dim, key)
+        )
     bits = build_bloom_bits(dim, key, num_bits, num_hashes)
     pre = fact.where(bloom_might_contain(key, bits, num_bits, num_hashes))
     return pre.join(keys, key, "left_semi")
@@ -253,9 +305,10 @@ def bloom_anti_join(
     fact: DataFrame,
     dim: DataFrame,
     key: str,
-    num_bits: int = 1 << 20,
+    num_bits: int | None = None,
     num_hashes: int = 5,
     mode: str = "auto",
+    dim_keys_hint: int | None = None,
 ) -> DataFrame:
     """EXACT anti-join with Bloom short-circuit:
     ``bloom_anti_join(fact, dim, k) ≡ fact ANTI JOIN dim USING (k)``
@@ -295,18 +348,28 @@ def bloom_anti_join(
     spell out the NULL handling.)
 
     ``mode``: "auto" (default) applies the regime guard — a dim whose
-    distinct-key estimate fits AUTO_BROADCAST_MAX_DIM_KEYS runs the
+    distinct-key count fits AUTO_BROADCAST_MAX_DIM_KEYS runs the
     measured-faster broadcast anti-join instead (_resolve_mode; also
     sidesteps the two-branch determinism precondition above, since
     the broadcast plan references the fact once); "bloom"/"broadcast"
     force a path. Every mode returns the same rows in the FACT's
-    column order — the choice is plan shape, not semantics."""
-    mode = _resolve_mode(dim, key, mode)
+    column order — the choice is plan shape, not semantics.
+
+    ``num_bits=None`` sizes the bitmap from the key count, and
+    ``mode="auto"``/``num_bits=None`` cost one eager 1-row job at
+    call time unless ``dim_keys_hint`` is given — see
+    bloom_semi_join's docstring for both contracts (identical
+    here)."""
+    mode, n_keys = _resolve_mode(dim, key, mode, dim_keys_hint)
     keys = dim.select(key).distinct()
     if mode == "broadcast":
         # a string-`on` join moves the key column first — re-select to
         # keep the documented fact-column-order contract mode-invariant
         return fact.join(F.broadcast(keys), key, "left_anti").select(fact.columns)
+    if num_bits is None:
+        num_bits = _bits_for_keys(
+            n_keys if n_keys is not None else _estimate_keys(dim, key)
+        )
     bits = build_bloom_bits(dim, key, num_bits, num_hashes)
     probe = bloom_might_contain(key, bits, num_bits, num_hashes)
     definite_miss = fact.where(~F.coalesce(probe, F.lit(False)))

@@ -24,18 +24,17 @@ if str(REPO) not in sys.path:
 from bench import compact_summary  # noqa: E402
 from shmr_spark.queries import load_all  # noqa: E402
 
-# names bench.main() adds to scale_extra beyond registry headliners —
-# kept in sync by test_compact_line_length_bound building the largest
-# realistic payload (every one of these appears in extras totals only,
-# not in the compact line's "queries" map, but the bound test models
-# the full set anyway in case the compact shape ever grows)
+# Synthetic stand-ins for bench.main()'s local scale_extra names.
+# These pad only result fields compact_summary DROPS (scale_check's
+# per-query maps), so they cannot move the tested line length today —
+# they exist so that if the compact shape ever starts carrying
+# per-extra fields, the bound test is already exercising a
+# larger-than-current extras set (count > the ~8 bench actually adds,
+# names longer than its longest). Deliberately NOT a mirror of
+# bench.py's real names: a hand-synced copy would silently go stale;
+# a deliberately-synthetic superset cannot.
 _BENCH_LOCAL_EXTRAS = [
-    "dedup_minhash_prod",
-    "knn_join_lsh_prod",
-    "sessionize_stream",
-    "sessionize_stream_per_file",
-    "streaming_tumbling_per_file",
-    "pipeline_e2e",
+    f"synthetic_scale_extra_with_a_very_long_name_{i:02d}" for i in range(12)
 ]
 
 # the driver's capture window is ~2000 chars of stdout tail; the final

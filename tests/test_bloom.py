@@ -234,16 +234,55 @@ def test_forced_bloom_mode_keeps_probe_in_plan(spark):
 def test_resolve_mode_thresholds(spark):
     """_resolve_mode picks broadcast under the key threshold and bloom
     above it (approx_count_distinct estimate; 2.5M distinct >> 1M
-    threshold even at ±5% rsd)."""
+    threshold even at ±5% rsd), and returns the key count it used so
+    bitmap sizing never re-runs the estimate."""
     from shmr_spark.operators.bloom import _resolve_mode
 
     small = spark.range(0, 1000).select(F.col("id").alias("k"))
     big = spark.range(0, 2_500_000).select(F.col("id").alias("k"))
-    assert _resolve_mode(small, "k", "auto") == "broadcast"
-    assert _resolve_mode(big, "k", "auto") == "bloom"
+    mode, n = _resolve_mode(small, "k", "auto")
+    assert mode == "broadcast" and 900 <= n <= 1100
+    mode, n = _resolve_mode(big, "k", "auto")
+    assert mode == "bloom" and n > 1_000_000
     # forced modes bypass the estimate entirely
-    assert _resolve_mode(big, "k", "broadcast") == "broadcast"
-    assert _resolve_mode(small, "k", "bloom") == "bloom"
+    assert _resolve_mode(big, "k", "broadcast") == ("broadcast", None)
+    assert _resolve_mode(small, "k", "bloom") == ("bloom", None)
+    # a hint substitutes for the estimate — no job, and auto honors it
+    assert _resolve_mode(small, "k", "auto", dim_keys_hint=5_000_000) == (
+        "bloom",
+        5_000_000,
+    )
+
+
+def test_auto_sized_bitmap_is_not_saturated(spark):
+    """num_bits=None sizes the bitmap from the key count at ~10
+    bits/key: the regime auto reserves for bloom (>1M keys) must not
+    run against the old fixed 2^20 default (<1 bit/key there ⇒ ~100%
+    FP ⇒ the reduction filters nothing). Sizing math pinned, plus an
+    end-to-end row check through the hint path (zero estimate jobs:
+    hinted auto + sized bitmap never calls _estimate_keys — pinned by
+    monkeypatching it to raise)."""
+    import shmr_spark.operators.bloom as bl
+
+    assert bl._bits_for_keys(1) == 64
+    assert bl._bits_for_keys(100) == 1024  # next pow2 of 1000
+    assert bl._bits_for_keys(2_000_000) == 1 << 25  # 20M → 2^25
+    assert bl._bits_for_keys(10**9) == bl.MAX_NUM_BITS  # clamped
+
+    fact = spark.range(0, 4000).select(F.col("id").alias("k"))
+    dim = spark.range(0, 2000, 2).select(F.col("id").alias("k"))
+    orig = bl._estimate_keys
+    bl._estimate_keys = lambda *a: (_ for _ in ()).throw(
+        AssertionError("hint path must not run the estimate job")
+    )
+    try:
+        got = bloom_semi_join(fact, dim, "k", dim_keys_hint=2_000_000)
+    finally:
+        bl._estimate_keys = orig
+    want = fact.join(dim.distinct(), "k", "left_semi")
+    assert sorted(r.k for r in got.collect()) == sorted(
+        r.k for r in want.collect()
+    )
 
 
 def test_mode_validation(spark):

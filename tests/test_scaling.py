@@ -27,13 +27,26 @@ tiny scales where it measures ~5.5x anyway).
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from shmr_spark.metrics import noop_sink, shuffle_bytes_of
 from shmr_spark.queries import load_all
 
-SMALL = "/root/testdata/sf0.001"
-BIG = "/root/testdata/sf0.01"
+# honor the SHMR_TEST_SF_DIR relocation convention (tests/conftest.py):
+# this test needs TWO scale factors, so it derives the testdata root
+# from the override's parent and skips if the sibling is absent
+_ROOT = os.path.dirname(
+    os.environ.get("SHMR_TEST_SF_DIR", "/root/testdata/sf0.001").rstrip("/")
+)
+SMALL = os.path.join(_ROOT, "sf0.001")
+BIG = os.path.join(_ROOT, "sf0.01")
+
+pytestmark = pytest.mark.skipif(
+    not (os.path.isdir(SMALL) and os.path.isdir(BIG)),
+    reason=f"needs both {SMALL} and {BIG}",
+)
 ROW_RATIO = 10.0  # every fact table is 10x rows between the two SFs
 
 # byte-ratio band: [0.5x, 3x] of the row ratio (the VERDICT-specified

@@ -36,25 +36,11 @@ from shmr_spark.metrics import noop_sink, shuffle_bytes_of  # noqa: E402
 from shmr_spark.session import get_spark  # noqa: E402
 
 
-def _dedup_minhash_prod(spark, sf_dir):
-    # mirrors bench.py's production shape: 16-band S-curve, not the
-    # gate's degenerate single-row banding
-    from shmr_spark.catalog import load_table
-    from shmr_spark.dedup import minhash_near_duplicates
-
-    docs = load_table(spark, sf_dir, "documents")
-    return minhash_near_duplicates(docs, threshold=0.7)
-
-
-def _knn_join_lsh_prod(spark, sf_dir):
-    from pyspark.sql import functions as F
-
-    from shmr_spark.catalog import load_table
-    from shmr_spark.similarity.knn import knn_join_lsh
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    probes = emb.filter(F.col("vec_id") % 100 == 0)
-    return knn_join_lsh(probes, emb, k=5, n_planes=8, radius=1)
+from shmr_spark.prod_shapes import (  # noqa: E402
+    dedup_minhash_prod as _dedup_minhash_prod,
+    knn_join_lsh_prod as _knn_join_lsh_prod,
+    pipeline_e2e as _pipeline_e2e,
+)
 
 
 def _knn_join_lsh_fixed_probes(spark, sf_dir):
@@ -72,12 +58,6 @@ def _knn_join_lsh_fixed_probes(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     probes = emb.filter((F.col("vec_id") % 10 == 0) & (F.col("vec_id") < 2000))
     return knn_join_lsh(probes, emb, k=5, n_planes=8, radius=1)
-
-
-def _pipeline_e2e(spark, sf_dir):
-    from shmr_spark.operators.training_pipeline import training_pipeline
-
-    return training_pipeline(spark, sf_dir)
 
 
 def main() -> None:
