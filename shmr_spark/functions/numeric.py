@@ -154,6 +154,31 @@ def dmul(a: Column, b: Column) -> Column:
     return (a * b).cast("double")
 
 
+def dquant(col: Column | str) -> Column:
+    """Quantize a double to 6 decimals with the SAME floor-based rule
+    on both engines: floor(x·10⁶ + 0.5) / 10⁶ over identical IEEE
+    doubles is identical everywhere, whereas ``round(x, 6)`` is a
+    LIBRARY function — Spark routes through BigDecimal HALF_UP on the
+    exact binary value, DuckDB through a float path — and the two
+    disagree by 1 ulp on boundary values. That leak is invisible at
+    gate scale and real at sf0.1: pagerank_trade_graph's per-iteration
+    round() produced 3.061275 vs 3.061276 on one node of the 60k-edge
+    graph (found by the round-9 sf0.1 parity sweep). Iterative float
+    pipelines that need cross-engine bit-equality quantize with THIS
+    pair (dquant / sql_dquant), not round(). Positive inputs only
+    (floor(x+0.5) is half-up toward +∞ for negatives)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return _scaled_long(c).cast("double") / F.lit(_SCALE)
+
+
+def sql_dquant(expr: str) -> str:
+    """DuckDB twin of dquant() (same DOUBLE-cast rule as sql_dsum)."""
+    return (
+        f"(CAST(CAST(floor(CAST(({expr}) AS DOUBLE) * 1000000.0 + 0.5)"
+        f" AS BIGINT) AS DOUBLE) / 1000000.0)"
+    )
+
+
 def sql_dsum(expr: str) -> str:
     """DuckDB twin of dsum() for oracle_sql strings.
 

@@ -11,7 +11,8 @@ the connected-components loop (dedup/clusters.py); without it the
 plan doubles per iteration.
 
 Determinism discipline (what lets a float iteration carry a DuckDB
-hash oracle): ranks are ROUNDED TO 6 DECIMALS at the end of every
+hash oracle): ranks are QUANTIZED TO 6 DECIMALS (dquant — engine-identical
+floor rule, not the engines' divergent round() libraries) at the end of every
 iteration, and inflow sums go through dsum (exact scaled-int64
 accumulation — order-insensitive). Identical rounded inputs + IEEE
 division + exact sums + identical final rounding ⇒ bit-identical
@@ -31,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from shmr_spark.functions.numeric import dsum
+from shmr_spark.functions.numeric import dquant, dsum
 
 
 def pagerank(
@@ -70,10 +71,13 @@ def pagerank(
             )
         )
         inflow = contrib.groupBy("node").agg(dsum("__c").alias("__in"))
+        # dquant, NOT round(): the engines' round() libraries disagree
+        # by 1 ulp on boundary doubles — leaked at sf0.1 (see
+        # functions/numeric.py dquant docstring)
         ranks = nodes.join(inflow, "node", "left").select(
             "node",
-            F.round(
-                F.lit(base) + F.lit(damping) * F.coalesce("__in", F.lit(0.0)), 6
+            dquant(
+                F.lit(base) + F.lit(damping) * F.coalesce("__in", F.lit(0.0))
             ).alias("rank"),
         )
         ranks = ranks.localCheckpoint(eager=False)

@@ -7,7 +7,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from shmr_spark.catalog import load_table
-from shmr_spark.functions.numeric import dsum, sql_dsum
+from shmr_spark.functions.numeric import dsum, sql_dquant, sql_dsum
 from shmr_spark.operators import asof_join, salted_agg
 from shmr_spark.queries import query
 
@@ -1122,6 +1122,11 @@ def multimodal_resize(spark, sf_dir):
 
 _PR_INFLOW = sql_dsum("r.rank / d.d")
 
+# dquant, not round(): DuckDB's round(DOUBLE, 6) and Spark's disagree
+# by 1 ulp on boundary values — caught by the round-9 sf0.1 parity
+# sweep (one node: 3.061275 vs 3.061276); see functions/numeric.dquant
+_PR_RANK = sql_dquant("CAST(0.15 AS DOUBLE) + CAST(0.85 AS DOUBLE) * COALESCE(i.v, 0)")
+
 _PAGERANK_ORACLE = f"""
 WITH e0 AS (
   SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
@@ -1140,8 +1145,7 @@ WITH e0 AS (
   SELECT node, CAST(1.0 AS DOUBLE) AS rank FROM nodes
 ), r1 AS (
   SELECT n.node,
-         round(CAST(0.15 AS DOUBLE)
-               + CAST(0.85 AS DOUBLE) * COALESCE(i.v, 0), 6) AS rank
+         {_PR_RANK} AS rank
   FROM nodes n LEFT JOIN (
     SELECT e.dst AS node, {_PR_INFLOW} AS v
     FROM edges e JOIN r0 r ON e.src = r.node JOIN deg d ON e.src = d.src
@@ -1149,8 +1153,7 @@ WITH e0 AS (
   ) i ON n.node = i.node
 ), r2 AS (
   SELECT n.node,
-         round(CAST(0.15 AS DOUBLE)
-               + CAST(0.85 AS DOUBLE) * COALESCE(i.v, 0), 6) AS rank
+         {_PR_RANK} AS rank
   FROM nodes n LEFT JOIN (
     SELECT e.dst AS node, {_PR_INFLOW} AS v
     FROM edges e JOIN r1 r ON e.src = r.node JOIN deg d ON e.src = d.src

@@ -168,3 +168,30 @@ def test_read_ndjson_tolerant_quarantines_bad_lines(spark, tmp_path):
     assert "null" in bad_lines
     assert any("truncat" in l for l in bad_lines)
     assert any("not json" in l for l in bad_lines)
+
+
+def test_dquant_matches_sql_dquant_on_round_boundaries(spark):
+    """dquant / sql_dquant must agree bit-for-bit where the engines'
+    round() libraries do NOT: doubles sitting on a 6th-decimal
+    boundary (the pagerank_trade_graph sf0.1 divergence, BUILD_LOG
+    §48 — Spark's BigDecimal HALF_UP vs DuckDB's float-path round
+    differ by 1 ulp on such values)."""
+    import duckdb
+
+    from shmr_spark.functions.numeric import dquant, sql_dquant
+
+    # exact .5 boundaries, values just above/below, negatives of the
+    # pagerank shape (0.15 + 0.85 * x), and the literal sf0.1 culprit
+    vals = [
+        3.0612755, 3.06127549999999, 3.0612755000000001,
+        0.1234565, 0.12345650000000001, 1.9999995, 0.0000005,
+        0.15 + 0.85 * 3.4250300000000003, 2.7182818, 1e-7, 0.0,
+    ]
+    sdf = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = [r.q for r in sdf.select(dquant("x").alias("q")).collect()]
+    con = duckdb.connect()
+    want = [
+        con.execute(f"SELECT {sql_dquant(str(repr(v)))}").fetchone()[0]
+        for v in vals
+    ]
+    assert got == want
