@@ -28,6 +28,53 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def prefix_sum(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    out_col: str,
+    bucket_size: int = 64,
+) -> DataFrame:
+    """Inclusive cumulative sum of ``value_col`` in ``order_col``
+    order — the general two-phase scan this module's docstring
+    describes, exposed so every running-total query shares ONE
+    scale-safe implementation instead of re-growing bare
+    ``Window.orderBy`` funnels (the round-9 verdict found two).
+
+    ``order_col`` must be numeric, non-null, and unique per row (the
+    cumulative order is then total and the result deterministic);
+    ``floor(order/bucket_size)`` is order-preserving for negatives
+    too (unlike a truncating cast). Only the O(n/bucket_size)
+    bucket-totals table crosses a SinglePartition window; the data
+    window is partitioned by bucket and runs fully parallel.
+
+    Output: (order_col, out_col) — one row per input row. Integer
+    value columns hash identically regardless of intra-bucket
+    summation order; float callers should pre-scale (see dsum).
+    """
+    bucket = F.floor(F.col(order_col) / F.lit(bucket_size)).cast("long")
+    rows = df.select(
+        F.col(order_col), F.col(value_col).alias("__v"), bucket.alias("__bucket")
+    )
+
+    totals = rows.groupBy("__bucket").agg(F.sum("__v").alias("__btot"))
+    w_b = Window.orderBy("__bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "__bucket",
+        F.coalesce(F.sum("__btot").over(w_b), F.lit(0)).alias("__boff"),
+    )
+
+    w_in = (
+        Window.partitionBy("__bucket")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return rows.join(F.broadcast(offsets), "__bucket").select(
+        F.col(order_col),
+        (F.col("__boff") + F.sum("__v").over(w_in)).alias(out_col),
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str = "doc_id",

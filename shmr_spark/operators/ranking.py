@@ -118,6 +118,48 @@ def global_rank(
     )
 
 
+def global_ntile(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    n: int,
+    bucket: Column | None = None,
+    tile_col: str = "tile",
+) -> DataFrame:
+    """``ntile(n) OVER (ORDER BY key, id)`` without the single-task
+    global window — global_rank's two-phase scan plus SQL ntile's
+    exact remainder rule in pure integer arithmetic: with N rows, the
+    first ``N % n`` tiles hold ``N div n + 1`` rows, the rest
+    ``N div n`` (both Spark's NTile and DuckDB/ANSI define it this
+    way), so the result is row-identical to the window function at
+    any scale. Output: input columns + ``tile_col`` (1-based int).
+
+    The N < n degenerate (quota q = 0) stays inside the first CASE
+    branch — rem = N and every rank ≤ rem·(q+1) = N — so the
+    ``div q`` in the ELSE never divides by zero on a taken branch
+    (CASE evaluates lazily per row, ANSI mode included).
+    """
+    from shmr_spark.functions.scalars import with_scalars
+
+    ranked = global_rank(df, key_col, id_col, bucket=bucket, rank_col="__rank")
+    total = df.groupBy().agg(F.count(F.lit(1)).alias("__total"))
+    # integer `div` end to end — float division would drift past 2^53
+    n = int(n)
+    tile = F.expr(
+        f"CAST(CASE WHEN __rank <= (__total % {n}) * (__total div {n} + 1) "
+        f"THEN (__rank - 1) div (__total div {n} + 1) + 1 "
+        f"ELSE (__total % {n}) "
+        f"  + (__rank - (__total % {n}) * (__total div {n} + 1) - 1) "
+        f"    div (__total div {n}) + 1 "
+        f"END AS INT)"
+    ).alias(tile_col)
+    return (
+        with_scalars(ranked, total)
+        .withColumn(tile_col, tile)
+        .drop("__rank", "__total")
+    )
+
+
 def range_shards(
     df: DataFrame,
     key_col: str,

@@ -1350,18 +1350,18 @@ GROUP BY decile
 """,
 )
 def order_value_deciles(spark, sf_dir):
-    from pyspark.sql import Window
+    # A bare ntile(10) OVER (ORDER BY ...) funnels the whole orders
+    # table through ONE task (the round-9 verdict's scale finding).
+    # global_ntile reproduces ntile's exact remainder rule on top of
+    # the two-phase global rank — same rows, parallel plan.
+    from shmr_spark.operators.ranking import global_ntile
 
-    orders = load_table(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
-    return (
-        orders.select("o_totalprice", F.ntile(10).over(w).cast("int").alias("decile"))
-        .groupBy("decile")
-        .agg(
-            F.count("*").alias("n"),
-            F.min("o_totalprice").alias("lo"),
-            F.max("o_totalprice").alias("hi"),
-        )
+    orders = load_table(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
+    tiled = global_ntile(orders, "o_totalprice", "o_orderkey", 10, tile_col="decile")
+    return tiled.groupBy("decile").agg(
+        F.count("*").alias("n"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
     )
 
 

@@ -840,7 +840,12 @@ LEFT JOIN per_doc p ON d.doc_id = p.doc_id
 """,
 )
 def vocab_growth(spark, sf_dir):
-    from pyspark.sql import Window
+    # The running vocabulary total is one row per document — a bare
+    # Window.orderBy(doc_id) would still single-task |documents| rows
+    # (the round-9 verdict's second scale finding). prefix_sum is the
+    # bucketed two-phase scan: only the O(n/64) bucket-totals table
+    # crosses a SinglePartition window.
+    from shmr_spark.operators.packing import prefix_sum
 
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
@@ -850,15 +855,14 @@ def vocab_growth(spark, sf_dir):
         .groupBy("doc_id")
         .agg(F.count("*").alias("new_tokens"))
     )
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    return (
+    base = (
         docs.select("doc_id")
         .distinct()
         .join(per_doc, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.sum(F.coalesce("new_tokens", F.lit(0))).over(w).cast("long").alias("vocab_size"),
-        )
+        .select("doc_id", F.coalesce("new_tokens", F.lit(0)).alias("__nt"))
+    )
+    return prefix_sum(base, "doc_id", "__nt", "vocab_size").select(
+        "doc_id", F.col("vocab_size").cast("long").alias("vocab_size")
     )
 
 

@@ -368,6 +368,58 @@ def test_pack_sequences_two_phase_equals_naive(spark):
     assert got == naive
 
 
+def test_prefix_sum_equals_naive_window(spark):
+    """prefix_sum (the general two-phase scan) equals the naive
+    global cumulative window on gapped, negative, and unsorted-input
+    ids — floor-bucketing must stay order-preserving for negatives."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from shmr_spark.operators.packing import prefix_sum
+
+    rng = random.Random(23)
+    ids = sorted(rng.sample(range(-50_000, 50_000), 600))
+    rows = [(i, rng.randrange(-5, 100)) for i in ids]
+    df = spark.createDataFrame(rows, "k long, v long").repartition(8)
+
+    got = {r.k: r.cum for r in prefix_sum(df, "k", "v", "cum").collect()}
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    want = {
+        r.k: r.cum
+        for r in df.select("k", F.sum("v").over(w).alias("cum")).collect()
+    }
+    assert got == want
+
+
+def test_global_ntile_matches_window_ntile(spark):
+    """global_ntile reproduces SQL ntile's remainder rule exactly:
+    sweep N x n combinations spanning N % n == 0, N % n != 0 and the
+    N < n degenerate (which must not divide by zero in ANSI mode)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from shmr_spark.operators.ranking import global_ntile
+
+    for total, n in [(100, 10), (103, 10), (7, 10), (1, 4), (97, 8)]:
+        df = spark.range(total).select(
+            (F.col("id") * 37 % 1000).alias("k"), F.col("id").alias("i")
+        )
+        got = {
+            (r.k, r.i): r.tile
+            for r in global_ntile(df, "k", "i", n).collect()
+        }
+        w = Window.orderBy("k", "i")
+        want = {
+            (r.k, r.i): r.t
+            for r in df.select(
+                "k", "i", F.ntile(n).over(w).cast("int").alias("t")
+            ).collect()
+        }
+        assert got == want, f"N={total} n={n}"
+
+
 def test_select_by_token_budget_equals_naive(spark):
     """The bucketed two-phase budget cut (operators/selection.py)
     equals the naive single-window form — including duplicate scores

@@ -365,6 +365,99 @@ def test_fact_fact_joins_stay_sort_merge(spark, sf_dir, name):
     assert "SortMergeJoin" in plan, f"{name}: fact-fact merge hint lost"
 
 
+# --------------------------------------------------------------------
+# Registry-wide single-task-window net (round-10, institutionalizing
+# the round-9 verdict's finding: order_value_deciles and vocab_growth
+# ran partition-less windows over FULL-cardinality data). Rule: a
+# Window with an empty partitionSpec moves its entire input through
+# ONE task, so it is only ever acceptable over a provably bounded
+# input — in this codebase that means the input chain reaches a
+# grouped Aggregate whose keys are either the two-phase-scan bucket
+# columns (``__bucket`` / ``__b``: O(N_BUCKETS) or O(n/bucket_size)
+# rows by construction) or a gate-allowlisted bounded domain key.
+# --------------------------------------------------------------------
+
+# gate -> (allowed grouping key, why that domain is bounded)
+BOUNDED_DOMAIN_WINDOWS = {
+    # language-share quota: one row per language (~dozens)
+    "apportion_sample_quota": ("lang", "per-language quota table"),
+    # nation revenue share: one row per nation (25 in TPC-H)
+    "revenue_contribution": ("s_nationkey", "per-nation aggregate"),
+}
+
+
+def _unpartitioned_window_inputs(df):
+    """[(grouping-key names at the first Aggregate under each
+    partition-less Window)] for df's optimized logical plan; a chain
+    that never reaches an Aggregate reports its terminal node name."""
+
+    def walk(node):
+        yield node
+        it = node.children().iterator()
+        while it.hasNext():
+            yield from walk(it.next())
+
+    out = []
+    plan = df._jdf.queryExecution().optimizedPlan()
+    for n in walk(plan):
+        if n.nodeName() != "Window" or not n.partitionSpec().isEmpty():
+            continue
+        c = n
+        # descend through shape-preserving nodes to the node that
+        # determines the window's input cardinality
+        for _ in range(32):
+            ch = c.children()
+            if ch.isEmpty():
+                break
+            c = ch.iterator().next()
+            if c.nodeName() not in ("Project", "Filter", "Sort", "Window"):
+                break
+        if c.nodeName() != "Aggregate":
+            out.append(("<" + c.nodeName() + ">",))
+            continue
+        ge = c.groupingExpressions()
+        names = []
+        for i in range(ge.size()):
+            e = ge.apply(i)
+            try:
+                names.append(str(e.name()))
+            except Exception:  # noqa: BLE001 - non-attribute grouping expr
+                names.append(str(e))
+        out.append(tuple(names))
+    return out
+
+
+def test_no_unpartitioned_window_over_unbounded_input(spark, sf_dir):
+    """Every registry gate: any partition-less Window must read from a
+    bucket-totals Aggregate (``__bucket``/``__b``) or a gate-specific
+    bounded-domain Aggregate listed above — anything else is the
+    single-task funnel that serializes the corpus at scale."""
+    from shmr_spark.queries import load_all
+
+    errors: list[str] = []
+    offenders: list[str] = []
+    for name, spec in load_all().items():
+        try:
+            df = spec.fn(spark, sf_dir)
+        except Exception as exc:  # noqa: BLE001 - report, don't mask the sweep
+            errors.append(f"{name}: build failed: {exc!r}")
+            continue
+        allowed_key = BOUNDED_DOMAIN_WINDOWS.get(name, (None,))[0]
+        for keys in _unpartitioned_window_inputs(df):
+            ok = keys and all(
+                k.startswith("__b") or k == allowed_key for k in keys
+            )
+            if not ok:
+                offenders.append(f"{name}: Window over Aggregate{list(keys)}")
+    assert not errors, "\n".join(errors)
+    assert not offenders, (
+        "partition-less Window over unbounded input (single-task funnel "
+        "at scale — use operators/ranking.global_rank / global_ntile or "
+        "operators/packing.prefix_sum, or allowlist a bounded domain):\n"
+        + "\n".join(offenders)
+    )
+
+
 def test_pq_gate_queries_never_collect_the_corpus():
     """Round-6 de-weak guard: the PQ/IVFPQ gate queries' degenerate
     codebook is built in-plan (degenerate_codebook_df); the only
