@@ -236,12 +236,15 @@ def minhash_candidate_pairs(
 def verify_jaccard_pairs(
     sh: DataFrame, cands: DataFrame, threshold: float
 ) -> DataFrame:
-    """Exact-Jaccard verification of candidate pairs against the
-    shingle frame: (id_a, id_b, jaccard ≥ threshold). Ships shingle
-    arrays only for candidate ids (semi-join pruned), not the whole
-    corpus — and the arrays are xxhash64 longs (see
-    minhash_candidate_pairs), so the pair-side exchange that carries
-    one doc's set to meet the other's costs 8 bytes per shingle."""
+    """Jaccard verification of candidate pairs against the shingle
+    frame — exact up to xxhash64 collisions: the sets are hashed
+    shingles (see minhash_candidate_pairs), so a ~2⁻⁶⁴-per-pair
+    collision could in principle flip a threshold-boundary pair
+    relative to a string-set computation. Output: (id_a, id_b,
+    jaccard ≥ threshold). Ships shingle arrays only for candidate ids
+    (semi-join pruned), not the whole corpus — and the arrays are
+    longs, so the pair-side exchange that carries one doc's set to
+    meet the other's costs 8 bytes per shingle."""
     a = sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a"))
     b = sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")

@@ -165,14 +165,19 @@ def dquant(col: Column | str) -> Column:
     round() produced 3.061275 vs 3.061276 on one node of the 60k-edge
     graph (found by the round-9 sf0.1 parity sweep). Iterative float
     pipelines that need cross-engine bit-equality quantize with THIS
-    pair (dquant / sql_dquant), not round(). Positive inputs only
-    (floor(x+0.5) is half-up toward +∞ for negatives)."""
+    pair (dquant / sql_dquant), not round(). The cross-engine identity
+    holds for ANY sign; the caveat is only that floor(x+0.5) rounds
+    exact halves toward +∞, so for negative inputs the tie-break
+    DIRECTION differs from round-half-away conventions — callers that
+    need parity with a round()-style oracle should keep inputs
+    positive (every current caller does)."""
     c = F.col(col) if isinstance(col, str) else col
     return _scaled_long(c).cast("double") / F.lit(_SCALE)
 
 
 def sql_dquant(expr: str) -> str:
-    """DuckDB twin of dquant() (same DOUBLE-cast rule as sql_dsum)."""
+    """DuckDB twin of dquant() (same DOUBLE-cast rule as sql_dsum;
+    same sign caveat — exact halves round toward +∞)."""
     return (
         f"(CAST(CAST(floor(CAST(({expr}) AS DOUBLE) * 1000000.0 + 0.5)"
         f" AS BIGINT) AS DOUBLE) / 1000000.0)"

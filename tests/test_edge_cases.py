@@ -170,6 +170,33 @@ def test_read_ndjson_tolerant_quarantines_bad_lines(spark, tmp_path):
     assert any("not json" in l for l in bad_lines)
 
 
+def test_gate_cosines_clear_round_boundaries(spark, sf_dir):
+    """The similarity tier quantizes cosines with round(,6), which is
+    only cross-engine-risky within ~1 ulp of a 6th-decimal HALF
+    boundary (|sim·10⁶ mod 1 − 0.5| ≲ 2⁻⁵²·10⁶ ≈ 2e-10). This
+    measures the claim the tier's round() policy rests on (see
+    dedup/embedding.py): on the gate corpus, every all-pairs doc-doc
+    cosine and every probe-corpus cosine clears the boundary by ≥ 10×
+    that window — so Spark's BigDecimal HALF_UP and DuckDB's float
+    round cannot disagree on any gate value. (PageRank needed dquant
+    because it REQUANTIZES per iteration, compounding the exposure.)"""
+    from pyspark.sql import functions as F
+
+    from shmr_spark.catalog import load_table
+    from shmr_spark.functions.vectors import cosine_similarity
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    a = emb.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("eb"))
+    pairs = a.join(b, F.col("ia") < F.col("ib")).select(
+        cosine_similarity(F.col("ea"), F.col("eb")).alias("sim")
+    )
+    # distance of sim·10⁶ from the nearest x.5 rounding boundary
+    dist = F.abs(F.col("sim") * 1e6 - F.floor(F.col("sim") * 1e6) - 0.5)
+    worst = pairs.agg(F.min(dist).alias("d")).collect()[0].d
+    assert worst > 2e-9, f"a gate cosine sits {worst} from a round boundary"
+
+
 def test_dquant_matches_sql_dquant_on_round_boundaries(spark):
     """dquant / sql_dquant must agree bit-for-bit where the engines'
     round() libraries do NOT: doubles sitting on a 6th-decimal
@@ -180,12 +207,15 @@ def test_dquant_matches_sql_dquant_on_round_boundaries(spark):
 
     from shmr_spark.functions.numeric import dquant, sql_dquant
 
-    # exact .5 boundaries, values just above/below, negatives of the
-    # pagerank shape (0.15 + 0.85 * x), and the literal sf0.1 culprit
+    # exact .5 boundaries, values just above/below, the pagerank shape
+    # (0.15 + 0.85 * x), the literal sf0.1 culprit, and NEGATIVE
+    # boundaries — the engine identity holds for any sign (only the
+    # tie-break direction differs from round(), see dquant docstring)
     vals = [
         3.0612755, 3.06127549999999, 3.0612755000000001,
         0.1234565, 0.12345650000000001, 1.9999995, 0.0000005,
         0.15 + 0.85 * 3.4250300000000003, 2.7182818, 1e-7, 0.0,
+        -3.0612755, -0.1234565, -0.0000005, -1.9999995, -2.7182818,
     ]
     sdf = spark.createDataFrame([(v,) for v in vals], "x double")
     got = [r.q for r in sdf.select(dquant("x").alias("q")).collect()]
