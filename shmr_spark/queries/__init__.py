@@ -49,84 +49,81 @@ def query(name: str, oracle: str | None = None, headline: bool = False):
 # queries), so the order below is part of the verification strategy.
 # The registry was CLOSED at 176 through round 6, reopened to 179
 # across rounds 7-8 (bloom semi/anti, regression), and stays at 179
-# in round 9 (no new gates; the round's work is instrumentation and
-# the bloom regime guard). Round-9 window: with round 8 recorded,
-# every one of the 179 gates has driver-green evidence at some round;
-# the freshness floor is 3 queries at r4 and 36 at r5. This window
-# takes ALL of them — completing the second full registry pass (every
-# gate's newest green >= r5) and closing most of the third:
-#   1. the 3 queries whose newest green is round 4 — explicitly
-#      rolled here by the round-8 window comment (window_functions,
-#      window_sliding, zorder_keys);
-#   2. changed-code-this-round (standing rule: new/changed plans
-#      outrank rotation): the two bloom gates now pass mode="bloom"
-#      through the round-9 regime guard (operators/bloom.py
-#      _resolve_mode — auto mode short-circuits small dims to the
-#      measured-faster broadcast join, so the gates pin the bloom
-#      path explicitly);
-#   3. the entire 36-query round-5 cohort (the oldest evidence after
-#      group 1);
-#   4. canaries (standing policy): previously-green anchors spread
-#      across modules/tiers, drawn from the r6 cohort so they also
-#      advance the next-oldest evidence — relational fact-fact,
-#      three-way join, compat map/reduce, dedup-LSH, PQ-ANN, text,
-#      streaming, multimodal. Names absent from this list keep module
-#      registration order after it.
+# through rounds 9-10. Round-10 window: round 9 completed the second
+# full registry pass (every gate driver-green at r5 or newer); the
+# freshness floor is now the 36-query round-6 cohort. This window
+# takes:
+#   1. changed-code-this-round (standing rule: new/changed plans or
+#      oracles outrank rotation): order_value_deciles and vocab_growth
+#      moved off their single-task global windows onto the two-phase
+#      rank/prefix-sum operators (hash-parity preserved, verified at
+#      sf0.001/0.01); dedup_corpus_neardup, dedup_keep_best_quality,
+#      leakage_safe_split and dedup_minhash_incremental had their
+#      oracles rewritten onto the postings-join pair fragment
+#      (NEARDUP_PAIRS_SQL — row-identical, hours -> seconds in DuckDB,
+#      closing the round-9 sf0.1 sweep exclusions);
+#   2. the entire 36-query round-6 cohort (the oldest evidence;
+#      includes vocab_growth and ngram_jaccard from group 1's blast
+#      radius);
+#   3. canaries (standing policy): previously-green anchors spread
+#      across modules/tiers, drawn from the r7 cohort so they also
+#      advance the next-oldest evidence. Names absent from this list
+#      keep module registration order after it.
 _PRIORITY: list[str] = [
-    # -- group 1: newest green is r4, rolled from the r8 window (3)
-    "window_functions",
-    "window_sliding",
-    "zorder_keys",
-    # -- group 2: plans changed this round — bloom regime guard (2)
-    "bloom_semi_join_revenue",
-    "bloom_anti_join_revenue",
-    # -- group 3: the full r5 cohort (36)
-    "apportion_sample_quota",
-    "asof_join_next",
-    "bpe_encode_counts",
-    "coalesce_count",
-    "concat_union",
+    # -- group 1: plans/oracles changed this round (5; vocab_growth
+    #    and ngram_jaccard sit in the r6 cohort below)
+    "order_value_deciles",
+    "dedup_corpus_neardup",
     "dedup_keep_best_quality",
-    "distinct_first",
-    "distinct_keys",
-    "distinct_sketch_rollup",
-    "drift_cusum_events",
-    "dsum_decimal_overflow",
-    "ewma_customer_orders",
-    "flat_map_tokens",
-    "interpolate_gaps",
-    "interval_union_coverage",
-    "inverted_index",
-    "join_anti",
-    "join_left",
-    "join_semi",
-    "knn_join_exact",
-    "lang_id",
     "leakage_safe_split",
-    "missing_id_ranges",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q16_supplier_part_variety",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_revenue",
-    "q21_single_fault_suppliers",
-    "q4_order_priority",
-    "q8_market_share",
-    "set_except",
-    "set_intersect",
-    "sliding_distinct_users",
-    "temperature_balanced_mix",
-    "weighted_median_price",
-    # -- group 4: canaries, module-diverse, from the r6 cohort (9)
-    "q3_top_orders",
-    "join_three_way",
-    "map_project",
-    "reduce_global",
-    "dedup_embedding_lsh",
-    "similarity_ivfpq_topk",
-    "text_stats",
-    "streaming_tumbling",
-    "multimodal_featurize",
+    "dedup_minhash_incremental",
+    # -- group 2: the full r6 cohort (36)
+    "approx_distinct",
+    "approx_percentiles",
+    "chunk_documents",
+    "clean_text",
+    "contamination_check",
+    "count_lineitem",
+    "doc_token_overlap",
+    "embedding_neardup",
+    "fingerprint_docs",
+    "fingerprint_winnow",
+    "funnel_stages",
+    "join_grouped",
+    "join_inner",
+    "label_centroids",
+    "mix_training_sources",
+    "ngram_jaccard",
+    "numbers_in_text",
+    "q22_dormant_customers",
+    "q6_promo_revenue",
+    "q7_nation_volume",
+    "quality_length_band",
+    "quality_score",
+    "quantize_embeddings",
+    "repetition_ratio",
+    "sample_k_per_group",
+    "shuffle_shards",
+    "similarity_pq_topk",
+    "streaming_dedup",
+    "streaming_enrich",
+    "streaming_interval_join",
+    "streaming_topk_trending",
+    "token_count",
+    "token_frequencies",
+    "triangle_count_trade",
+    "vector_stats",
+    "vocab_growth",
+    # -- group 3: canaries, module-diverse, from the r7 cohort (9)
+    "sql_q5_region_revenue",
+    "dedup_minhash",
+    "knn_join_lsh",
+    "similarity_ivf_topk",
+    "multimodal_jpeg_featurize",
+    "head_sorted",
+    "asof_join_prev",
+    "bm25_top_terms",
+    "window_tumbling",
 ]
 
 

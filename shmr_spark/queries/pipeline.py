@@ -21,6 +21,7 @@ from shmr_spark.functions.text import (
     token_count,
 )
 from shmr_spark.queries import query
+from shmr_spark.queries.text import NEARDUP_PAIRS_SQL
 
 # --------------------------------------------------------------------------
 # Sequence packing (operators/packing.py): the oracle states the
@@ -335,32 +336,25 @@ def dedup_incremental(spark, sf_dir):
 # single-row banding (bands = num_hashes = 64), where the candidate
 # set provably covers every Jaccard>=0.5 pair (miss probability
 # (1-j)^64 < 1e-19 — same argument as the dedup_minhash gate), so the
-# SQL twin is the brute-force all-pairs form.
+# SQL twin is the exact pair set via the shared postings-join
+# fragment (queries/text.py NEARDUP_PAIRS_SQL): a batch doc g (odd
+# id) is rejected iff some over-threshold pair links it to a state
+# doc (even id) or an earlier batch doc — for the unordered pair
+# (u, v) with u < v that is "v even" when g = u, and always when
+# g = v (u < g by construction).
 # --------------------------------------------------------------------------
 
 
 @query(
     "dedup_minhash_incremental",
-    oracle="""
-WITH grams AS (
-  SELECT doc_id,
-    CASE WHEN len(string_split(text, ' ')) >= 3 THEN
-      list_distinct(list_transform(
-        generate_series(1, len(string_split(text, ' ')) - 2),
-        i -> string_split(text, ' ')[i] || ' ' ||
-             string_split(text, ' ')[i+1] || ' ' ||
-             string_split(text, ' ')[i+2]))
-    ELSE [text] END AS gs
-  FROM documents
-)
-SELECT g.doc_id FROM grams g
-WHERE g.doc_id % 2 = 1
+    oracle=f"""
+WITH {NEARDUP_PAIRS_SQL}
+SELECT d.doc_id FROM documents d
+WHERE d.doc_id % 2 = 1
   AND NOT EXISTS (
-    SELECT 1 FROM grams o
-    WHERE o.doc_id <> g.doc_id
-      AND (o.doc_id % 2 = 0 OR o.doc_id < g.doc_id)
-      AND CAST(len(list_intersect(g.gs, o.gs)) AS DOUBLE) /
-          CAST(len(list_distinct(list_concat(g.gs, o.gs))) AS DOUBLE) >= 0.5
+    SELECT 1 FROM pairs p
+    WHERE (p.u = d.doc_id AND p.v % 2 = 0)
+       OR p.v = d.doc_id
   )
 """,
 )

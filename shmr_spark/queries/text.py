@@ -321,25 +321,45 @@ def clean_text(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 
+# Shared oracle fragment: the exact-Jaccard >= 0.5 near-dup pair set
+# over 3-gram shingles, as a POSTINGS self-join — |A∩B| comes from a
+# (doc, gram) self-equi-join grouped by pair, |A∪B| = |A|+|B|-|A∩B|
+# from per-doc gram counts. Row-identical to the all-pairs
+# list_intersect form (a pair at threshold 0.5 shares >= 1 gram, so
+# restricting to intersecting pairs drops nothing), but DuckDB runs
+# it in seconds at sf0.1 where the 12.5M-pair list_intersect form
+# took hours — that was the only reason five gates sat outside the
+# round-9 sf0.1 parity sweep. string_split is hoisted out of the
+# lambda too (DuckDB re-evaluates it per element otherwise).
+NEARDUP_PAIRS_SQL = """toks AS (
+  SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents
+), grams AS (
+  SELECT doc_id,
+    CASE WHEN len(tk) >= 3 THEN
+      list_distinct(list_transform(
+        generate_series(1, len(tk) - 2),
+        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+    ELSE [text] END AS gs
+  FROM toks
+), post AS (
+  SELECT doc_id, unnest(gs) AS g FROM grams
+), gsizes AS (
+  SELECT doc_id, len(gs) AS c FROM grams
+), ginter AS (
+  SELECT a.doc_id AS u, b.doc_id AS v, COUNT(*) AS i
+  FROM post a JOIN post b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT u, v, CAST(i AS DOUBLE) / CAST(sa.c + sb.c - i AS DOUBLE) AS jac
+  FROM ginter JOIN gsizes sa ON sa.doc_id = u JOIN gsizes sb ON sb.doc_id = v
+  WHERE CAST(i AS DOUBLE) / CAST(sa.c + sb.c - i AS DOUBLE) >= 0.5
+)"""
+
+
 @query(
     "dedup_corpus_neardup",
-    oracle="""
-WITH RECURSIVE grams AS (
-  SELECT doc_id,
-    CASE WHEN len(string_split(text, ' ')) >= 3 THEN
-      list_distinct(list_transform(
-        generate_series(1, len(string_split(text, ' ')) - 2),
-        i -> string_split(text, ' ')[i] || ' ' ||
-             string_split(text, ' ')[i+1] || ' ' ||
-             string_split(text, ' ')[i+2]))
-    ELSE [text] END AS gs
-  FROM documents
-), pairs AS (
-  SELECT a.doc_id AS u, b.doc_id AS v
-  FROM grams a JOIN grams b ON a.doc_id < b.doc_id
-  WHERE CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE) /
-        CAST(len(list_distinct(list_concat(a.gs, b.gs))) AS DOUBLE) >= 0.5
-), edges AS (
+    oracle=f"""
+WITH RECURSIVE {NEARDUP_PAIRS_SQL}, edges AS (
   SELECT u, v FROM pairs UNION SELECT v, u FROM pairs
 ), reach (node, reached) AS (
   SELECT u, u FROM edges
@@ -976,23 +996,8 @@ def bpe_pair_counts(spark, sf_dir):
 
 @query(
     "leakage_safe_split",
-    oracle="""
-WITH RECURSIVE grams AS (
-  SELECT doc_id,
-    CASE WHEN len(string_split(text, ' ')) >= 3 THEN
-      list_distinct(list_transform(
-        generate_series(1, len(string_split(text, ' ')) - 2),
-        i -> string_split(text, ' ')[i] || ' ' ||
-             string_split(text, ' ')[i+1] || ' ' ||
-             string_split(text, ' ')[i+2]))
-    ELSE [text] END AS gs
-  FROM documents
-), pairs AS (
-  SELECT a.doc_id AS u, b.doc_id AS v
-  FROM grams a JOIN grams b ON a.doc_id < b.doc_id
-  WHERE CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE) /
-        CAST(len(list_distinct(list_concat(a.gs, b.gs))) AS DOUBLE) >= 0.5
-), edges AS (
+    oracle=f"""
+WITH RECURSIVE {NEARDUP_PAIRS_SQL}, edges AS (
   SELECT u, v FROM pairs UNION SELECT v, u FROM pairs
 ), reach (node, reached) AS (
   SELECT u, u FROM edges
@@ -1038,23 +1043,8 @@ def leakage_safe_split_q(spark, sf_dir):
 
 @query(
     "dedup_keep_best_quality",
-    oracle="""
-WITH RECURSIVE grams AS (
-  SELECT doc_id,
-    CASE WHEN len(string_split(text, ' ')) >= 3 THEN
-      list_distinct(list_transform(
-        generate_series(1, len(string_split(text, ' ')) - 2),
-        i -> string_split(text, ' ')[i] || ' ' ||
-             string_split(text, ' ')[i+1] || ' ' ||
-             string_split(text, ' ')[i+2]))
-    ELSE [text] END AS gs
-  FROM documents
-), pairs AS (
-  SELECT a.doc_id AS u, b.doc_id AS v
-  FROM grams a JOIN grams b ON a.doc_id < b.doc_id
-  WHERE CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE) /
-        CAST(len(list_distinct(list_concat(a.gs, b.gs))) AS DOUBLE) >= 0.5
-), edges AS (
+    oracle=f"""
+WITH RECURSIVE {NEARDUP_PAIRS_SQL}, edges AS (
   SELECT u, v FROM pairs UNION SELECT v, u FROM pairs
 ), reach (node, reached) AS (
   SELECT u, u FROM edges

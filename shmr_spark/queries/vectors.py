@@ -22,6 +22,7 @@ from shmr_spark.dedup import (
 from shmr_spark.functions.numeric import davg, sql_davg
 from shmr_spark.functions.vectors import cosine_similarity
 from shmr_spark.queries import query
+from shmr_spark.queries.text import NEARDUP_PAIRS_SQL
 from shmr_spark.similarity import cosine_topk_ivf, cosine_topk_lsh
 
 _SQL_COS = (
@@ -243,24 +244,13 @@ def similarity_ivf_kmeans_topk(spark, sf_dir):
 
 @query(
     "dedup_minhash",
-    oracle="""
-WITH grams AS (
-  SELECT doc_id,
-    CASE WHEN len(string_split(text, ' ')) >= 3 THEN
-      list_distinct(list_transform(
-        generate_series(1, len(string_split(text, ' ')) - 2),
-        i -> string_split(text, ' ')[i] || ' ' ||
-             string_split(text, ' ')[i+1] || ' ' ||
-             string_split(text, ' ')[i+2]))
-    ELSE [text] END AS gs
-  FROM documents
-)
-SELECT id_a, id_b, jaccard FROM (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE) /
-         CAST(len(list_distinct(list_concat(a.gs, b.gs))) AS DOUBLE) AS jaccard
-  FROM grams a JOIN grams b ON a.doc_id < b.doc_id
-) WHERE jaccard >= 0.5
+    # the postings-join pair fragment (queries/text.py) — the jac
+    # division is the same two ints cast to DOUBLE as the old
+    # list_intersect form, so the value is bit-identical; this twin
+    # ran 15 min in DuckDB at sf0.1 as an all-pairs join, seconds now
+    oracle=f"""
+WITH {NEARDUP_PAIRS_SQL}
+SELECT u AS id_a, v AS id_b, jac AS jaccard FROM pairs
 """,
 )
 def dedup_minhash(spark, sf_dir):
