@@ -1,0 +1,94 @@
+"""Decade-up twin of test_scaling.py (VERDICT r9 task 6): the
+round-9 100x shuffle-byte audit re-measured as a standing test
+instead of a one-shot artifact that ages.
+
+tools/audit_100x.py measured every headline query between the 10x
+corpus (.scaled/sf1) and the derived 100x corpus (.scaled/sf10_100x,
+60M lineitem rows) and found a clean split: join-shaped exchanges
+are byte-LINEAR in rows (9.88-10.0x for 10x more rows) and
+aggregation-shaped exchanges are byte-CONSTANT (partial aggregation
+absorbs the row growth inside the scan). This file pins one decade
+of that split per shape class with the same [0.5x, 3x]-of-row-ratio
+band test_scaling.py uses one decade down — a lost merge pin, an
+exploded join, or a dropped map-side combine fails here instead of
+surfacing as a 1000-executor cluster bill.
+
+Corpora are built through the SAME builder the audit used
+(tools.make_scaled_sf.make_scaled — deterministic key-shifted
+replication, ~2 min cold, no-op when cached), so the test re-runs
+the round-9 evidence rather than trusting it.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from shmr_spark.metrics import noop_sink, shuffle_bytes_of
+from shmr_spark.queries import load_all
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+D10 = os.path.join(REPO, ".scaled", "sf1")
+D100 = os.path.join(REPO, ".scaled", "sf10_100x")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(BASE), reason=f"needs the sf0.1 corpus at {BASE}"
+)
+
+ROW_RATIO = 10.0  # sf10_100x holds 10x the rows of sf1 in every fact
+LO, HI = 0.5 * ROW_RATIO, 3.0 * ROW_RATIO
+
+# the audit's two shape classes, one decade up (AUDIT_100X.json):
+# join-shaped exchanges move row-proportional payloads...
+JOIN_LINEAR = ["join_three_way", "sql_q5_region_revenue"]
+# ...aggregation-shaped exchanges move group-level payloads — partial
+# aggregation collapses the 10x row growth before the exchange, so
+# bytes must stay ~flat (measured 1.0x / 1.98x; band <= 3x)
+AGG_CONSTANT = ["dedup_exact", "reduce_by_key_q1"]
+
+
+@pytest.fixture(scope="module")
+def corpora(spark):
+    from tools.make_scaled_sf import make_scaled
+
+    make_scaled(spark, 10, BASE, D10)
+    make_scaled(spark, 100, BASE, D100)
+    return D10, D100
+
+
+def _ratio(spark, name, corpora):
+    d10, d100 = corpora
+    spec = load_all()[name]
+    measured = {}
+    for d in (d10, d100):
+        noop_sink(spec.fn(spark, d))  # warm: footers + codegen
+        measured[d] = shuffle_bytes_of(spark, lambda: noop_sink(spec.fn(spark, d)))
+    small, big = measured[d10], measured[d100]
+    assert small["write"] > 0, (
+        f"{name} moved no shuffle bytes at 10x — plan stopped shuffling "
+        "(swap the query out) or the status-store instrument broke"
+    )
+    return big["write"] / small["write"]
+
+
+@pytest.mark.parametrize("name", JOIN_LINEAR)
+def test_join_exchanges_stay_byte_linear_at_100x(spark, name, corpora):
+    ratio = _ratio(spark, name, corpora)
+    assert LO <= ratio <= HI, (
+        f"{name}: 10x->100x shuffle-write ratio {ratio:.2f}x for "
+        f"{ROW_RATIO:.0f}x rows (band [{LO:.0f}x, {HI:.0f}x]; audit "
+        "measured 9.97x). Superlinear = diff the executed join "
+        "strategies per SCALING.md before treating as a regression"
+    )
+
+
+@pytest.mark.parametrize("name", AGG_CONSTANT)
+def test_agg_exchanges_stay_byte_constant_at_100x(spark, name, corpora):
+    ratio = _ratio(spark, name, corpora)
+    assert ratio <= 3.0, (
+        f"{name}: 10x->100x shuffle-write ratio {ratio:.2f}x — the "
+        "partial (map-side) aggregation stopped absorbing row growth "
+        "before the exchange (audit measured 1.0x/1.98x)"
+    )
