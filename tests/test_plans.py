@@ -436,6 +436,7 @@ def test_no_unpartitioned_window_over_unbounded_input(spark, sf_dir):
 
     errors: list[str] = []
     offenders: list[str] = []
+    allowlist_used: set[str] = set()
     for name, spec in load_all().items():
         try:
             df = spec.fn(spark, sf_dir)
@@ -447,9 +448,16 @@ def test_no_unpartitioned_window_over_unbounded_input(spark, sf_dir):
             ok = keys and all(
                 k.startswith("__b") or k == allowed_key for k in keys
             )
+            if ok and allowed_key is not None and allowed_key in keys:
+                allowlist_used.add(name)
             if not ok:
                 offenders.append(f"{name}: Window over Aggregate{list(keys)}")
     assert not errors, "\n".join(errors)
+    stale = set(BOUNDED_DOMAIN_WINDOWS) - allowlist_used
+    assert not stale, (
+        "BOUNDED_DOMAIN_WINDOWS entries no longer match any "
+        f"partition-less window (stale allowlist — prune them): {stale}"
+    )
     assert not offenders, (
         "partition-less Window over unbounded input (single-task funnel "
         "at scale — use operators/ranking.global_rank / global_ntile or "
