@@ -1,13 +1,14 @@
 """Bloom-filter semi-join / anti-join reduction.
 
-The 100 TB join problem this solves: a fact table too big to move
-semi-joined against a dim table too big to BROADCAST as a hash
-relation (tens of millions of keys), where a plain ``left_semi``
-shuffles the ENTIRE fact table on the join key. A Bloom filter over
-the dim keys is a few MB regardless of dim row width, broadcasts as a
-plan literal, and pre-filters the fact scan down to (selectivity +
-false-positive rate) of its rows BEFORE the exchange — the classic
-semi-join reduction. The result is still EXACT: a confirming
+The 100 TB join problem this addresses: a fact table semi-joined
+against a dim whose keys should not ride a broadcast hash relation
+(memory-tight executors, broadcast-disabled policies), where a plain
+``left_semi`` shuffles the ENTIRE fact table on the join key. A
+Bloom filter over the dim keys is a fraction of the key set's size
+regardless of dim row width, rides the plan as a folded literal, and
+pre-filters the fact scan down to (selectivity + false-positive
+rate) of its rows BEFORE the exchange — the classic semi-join
+reduction. The result is still EXACT: a confirming
 ``left_semi`` against the real key set removes Bloom false positives,
 so ``bloom_semi_join(fact, dim, k) ≡ fact SEMI JOIN dim USING (k)``
 row-for-row — which is how the gate query carries a plain IN-subquery
@@ -23,21 +24,32 @@ regime the reduction exists for — wide rows, where shuffle bytes are
 the cost — pays most: with an 11-column + 128-byte-payload fact at
 60M rows, semi 12.96 → 3.29 s (3.9×) and anti 23.25 → 6.23 s (3.7×).
 
-The same A/B also measured the losing regime: whenever the dim's key
-set fits in a broadcast, a plain BROADCAST semi/anti join beats both
-the shuffle join and the bloom reduction at every scale tried
-(0.36–2.1 s across all three corpora) — a bloom filter can only
-approximate the membership test a broadcast hash relation performs
-exactly. So the operator guards its own regime: the default
-``mode="auto"`` estimates the dim's distinct-key count and
-short-circuits to the broadcast join below
-``AUTO_BROADCAST_MAX_DIM_KEYS``; the bloom path runs only when the
-dim is plausibly too big to broadcast (or when forced with
-``mode="bloom"``, which tests and the gate queries use to pin the
-bloom plan itself). (Spark's own runtime bloom pruning —
-``spark.sql.optimizer.runtime.bloomFilter.enabled`` — does this
-opportunistically inside AQE; this operator makes the reduction an
-explicit, testable plan step with a deterministic filter.)
+The same A/B also measured the losing regimes, and they bound this
+operator on BOTH sides. Below ``AUTO_BROADCAST_MAX_DIM_KEYS``: a
+plain BROADCAST semi/anti join beats both the shuffle join and the
+bloom reduction at every scale tried (0.36–2.1 s across three
+corpora) — a bloom filter can only approximate the membership test a
+broadcast hash relation performs exactly. ABOVE the threshold
+(round-10 far-regime pass, 5M-key dim × 30M-row wide fact,
+BLOOM_BENCH.json): the auto-sized literal bitmap (2^26 bits) OOMs a
+24 GiB driver outright — the folded array literal rides in every
+task binary (70–170 MB observed) and 32 concurrent tasks exhaust the
+heap — while a cap-feasible bitmap (2^23 bits ≈ 1.7 bits/key) is
+saturated (79 % of the fact passes the probe) and LOSES to the plain
+shuffle join 1.7–2.3× on wall for an 18 % byte saving. So the
+plan-literal bloom has no winning auto regime, and ``mode="auto"``
+now picks between the two joins that do win: broadcast below the
+key threshold, plain shuffle above it — where Catalyst's own runtime
+bloom filter (``spark.sql.optimizer.runtime.bloomFilter.enabled``,
+on in this build and plan-pinned in tests/test_plans.py) injects a
+PROPER bloom reduction (``bloom_filter_agg`` + broadcast subquery,
+not a plan literal) exactly when the join is selective enough to
+profit. The explicit ``mode="bloom"`` path remains for what it is
+measured to be: a deterministic, testable reduction for sub-1M-key
+dims when broadcasting is disallowed (memory-tight executors,
+``autoBroadcastJoinThreshold=-1`` policies) — its 2.0–3.9× wins over
+the plain shuffle in that regime are real — and for the gate queries
+that pin the bloom plan itself.
 
 Reference parity note: the reference engine has no semi-join reduction
 (its join, /root/reference/shmr/partition.py:263, streams one file
@@ -82,13 +94,18 @@ __all__ = [
 # at 1000-executor scale, and the bloom bitmap's fixed 128 KiB wins.
 AUTO_BROADCAST_MAX_DIM_KEYS = 1_000_000
 
-# Hard cap on num_bits: keeps every downstream position expression
-# overflow-free under ANSI mode with huge margin (positions < 2^27,
-# int casts need < 2^31) and bounds the bitmap plan literal (2^27
-# bits = 2M int64 words ≈ a 16 MB string literal — already past the
-# point where a bigger bitmap should be a real bloom-join framework,
-# not a plan constant).
-MAX_NUM_BITS = 1 << 27
+# Hard cap on num_bits. The binding constraint is MEASURED, not the
+# (comfortably satisfied) ANSI overflow margin: the bitmap is a
+# folded array literal that rides in EVERY task binary, and the
+# round-10 far-regime pass watched a 2^26-bit bitmap ship 70–170 MB
+# task binaries and OOM a 24 GiB driver at 32-way task concurrency
+# (BLOOM_BENCH.json far row / BUILD_LOG). 2^23 bits is a ~1 MB word
+# array (≈ 20 MB observed binary) — safe — and at ~10 bits/key it
+# covers dims up to ~800K keys, which matches the operator's
+# measured winning regime (sub-broadcast-threshold dims); anything
+# bigger belongs to Catalyst's runtime bloom filter, which
+# broadcasts its filter properly instead of inlining it in the plan.
+MAX_NUM_BITS = 1 << 23
 
 
 def _check_num_bits(num_bits: int) -> None:
@@ -96,9 +113,9 @@ def _check_num_bits(num_bits: int) -> None:
         raise ValueError(f"num_bits must be a power of two, got {num_bits}")
     if not 64 <= num_bits <= MAX_NUM_BITS:
         raise ValueError(
-            f"num_bits must be in [64, 2^27], got {num_bits} — the bitmap "
-            "is a broadcast plan literal and the position arithmetic is "
-            "int-cast downstream; see MAX_NUM_BITS"
+            f"num_bits must be in [64, 2^23], got {num_bits} — the bitmap "
+            "is a plan literal shipped in every task binary (bigger "
+            "bitmaps measurably OOM the executors); see MAX_NUM_BITS"
         )
 
 
@@ -113,7 +130,7 @@ def _positions(key: Column, num_bits: int, num_hashes: int) -> list[Column]:
     raises ARITHMETIC_OVERFLOW instead of wrapping (for a uniform h2
     the chance that all k-1 products fit in int64 is ~1/(k-1)!). After
     the reduction every intermediate is < k * num_bits — and with
-    num_bits capped at MAX_NUM_BITS (2^27, enforced by
+    num_bits capped at MAX_NUM_BITS (2^23, enforced by
     _check_num_bits), every position fits an int32 with margin, so
     the downstream word-index and shift-amount int casts can never
     hit an ANSI overflow either. pmod by the power-of-two num_bits
@@ -219,11 +236,13 @@ def _estimate_keys(dim: DataFrame, key: str) -> int:
 def _bits_for_keys(n_keys: int) -> int:
     """Bitmap size for an expected key count: ~10 bits/key (FP ≈ 1%
     at the default k=5), rounded up to a power of two, clamped to
-    [64, MAX_NUM_BITS]. Past MAX_NUM_BITS/10 ≈ 13M keys the bits/key
+    [64, MAX_NUM_BITS]. Past MAX_NUM_BITS/10 ≈ 800K keys the bits/key
     ratio — and with it the pre-filter's selectivity — decays (the
     result stays EXACT; the confirm join clears any FP rate, so
-    saturation costs exchange bytes, never correctness), which the
-    join docstrings call out as the operator's effectiveness bound."""
+    saturation costs exchange bytes, never correctness — measured at
+    5M keys: 79 % pass rate, slower than the plain shuffle join),
+    which is why mode="auto" never routes here above the broadcast
+    threshold."""
     target = 10 * max(1, n_keys)
     return max(64, min(MAX_NUM_BITS, 1 << (target - 1).bit_length()))
 
@@ -231,22 +250,30 @@ def _bits_for_keys(n_keys: int) -> int:
 def _resolve_mode(
     dim: DataFrame, key: str, mode: str, dim_keys_hint: int | None = None
 ) -> tuple[str, int | None]:
-    """Regime guard for the joins' ``mode="auto"`` default. The A/B
-    (BLOOM_BENCH.json) shows the broadcast join beating the bloom
-    reduction at EVERY measured scale where the dim fits — so "auto"
-    takes the dim's distinct-key count (the caller's ``dim_keys_hint``
-    when given, else one _estimate_keys job) and short-circuits to
-    broadcast below AUTO_BROADCAST_MAX_DIM_KEYS. Misuse at small
-    scale thereby degrades to the WINNING plan instead of silently
-    paying the bitmap build. Returns ``(mode, n_keys)`` so the caller
-    can reuse the estimate for bitmap sizing instead of re-running
-    it."""
-    if mode in ("bloom", "broadcast"):
+    """Regime guard for the joins' ``mode="auto"`` default. Both
+    sides are A/B-measured (BLOOM_BENCH.json): the broadcast join
+    beats the bloom reduction at EVERY scale where the dim fits, and
+    ABOVE the key threshold the literal bitmap is OOM-infeasible
+    auto-sized / saturated-and-slower-than-plain cap-sized (the
+    round-10 far-regime pass). So "auto" takes the dim's distinct-key
+    count (the caller's ``dim_keys_hint`` when given, else one
+    _estimate_keys job) and picks broadcast below
+    AUTO_BROADCAST_MAX_DIM_KEYS, plain shuffle above it — where
+    Catalyst's runtime bloom filter performs the reduction with a
+    properly-broadcast filter. The literal-bitmap path runs only when
+    forced with ``mode="bloom"``. Returns ``(mode, n_keys)`` so the
+    caller can reuse the estimate for bitmap sizing instead of
+    re-running it."""
+    if mode in ("bloom", "broadcast", "shuffle"):
         return mode, dim_keys_hint
     if mode != "auto":
-        raise ValueError(f"mode must be 'auto', 'bloom' or 'broadcast', got {mode!r}")
+        raise ValueError(
+            f"mode must be 'auto', 'bloom', 'broadcast' or 'shuffle', got {mode!r}"
+        )
     n_keys = dim_keys_hint if dim_keys_hint is not None else _estimate_keys(dim, key)
-    return ("broadcast" if n_keys <= AUTO_BROADCAST_MAX_DIM_KEYS else "bloom"), n_keys
+    return (
+        "broadcast" if n_keys <= AUTO_BROADCAST_MAX_DIM_KEYS else "shuffle"
+    ), n_keys
 
 
 def bloom_semi_join(
@@ -268,17 +295,19 @@ def bloom_semi_join(
 
     ``mode``: "auto" (default) applies the regime guard — a dim whose
     distinct-key count fits AUTO_BROADCAST_MAX_DIM_KEYS runs the
-    measured-faster broadcast semi-join instead (_resolve_mode);
-    "bloom"/"broadcast" force a path (the gate query and the plan
-    tests force "bloom" so the reduction itself stays verified).
-    Every mode returns the same rows — the choice is plan shape, not
-    semantics.
+    measured-faster broadcast semi-join; above it, a plain shuffle
+    semi-join (Catalyst's runtime bloom filter supplies the
+    reduction — the literal bitmap is measured OOM-or-saturated
+    there, _resolve_mode). "bloom"/"broadcast"/"shuffle" force a path
+    (the gate query and the plan tests force "bloom" so the reduction
+    itself stays verified). Every mode returns the same rows — the
+    choice is plan shape, not semantics.
 
     ``num_bits=None`` (default) sizes the bitmap from the dim's
     distinct-key count at ~10 bits/key (_bits_for_keys — FP ≈ 1%;
-    a fixed default would be saturated and useless in exactly the
-    >1M-key regime auto reserves for bloom). Effectiveness bound:
-    past ~13M keys the MAX_NUM_BITS cap dilutes bits/key and the
+    a fixed default would be saturated for any dim much bigger than
+    its assumption). Effectiveness bound:
+    past ~800K keys the MAX_NUM_BITS cap dilutes bits/key and the
     pre-filter passes more non-matches (still exact — FPs cost
     exchange bytes, not correctness).
 
@@ -292,6 +321,11 @@ def bloom_semi_join(
     keys = dim.select(key).distinct()
     if mode == "broadcast":
         return fact.join(F.broadcast(keys), key, "left_semi")
+    if mode == "shuffle":
+        # >threshold auto regime: plain shuffle semi-join; Catalyst's
+        # runtime bloom filter injects the fact-side reduction when
+        # the join is selective (plan-pinned in tests/test_plans.py)
+        return fact.join(keys, key, "left_semi")
     if num_bits is None:
         num_bits = _bits_for_keys(
             n_keys if n_keys is not None else _estimate_keys(dim, key)
@@ -349,11 +383,13 @@ def bloom_anti_join(
 
     ``mode``: "auto" (default) applies the regime guard — a dim whose
     distinct-key count fits AUTO_BROADCAST_MAX_DIM_KEYS runs the
-    measured-faster broadcast anti-join instead (_resolve_mode; also
-    sidesteps the two-branch determinism precondition above, since
-    the broadcast plan references the fact once); "bloom"/"broadcast"
-    force a path. Every mode returns the same rows in the FACT's
-    column order — the choice is plan shape, not semantics.
+    measured-faster broadcast anti-join; above it, a plain shuffle
+    anti-join (see bloom_semi_join — the literal bitmap is measured
+    OOM-or-saturated there). Both single-reference plans sidestep the
+    two-branch determinism precondition above.
+    "bloom"/"broadcast"/"shuffle" force a path. Every mode returns
+    the same rows in the FACT's column order — the choice is plan
+    shape, not semantics.
 
     ``num_bits=None`` sizes the bitmap from the key count, and
     ``mode="auto"``/``num_bits=None`` cost one eager 1-row job at
@@ -366,6 +402,11 @@ def bloom_anti_join(
         # a string-`on` join moves the key column first — re-select to
         # keep the documented fact-column-order contract mode-invariant
         return fact.join(F.broadcast(keys), key, "left_anti").select(fact.columns)
+    if mode == "shuffle":
+        # >threshold auto regime (see bloom_semi_join); single fact
+        # reference, so the two-branch determinism precondition below
+        # does not apply here either
+        return fact.join(keys, key, "left_anti").select(fact.columns)
     if num_bits is None:
         num_bits = _bits_for_keys(
             n_keys if n_keys is not None else _estimate_keys(dim, key)

@@ -219,6 +219,35 @@ def test_auto_mode_small_dim_plans_broadcast_anti(spark):
     assert kept == {4, 5, 6, 7, 8, 9}  # 8, 9 are the NULL-key rows
 
 
+def test_auto_mode_big_dim_plans_plain_shuffle(spark):
+    """auto + a hinted >1M-key dim must produce a plain shuffle
+    semi/anti join: no bitmap probe (no xxhash64), no broadcast hint
+    on the dim — the regime where the literal bloom measured
+    OOM-or-saturated and Catalyst's runtime bloom filter owns the
+    reduction. Rows must equal the plain twin, and the anti keeps the
+    fact's column order (the documented mode-invariant contract)."""
+    fact = spark.range(0, 5000).select((F.col("id") % 100).alias("k"), "id")
+    dim = spark.range(0, 30).select(F.col("id").alias("k"))
+    conf = "spark.sql.autoBroadcastJoinThreshold"
+    saved = spark.conf.get(conf)
+    try:
+        spark.conf.set(conf, "-1")  # tiny test dim must not auto-broadcast
+        semi = bloom_semi_join(fact, dim, "k", dim_keys_hint=5_000_000)
+        plan = semi._jdf.queryExecution().executedPlan().toString()
+        assert "xxhash64" not in plan and "BroadcastHashJoin" not in plan
+        assert "LeftSemi" in plan
+        want = fact.join(dim.distinct(), "k", "left_semi")
+        assert sorted(map(tuple, semi.collect())) == sorted(
+            map(tuple, want.collect())
+        )
+        anti = bloom_anti_join(fact, dim, "k", dim_keys_hint=5_000_000)
+        assert anti.columns == ["k", "id"]
+        plan = anti._jdf.queryExecution().executedPlan().toString()
+        assert "xxhash64" not in plan and "LeftAnti" in plan
+    finally:
+        spark.conf.set(conf, saved)
+
+
 def test_forced_bloom_mode_keeps_probe_in_plan(spark):
     """mode="bloom" must run the reduction even when auto would not —
     the gate queries rely on this to keep the bloom plan verified."""
@@ -232,8 +261,11 @@ def test_forced_bloom_mode_keeps_probe_in_plan(spark):
 
 
 def test_resolve_mode_thresholds(spark):
-    """_resolve_mode picks broadcast under the key threshold and bloom
-    above it (approx_count_distinct estimate; 2.5M distinct >> 1M
+    """_resolve_mode picks broadcast under the key threshold and the
+    plain SHUFFLE join above it (round-10 far-regime measurement: the
+    literal bitmap is OOM auto-sized / saturated-and-slower
+    cap-sized there, so Catalyst's runtime bloom filter owns that
+    regime; approx_count_distinct estimate — 2.5M distinct >> 1M
     threshold even at ±5% rsd), and returns the key count it used so
     bitmap sizing never re-runs the estimate."""
     from shmr_spark.operators.bloom import _resolve_mode
@@ -243,30 +275,32 @@ def test_resolve_mode_thresholds(spark):
     mode, n = _resolve_mode(small, "k", "auto")
     assert mode == "broadcast" and 900 <= n <= 1100
     mode, n = _resolve_mode(big, "k", "auto")
-    assert mode == "bloom" and n > 1_000_000
+    assert mode == "shuffle" and n > 1_000_000
     # forced modes bypass the estimate entirely
     assert _resolve_mode(big, "k", "broadcast") == ("broadcast", None)
     assert _resolve_mode(small, "k", "bloom") == ("bloom", None)
     # a hint substitutes for the estimate — no job, and auto honors it
     assert _resolve_mode(small, "k", "auto", dim_keys_hint=5_000_000) == (
-        "bloom",
+        "shuffle",
         5_000_000,
     )
 
 
 def test_auto_sized_bitmap_is_not_saturated(spark):
     """num_bits=None sizes the bitmap from the key count at ~10
-    bits/key: the regime auto reserves for bloom (>1M keys) must not
-    run against the old fixed 2^20 default (<1 bit/key there ⇒ ~100%
-    FP ⇒ the reduction filters nothing). Sizing math pinned, plus an
-    end-to-end row check through the hint path (zero estimate jobs:
-    hinted auto + sized bitmap never calls _estimate_keys — pinned by
-    monkeypatching it to raise)."""
+    bits/key so a forced bloom run never probes a saturated fixed
+    default. Sizing math pinned (including the round-10 clamp at
+    MAX_NUM_BITS = 2^23, the measured-safe plan-literal size), plus
+    an end-to-end row check through the hint path (zero estimate
+    jobs: hinted bloom + sized bitmap never calls _estimate_keys —
+    pinned by monkeypatching it to raise; mode="bloom" because auto
+    now routes hinted >1M-key dims to the plain shuffle join)."""
     import shmr_spark.operators.bloom as bl
 
     assert bl._bits_for_keys(1) == 64
     assert bl._bits_for_keys(100) == 1024  # next pow2 of 1000
-    assert bl._bits_for_keys(2_000_000) == 1 << 25  # 20M → 2^25
+    assert bl._bits_for_keys(100_000) == 1 << 20  # 1M target → 2^20
+    assert bl._bits_for_keys(2_000_000) == bl.MAX_NUM_BITS  # clamped (2^23)
     assert bl._bits_for_keys(10**9) == bl.MAX_NUM_BITS  # clamped
 
     fact = spark.range(0, 4000).select(F.col("id").alias("k"))
@@ -276,7 +310,11 @@ def test_auto_sized_bitmap_is_not_saturated(spark):
         AssertionError("hint path must not run the estimate job")
     )
     try:
-        got = bloom_semi_join(fact, dim, "k", dim_keys_hint=2_000_000)
+        got = bloom_semi_join(
+            fact, dim, "k", mode="bloom", dim_keys_hint=100_000
+        )
+        plan = got._jdf.queryExecution().optimizedPlan().toString()
+        assert "xxhash64" in plan  # the sized-bitmap probe is in-plan
     finally:
         bl._estimate_keys = orig
     want = fact.join(dim.distinct(), "k", "left_semi")
@@ -293,15 +331,15 @@ def test_mode_validation(spark):
 
 
 def test_num_bits_bounds(spark):
-    """num_bits outside [64, 2^27] (or non-power-of-two) fails loudly
-    at build time — the cap is what makes every downstream int cast
-    provably overflow-free (the r8 docstring claimed 2^59 while the
-    casts capped it far lower; now the enforced and documented ranges
-    agree)."""
+    """num_bits outside [64, 2^23] (or non-power-of-two) fails loudly
+    at build time — the cap bounds the plan-literal bitmap to a size
+    the round-10 far-regime pass measured as safe (2^26 shipped
+    70-170 MB task binaries and OOMed a 24 GiB heap at 32-way
+    concurrency) and keeps every downstream int cast overflow-free."""
     dim = spark.range(0, 5).select(F.col("id").alias("k"))
     with pytest.raises(ValueError, match="power of two"):
         build_bloom_bits(dim, "k", num_bits=1000)
-    with pytest.raises(ValueError, match=r"\[64, 2\^27\]"):
-        build_bloom_bits(dim, "k", num_bits=1 << 28)
-    with pytest.raises(ValueError, match=r"\[64, 2\^27\]"):
-        bloom_might_contain("k", [0], num_bits=1 << 28)
+    with pytest.raises(ValueError, match=r"\[64, 2\^23\]"):
+        build_bloom_bits(dim, "k", num_bits=1 << 24)
+    with pytest.raises(ValueError, match=r"\[64, 2\^23\]"):
+        bloom_might_contain("k", [0], num_bits=1 << 24)

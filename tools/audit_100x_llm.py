@@ -82,6 +82,13 @@ def main() -> None:
         "pipeline_e2e": _pipeline_e2e,
     }
 
+    # rows whose 100x wall is weather-hostage (BUILD_LOG §43:
+    # 161/116/299 s over byte-identical plans — a 2.6x spread no
+    # single number should headline): publish bytes only, which
+    # reproduce to the row, and keep wall for the 10x tier where the
+    # spread is pennies
+    bytes_only_100x = {"dedup_minhash_prod"}
+
     out: dict[str, dict] = {}
     for name, fn in specs.items():
         row: dict = {}
@@ -89,7 +96,15 @@ def main() -> None:
             t0 = time.perf_counter()
             bytes_ = shuffle_bytes_of(spark, lambda: noop_sink(fn(spark, d)))
             wall = round(time.perf_counter() - t0, 3)
-            row[label] = {"write_bytes": bytes_["write"], "wall": wall}
+            if label == "100x" and name in bytes_only_100x:
+                row[label] = {
+                    "write_bytes": bytes_["write"],
+                    "wall": None,
+                    "wall_note": "weather-hostage (2.6x same-plan spread, "
+                    "BUILD_LOG §43) — compare by bytes",
+                }
+            else:
+                row[label] = {"write_bytes": bytes_["write"], "wall": wall}
         w10, w100 = row["10x"]["write_bytes"], row["100x"]["write_bytes"]
         row["byte_ratio_100x_over_10x"] = round(w100 / w10, 2) if w10 else None
         out[name] = row

@@ -80,7 +80,15 @@ def _dim(spark, sf_dir: str):
     )
 
 
-def _six_arm_ab(fact, dim, agg, label: str, extra: dict | None = None) -> dict:
+def _six_arm_ab(
+    fact,
+    dim,
+    agg,
+    label: str,
+    extra: dict | None = None,
+    num_bits: int | None = NUM_BITS,
+    bytes_spark=None,
+) -> dict:
     """The shared A/B harness for every pass: plain / bloom /
     broadcast in both join directions, each arm asserted
     row-identical to its plain twin BEFORE timing (the assert run
@@ -93,7 +101,7 @@ def _six_arm_ab(fact, dim, agg, label: str, extra: dict | None = None) -> dict:
         return agg(fact.join(dim.distinct(), "l_suppkey", "left_semi"))
 
     def semi_bloom():
-        return agg(bloom_semi_join(fact, dim, "l_suppkey", num_bits=NUM_BITS, mode="bloom"))
+        return agg(bloom_semi_join(fact, dim, "l_suppkey", num_bits=num_bits, mode="bloom"))
 
     def semi_broadcast():
         return agg(fact.join(F.broadcast(dim.distinct()), "l_suppkey", "left_semi"))
@@ -104,7 +112,7 @@ def _six_arm_ab(fact, dim, agg, label: str, extra: dict | None = None) -> dict:
         return agg(fact.join(dim.distinct(), "l_suppkey", "left_anti"))
 
     def anti_bloom():
-        return agg(bloom_anti_join(fact, dim, "l_suppkey", num_bits=NUM_BITS, mode="bloom"))
+        return agg(bloom_anti_join(fact, dim, "l_suppkey", num_bits=num_bits, mode="bloom"))
 
     def anti_broadcast():
         return agg(fact.join(F.broadcast(dim.distinct()), "l_suppkey", "left_anti"))
@@ -119,7 +127,7 @@ def _six_arm_ab(fact, dim, agg, label: str, extra: dict | None = None) -> dict:
             got = sorted(map(tuple, arm().collect()))
             assert got == want, f"{label}: {name} arm diverged from its plain twin"
 
-    return {
+    out = {
         "corpus": label,
         "fact_rows": fact.count(),
         "dim_keys": dim.count(),
@@ -131,6 +139,22 @@ def _six_arm_ab(fact, dim, agg, label: str, extra: dict | None = None) -> dict:
         "anti_bloom_sec": timed(anti_bloom),
         "anti_broadcast_sec": timed(anti_broadcast),
     }
+    if bytes_spark is not None:
+        # shuffle bytes per arm: the scale-stable number wall-clock
+        # weather cannot contaminate (shmr_spark/metrics.py)
+        from shmr_spark.metrics import noop_sink, shuffle_bytes_of
+
+        for name, fn in (
+            ("semi_plain", semi_plain),
+            ("semi_bloom", semi_bloom),
+            ("semi_broadcast", semi_broadcast),
+            ("anti_plain", anti_plain),
+            ("anti_bloom", anti_bloom),
+            ("anti_broadcast", anti_broadcast),
+        ):
+            moved = shuffle_bytes_of(bytes_spark, lambda f=fn: noop_sink(f()))
+            out[f"{name}_shuffle_mb"] = round(moved["write"] / 1e6, 2)
+    return out
 
 
 def _corpus_pass(spark, sf_dir: str, label: str) -> dict:
@@ -223,6 +247,81 @@ def _wide_pass(spark, sf_dir: str, wide_dir: str, label: str) -> dict:
     )
 
 
+# --- the far side of the regime guard (verdict r9 task 4) ----------
+# AUTO_BROADCAST_MAX_DIM_KEYS = 1M was REASONED (50 MB hash relation
+# vs 128 KiB bitmap), not measured — every committed pass had a dim
+# that fits a broadcast. This pass puts one measured point ABOVE the
+# threshold: a 5M-distinct-key dim (5x the crossover; ~240 MB as a
+# LongHashedRelation) against a 30M-row fact wide enough (128 B
+# payload) that the exchange is the dominant cost, with per-arm
+# shuffle bytes recorded alongside wall time.
+
+FAR_KEY_DOMAIN = 50_000_000
+FAR_DIM_STEP = 10  # dim = every 10th key -> 5M distinct, 10% fact hit rate
+FAR_FACT_ROWS = 30_000_000
+
+
+def _make_far_corpus(spark, out_dir: str) -> None:
+    """Materialize the far-regime corpus once (deterministic: key =
+    xxhash64(id) mod domain, payload = repeated sha2 — same
+    determinism rule as _make_wide)."""
+    if os.path.exists(os.path.join(out_dir, "dim", "_SUCCESS")):
+        return
+    fact = spark.range(FAR_FACT_ROWS).select(
+        F.pmod(F.xxhash64("id"), F.lit(FAR_KEY_DOMAIN)).alias("l_suppkey"),
+        (F.col("id") % 7).cast("string").alias("l_returnflag"),
+        F.repeat(F.sha2(F.col("id").cast("string"), 256), 2).alias("payload"),
+    )
+    fact.write.mode("overwrite").parquet(os.path.join(out_dir, "fact"))
+    dim = spark.range(0, FAR_KEY_DOMAIN, FAR_DIM_STEP).select(
+        F.col("id").alias("l_suppkey")
+    )
+    dim.write.mode("overwrite").parquet(os.path.join(out_dir, "dim"))
+
+
+def _far_pass(spark, out_dir: str) -> dict:
+    from shmr_spark.operators.bloom import (
+        AUTO_BROADCAST_MAX_DIM_KEYS,
+        _bits_for_keys,
+        bloom_might_contain,
+        build_bloom_bits,
+    )
+
+    _make_far_corpus(spark, out_dir)
+    fact = spark.read.parquet(os.path.join(out_dir, "fact"))
+    dim = spark.read.parquet(os.path.join(out_dir, "dim"))
+
+    def agg(kept):
+        # all-column hash agg, sorted-name order (see _wide_pass)
+        allhash = F.pmod(F.xxhash64(*sorted(kept.columns)), F.lit(1_000_000))
+        return kept.groupBy("l_returnflag").agg(
+            F.count("*").alias("n"), F.sum(allhash).alias("h")
+        )
+
+    n_dim = FAR_KEY_DOMAIN // FAR_DIM_STEP
+    nb = _bits_for_keys(n_dim)  # clamps to MAX_NUM_BITS (saturated here)
+    bits = build_bloom_bits(dim, "l_suppkey", num_bits=nb)
+    kept = fact.where(bloom_might_contain("l_suppkey", bits, nb)).count()
+    return _six_arm_ab(
+        fact,
+        dim,
+        agg,
+        f"far regime ({n_dim // 10**6}M-key dim, {FAR_DIM_STEP}x crossover)",
+        extra={
+            "row_shape": "key + returnflag + 128B payload, all-column hash agg",
+            "auto_threshold_keys": AUTO_BROADCAST_MAX_DIM_KEYS,
+            "bloom_num_bits": nb,
+            "bloom_kept_frac": round(kept / FAR_FACT_ROWS, 4),
+            "note": "pre-cap sizing (2^26 bits for 5M keys) shipped "
+            "70-170MB task binaries and OOMed a 24GiB heap at 32-way "
+            "concurrency — the reason mode='auto' now picks the plain "
+            "shuffle join above the key threshold",
+        },
+        num_bits=nb,  # the cap-feasible bitmap: measured saturated
+        bytes_spark=spark,
+    )
+
+
 def main() -> None:
     spark = get_spark(
         app_name="bench_bloom",
@@ -231,6 +330,23 @@ def main() -> None:
     base = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf1 = os.path.join(REPO, ".scaled", "sf1")
     make_scaled(spark, 10, base, sf1)
+
+    if "--far" in sys.argv:
+        # far-regime-only run: measure the >threshold point and MERGE
+        # it into the committed artifact (replacing any previous far
+        # row) without re-running the sf1/sf10 passes
+        row = _far_pass(spark, os.path.join(REPO, ".scaled", "bloom_far"))
+        path = os.path.join(REPO, "BLOOM_BENCH.json")
+        with open(path) as f:
+            result = json.loads(f.read())
+        result["passes"] = [
+            p for p in result["passes"] if not p["corpus"].startswith("far regime")
+        ] + [row]
+        line = json.dumps(result)
+        print(line)
+        with open(path, "w") as f:
+            f.write(line + "\n")
+        return
 
     full = "--sf10" in sys.argv
     passes = [_corpus_pass(spark, sf1, "sf1 (10x sf0.1)")]
