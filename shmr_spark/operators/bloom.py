@@ -38,13 +38,18 @@ heap — while a cap-feasible bitmap (2^23 bits ≈ 1.7 bits/key) is
 saturated (79 % of the fact passes the probe) and LOSES to the plain
 shuffle join 1.7–2.3× on wall for an 18 % byte saving. So the
 plan-literal bloom has no winning auto regime, and ``mode="auto"``
-now picks between the two joins that do win: broadcast below the
-key threshold, plain shuffle above it — where Catalyst's own runtime
-bloom filter (``spark.sql.optimizer.runtime.bloomFilter.enabled``,
-on in this build and plan-pinned in tests/test_plans.py) injects a
-PROPER bloom reduction (``bloom_filter_agg`` + broadcast subquery,
-not a plan literal) exactly when the join is selective enough to
-profit. The explicit ``mode="bloom"`` path remains for what it is
+picks broadcast below the key threshold and plain shuffle above it.
+(The broadcast arm still won the LOCAL walls at the 5M-key far
+point — the threshold is a cluster-byte budget, not a local-wall
+crossover: broadcast traffic is relation × executors, 240 MB × N at
+5M keys, which loses the byte race to the fixed 2.43 GB shuffle
+past ~10 executors and by ~100× at the 1000-executor target.)
+Above the threshold, Catalyst's own runtime bloom filter
+(``spark.sql.optimizer.runtime.bloomFilter.enabled``, on in this
+build and plan-pinned in tests/test_plans.py) injects a PROPER
+bloom reduction on the shuffle join (``bloom_filter_agg`` +
+broadcast subquery, not a plan literal) exactly when the join is
+selective enough to profit. The explicit ``mode="bloom"`` path remains for what it is
 measured to be: a deterministic, testable reduction for sub-1M-key
 dims when broadcasting is disallowed (memory-tight executors,
 ``autoBroadcastJoinThreshold=-1`` policies) — its 2.0–3.9× wins over
@@ -91,7 +96,11 @@ __all__ = [
 # byte ESTIMATES that routinely undershoot post-distinct key sets.
 # Above this, per-executor memory for the relation (every executor
 # holds a full copy) starts competing with shuffle/execution memory
-# at 1000-executor scale, and the bloom bitmap's fixed 128 KiB wins.
+# at 1000-executor scale, and broadcast traffic (relation x
+# executors) loses the byte race to the row-linear shuffle — the
+# far-regime pass measured both that byte crossover and the literal
+# bitmap's infeasibility there, so auto picks the plain shuffle
+# join above this line (Catalyst's runtime bloom filter reduces it).
 AUTO_BROADCAST_MAX_DIM_KEYS = 1_000_000
 
 # Hard cap on num_bits. The binding constraint is MEASURED, not the

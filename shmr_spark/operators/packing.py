@@ -9,8 +9,9 @@ Scale design — the distributed prefix sum. A naive
 funnels the whole table through ONE task (it even warns). The
 scalable rewrite here is the textbook two-phase scan:
 
-1. bucket rows by range of the order key (id // bucket_size — order-
-   preserving across buckets);
+1. bucket rows by an order-preserving fixed-width coarsening of the
+   order key (ranking._auto_bucketed — at most N_BUCKETS cells, so
+   the totals table is bounded at ANY corpus size);
 2. one small aggregate computes per-bucket token totals; a window
    over THAT (thousands of rows, not billions) yields each bucket's
    global starting offset;
@@ -33,35 +34,45 @@ def prefix_sum(
     order_col: str,
     value_col: str,
     out_col: str,
-    bucket_size: int = 64,
 ) -> DataFrame:
     """Inclusive cumulative sum of ``value_col`` in ``order_col``
     order — the general two-phase scan this module's docstring
-    describes, exposed so every running-total query shares ONE
+    describes, exposed so every running-total operator shares ONE
     scale-safe implementation instead of re-growing bare
-    ``Window.orderBy`` funnels (the round-9 verdict found two).
+    ``Window.orderBy`` funnels (the round-9 verdict found two;
+    pack_sequences now composes on this too).
+
+    Buckets come from ranking._auto_bucketed's fixed-width cells —
+    the totals table is O(N_BUCKETS) = O(4096) no matter how large
+    the corpus, unlike a ``key // constant`` bucket whose totals grow
+    O(n) and eventually funnel the offsets window and the broadcast
+    (the round-10 review finding). Only that bounded table crosses a
+    SinglePartition window; the data window is partitioned by bucket
+    and runs fully parallel.
 
     ``order_col`` must be numeric, non-null, and unique per row (the
-    cumulative order is then total and the result deterministic);
-    ``floor(order/bucket_size)`` is order-preserving for negatives
-    too (unlike a truncating cast). Only the O(n/bucket_size)
-    bucket-totals table crosses a SinglePartition window; the data
-    window is partitioned by bucket and runs fully parallel.
+    cumulative order is then total and the result deterministic).
+    NULL semantics match SQL window SUM exactly: NULL values are
+    skipped, and a row whose entire prefix (itself included) has no
+    non-NULL value yields NULL — tracked with a per-bucket non-null
+    COUNT so the equality holds even for leading-NULL runs.
 
-    Output: (order_col, out_col) — one row per input row. Integer
-    value columns hash identically regardless of intra-bucket
+    Output: every input column + ``out_col``, one row per input row.
+    Integer value columns hash identically regardless of intra-bucket
     summation order; float callers should pre-scale (see dsum).
     """
-    bucket = F.floor(F.col(order_col) / F.lit(bucket_size)).cast("long")
-    rows = df.select(
-        F.col(order_col), F.col(value_col).alias("__v"), bucket.alias("__bucket")
-    )
+    from shmr_spark.operators.ranking import _auto_bucketed
 
-    totals = rows.groupBy("__bucket").agg(F.sum("__v").alias("__btot"))
+    rows = _auto_bucketed(df, order_col)
+    v = F.col(value_col)
+    totals = rows.groupBy("__bucket").agg(
+        F.sum(v).alias("__btot"), F.count(v).alias("__bcnt")
+    )
     w_b = Window.orderBy("__bucket").rowsBetween(Window.unboundedPreceding, -1)
     offsets = totals.select(
         "__bucket",
         F.coalesce(F.sum("__btot").over(w_b), F.lit(0)).alias("__boff"),
+        F.coalesce(F.sum("__bcnt").over(w_b), F.lit(0)).alias("__bnn"),
     )
 
     w_in = (
@@ -69,9 +80,12 @@ def prefix_sum(
         .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return rows.join(F.broadcast(offsets), "__bucket").select(
-        F.col(order_col),
-        (F.col("__boff") + F.sum("__v").over(w_in)).alias(out_col),
+    cum = F.col("__boff") + F.coalesce(F.sum(v).over(w_in), F.lit(0))
+    nn_seen = F.col("__bnn") + F.count(v).over(w_in)
+    return (
+        rows.join(F.broadcast(offsets), "__bucket")
+        .withColumn(out_col, F.when(nn_seen > 0, cum))
+        .drop("__bucket", "__boff", "__bnn")
     )
 
 
@@ -80,38 +94,26 @@ def pack_sequences(
     id_col: str = "doc_id",
     tokens_col: str = "n_tokens",
     budget: int = 2048,
-    bucket_size: int = 64,
 ) -> DataFrame:
     """Assign each document its global token offset and pack id.
 
     Output: id_col, n_tokens, start_tok (tokens before this doc in
     id order), pack_id (= start_tok // budget — the context window
     this doc starts in; docs may straddle pack boundaries, the
-    standard concat-then-chunk pretraining layout).
+    standard concat-then-chunk pretraining layout). Token counts are
+    counts: ``tokens_col`` must be non-null.
+
+    The exclusive offset is the shared prefix_sum minus the row's own
+    count — one implementation of the two-phase scan, not a second
+    copy that can drift (the round-10 review finding).
     """
-    bucket = (F.col(id_col) / F.lit(bucket_size)).cast("long").alias("__bucket")
-    rows = df.select(F.col(id_col), F.col(tokens_col).alias("n_tokens"), bucket)
-
-    totals = rows.groupBy("__bucket").agg(F.sum("n_tokens").alias("__btot"))
-    w_b = Window.orderBy("__bucket").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = totals.select(
-        "__bucket",
-        F.coalesce(F.sum("__btot").over(w_b), F.lit(0)).alias("__boff"),
-    )
-
-    w_in = (
-        Window.partitionBy("__bucket")
-        .orderBy(id_col)
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
+    rows = df.select(F.col(id_col), F.col(tokens_col).alias("n_tokens"))
     return (
-        rows.join(F.broadcast(offsets), "__bucket")
+        prefix_sum(rows, id_col, "n_tokens", "__cum")
         .select(
             F.col(id_col),
             "n_tokens",
-            (
-                F.col("__boff") + F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0))
-            ).alias("start_tok"),
+            (F.col("__cum") - F.col("n_tokens")).alias("start_tok"),
         )
         .withColumn("pack_id", (F.col("start_tok") / F.lit(budget)).cast("long"))
     )

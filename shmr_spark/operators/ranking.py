@@ -141,10 +141,14 @@ def global_ntile(
     """
     from shmr_spark.functions.scalars import with_scalars
 
+    n = int(n)
+    if n < 1:
+        # F.ntile(0) fails fast at plan time; match that contract
+        # instead of a DIVIDE_BY_ZERO deep inside the CASE at runtime
+        raise ValueError(f"global_ntile needs n >= 1, got {n}")
     ranked = global_rank(df, key_col, id_col, bucket=bucket, rank_col="__rank")
     total = df.groupBy().agg(F.count(F.lit(1)).alias("__total"))
     # integer `div` end to end — float division would drift past 2^53
-    n = int(n)
     tile = F.expr(
         f"CAST(CASE WHEN __rank <= (__total % {n}) * (__total div {n} + 1) "
         f"THEN (__rank - 1) div (__total div {n} + 1) + 1 "

@@ -70,13 +70,16 @@ def query(name: str, oracle: str | None = None, headline: bool = False):
 #      advance the next-oldest evidence. Names absent from this list
 #      keep module registration order after it.
 _PRIORITY: list[str] = [
-    # -- group 1: plans/oracles changed this round (5; vocab_growth
-    #    and ngram_jaccard sit in the r6 cohort below)
+    # -- group 1: plans/oracles changed this round (6; vocab_growth
+    #    and ngram_jaccard sit in the r6 cohort below; pack_sequences
+    #    rides the round-10 review refactor onto the shared
+    #    auto-bucketed prefix_sum)
     "order_value_deciles",
     "dedup_corpus_neardup",
     "dedup_keep_best_quality",
     "leakage_safe_split",
     "dedup_minhash_incremental",
+    "pack_sequences",
     # -- group 2: the full r6 cohort (36)
     "approx_distinct",
     "approx_percentiles",
@@ -114,7 +117,8 @@ _PRIORITY: list[str] = [
     "triangle_count_trade",
     "vector_stats",
     "vocab_growth",
-    # -- group 3: canaries, module-diverse, from the r7 cohort (9)
+    # -- group 3: canaries, module-diverse, from the r7 cohort (8;
+    #    window_tumbling yielded its slot to pack_sequences above)
     "sql_q5_region_revenue",
     "dedup_minhash",
     "knn_join_lsh",
@@ -123,7 +127,6 @@ _PRIORITY: list[str] = [
     "head_sorted",
     "asof_join_prev",
     "bm25_top_terms",
-    "window_tumbling",
 ]
 
 

@@ -356,7 +356,7 @@ def test_pack_sequences_two_phase_equals_naive(spark):
 
     got = {
         r.doc_id: (r.start_tok, r.pack_id)
-        for r in pack_sequences(df, budget=512, bucket_size=1000).collect()
+        for r in pack_sequences(df, budget=512).collect()
     }
     w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
     naive = {
@@ -371,7 +371,10 @@ def test_pack_sequences_two_phase_equals_naive(spark):
 def test_prefix_sum_equals_naive_window(spark):
     """prefix_sum (the general two-phase scan) equals the naive
     global cumulative window on gapped, negative, and unsorted-input
-    ids — floor-bucketing must stay order-preserving for negatives."""
+    ids — including SQL's NULL semantics: NULL values are skipped and
+    an all-NULL prefix yields NULL (the round-10 review found the
+    first cut returned NULL for any all-NULL IN-BUCKET prefix). The
+    leading ids carry NULLs so the all-NULL-prefix edge is hit."""
     import random
 
     from pyspark.sql import Window
@@ -381,7 +384,10 @@ def test_prefix_sum_equals_naive_window(spark):
 
     rng = random.Random(23)
     ids = sorted(rng.sample(range(-50_000, 50_000), 600))
-    rows = [(i, rng.randrange(-5, 100)) for i in ids]
+    rows = [
+        (i, None if rank < 5 or rng.random() < 0.1 else rng.randrange(-5, 100))
+        for rank, i in enumerate(ids)
+    ]
     df = spark.createDataFrame(rows, "k long, v long").repartition(8)
 
     got = {r.k: r.cum for r in prefix_sum(df, "k", "v", "cum").collect()}
@@ -418,6 +424,11 @@ def test_global_ntile_matches_window_ntile(spark):
             ).collect()
         }
         assert got == want, f"N={total} n={n}"
+
+    import pytest
+
+    with pytest.raises(ValueError, match="n >= 1"):
+        global_ntile(spark.range(3), "id", "id", 0)
 
 
 def test_select_by_token_budget_equals_naive(spark):

@@ -373,8 +373,14 @@ def test_fact_fact_joins_stay_sort_merge(spark, sf_dir, name):
 # ONE task, so it is only ever acceptable over a provably bounded
 # input — in this codebase that means the input chain reaches a
 # grouped Aggregate whose keys are either the two-phase-scan bucket
-# columns (``__bucket`` / ``__b``: O(N_BUCKETS) or O(n/bucket_size)
-# rows by construction) or a gate-allowlisted bounded domain key.
+# columns or a gate-allowlisted bounded domain key. Bucket audit
+# (round 10): ranking._auto_bucketed and everything on it
+# (global_rank/global_ntile/range_shards, packing.prefix_sum and
+# pack_sequences) is O(N_BUCKETS)=O(4096) at ANY corpus size;
+# selection.py buckets by score domain (O(score_buckets));
+# validate.py's id-gap ``__b`` is the one remaining div-constant
+# cell (O(n/bucket_size) — a constant-factor reduction, documented
+# in-module). New operators should bucket via _auto_bucketed.
 # --------------------------------------------------------------------
 
 # gate -> (allowed grouping key, why that domain is bounded)

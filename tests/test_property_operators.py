@@ -65,19 +65,17 @@ def test_apportion_matches_hamilton(spark, weights, total):
         max_size=40,
         unique_by=lambda t: t[0],
     ),
-    st.sampled_from([1, 3, 64]),
     st.integers(1, 64),
 )
-def test_pack_sequences_is_exact_prefix_sum(spark, docs, bucket_size, budget):
-    """start_tok equals the sequential prefix sum in id order for ANY
-    bucket_size (the two-phase decomposition is an implementation
-    detail), and pack_id is start_tok // budget."""
+def test_pack_sequences_is_exact_prefix_sum(spark, docs, budget):
+    """start_tok equals the sequential prefix sum in id order (the
+    two-phase decomposition — now the shared prefix_sum with
+    auto-width buckets — is an implementation detail), and pack_id is
+    start_tok // budget."""
     from shmr_spark.operators.packing import pack_sequences
 
     df = spark.createDataFrame(docs, "doc_id long, n_tokens long")
-    out = pack_sequences(
-        df, budget=budget, bucket_size=bucket_size
-    ).collect()
+    out = pack_sequences(df, budget=budget).collect()
     run, want = 0, {}
     for did, toks in sorted(docs):
         want[did] = run

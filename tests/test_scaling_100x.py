@@ -29,7 +29,14 @@ from shmr_spark.metrics import noop_sink, shuffle_bytes_of
 from shmr_spark.queries import load_all
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+# honor the SHMR_TEST_SF_DIR relocation convention (tests/conftest.py)
+# like test_scaling.py: derive the testdata root from the override's
+# parent and take its sf0.1 sibling; SPARK_GRAFT_SF_DIR (the bench/
+# audit convention) still wins if set explicitly
+_ROOT = os.path.dirname(
+    os.environ.get("SHMR_TEST_SF_DIR", "/root/testdata/sf0.001").rstrip("/")
+)
+BASE = os.environ.get("SPARK_GRAFT_SF_DIR", os.path.join(_ROOT, "sf0.1"))
 D10 = os.path.join(REPO, ".scaled", "sf1")
 D100 = os.path.join(REPO, ".scaled", "sf10_100x")
 
