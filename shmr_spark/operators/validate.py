@@ -84,20 +84,25 @@ def schema_drift(actual: "DataFrame | object", expected: object) -> list[dict]:
     return drifts
 
 
-def missing_ranges(df, key_col: str, bucket_size: int = 10000):
+def missing_ranges(df, key_col: str):
     """Contiguous ranges of MISSING integer keys between the observed
     min and max — sequence-gap detection (dropped batches, id holes)
-    without a global sort: keys bucket by ``key div bucket_size``, the
-    lag window runs PARTITIONED per bucket, and cross-bucket gaps are
-    stitched from a bucket-level (min, max) summary that is n/bucket_size
-    rows — the only unpartitioned window runs on that tiny summary.
+    without a global sort: keys bucket by ranking._auto_bucketed's
+    fixed-width cells (at most N_BUCKETS=4096 key ranges regardless
+    of the key span — a ``key div constant`` bucket would grow the
+    summary O(n), the round-10 bucket audit), the lag window runs
+    PARTITIONED per bucket, and cross-bucket gaps are stitched from a
+    bucket-level (min, max) summary — the only unpartitioned window
+    runs on that bounded summary.
 
     Returns (gap_start, gap_end, n_missing), all BIGINT — exact
     integer arithmetic, hash-stable cross-engine.
     """
+    from shmr_spark.operators.ranking import _auto_bucketed
+
     k = F.col(key_col).cast("long")
     keys = df.select(k.alias("__k")).distinct()
-    bucketed = keys.withColumn("__b", F.expr(f"__k div {bucket_size}"))
+    bucketed = _auto_bucketed(keys, "__k").withColumnRenamed("__bucket", "__b")
 
     wb = Window.partitionBy("__b").orderBy("__k")
     within = (
@@ -112,7 +117,7 @@ def missing_ranges(df, key_col: str, bucket_size: int = 10000):
     summary = bucketed.groupBy("__b").agg(
         F.min("__k").alias("__mn"), F.max("__k").alias("__mx")
     )
-    ws = Window.orderBy("__b")  # n/bucket_size rows — tiny by design
+    ws = Window.orderBy("__b")  # <= N_BUCKETS rows — bounded by design
     across = (
         summary.withColumn("__pmx", F.lag("__mx").over(ws))
         .filter(F.col("__mn") - F.col("__pmx") > 1)

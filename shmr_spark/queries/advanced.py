@@ -1278,7 +1278,7 @@ def missing_id_ranges(spark, sf_dir):
     orders = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderstatus") == "O"
     )
-    return missing_ranges(orders, "o_orderkey", bucket_size=1000)
+    return missing_ranges(orders, "o_orderkey")
 
 
 # --------------------------------------------------------------------------

@@ -986,7 +986,7 @@ def test_missing_ranges_bucket_stitch_equals_direct(spark):
     df = spark.createDataFrame([(k,) for k in keys], "id long")
     got = {
         (r.gap_start, r.gap_end, r.n_missing)
-        for r in missing_ranges(df, "id", bucket_size=10).collect()
+        for r in missing_ranges(df, "id").collect()
     }
     w = Window.orderBy("id")
     direct = {
