@@ -54,6 +54,72 @@ def test_apportion_matches_hamilton(spark, weights, total):
         assert total * w // W <= got[k] <= total * w // W + 1
 
 
+# -- prefix_sum: two-phase scan ≡ sequential, incl. NULL semantics ----------
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(-10_000, 10_000),
+            st.one_of(st.none(), st.integers(-100, 100)),
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_prefix_sum_matches_sequential_oracle(spark, rows):
+    """prefix_sum equals the pure-Python running total with SQL
+    window-SUM NULL semantics (skip NULLs; all-NULL prefix -> NULL)
+    for random gapped/negative keys and random NULL placement."""
+    from shmr_spark.operators.packing import prefix_sum
+
+    df = spark.createDataFrame(rows, "k long, v long")
+    got = {r.k: r.cum for r in prefix_sum(df, "k", "v", "cum").collect()}
+    run, seen, want = 0, 0, {}
+    for k, v in sorted(rows):
+        if v is not None:
+            run += v
+            seen += 1
+        want[k] = run if seen else None
+    assert got == want
+
+
+# -- global_ntile: exact SQL remainder rule ----------------------------------
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 50), st.integers(0, 10_000)),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda t: t[1],
+    ),
+    st.integers(1, 12),
+)
+def test_global_ntile_matches_remainder_oracle(spark, rows, n):
+    """global_ntile equals the pure-Python ntile remainder rule (first
+    N % n tiles get one extra row in (key, id) order) for random
+    duplicate-heavy keys, gapped ids, and random n — including N < n."""
+    from shmr_spark.operators.ranking import global_ntile
+
+    df = spark.createDataFrame(rows, "k long, i long")
+    got = {
+        (r.k, r.i): r.tile for r in global_ntile(df, "k", "i", n).collect()
+    }
+    total = len(rows)
+    q, rem = divmod(total, n)
+    want = {}
+    for rank, (k, i) in enumerate(sorted(rows), start=1):
+        if rank <= rem * (q + 1):
+            want[(k, i)] = (rank - 1) // (q + 1) + 1
+        else:
+            want[(k, i)] = rem + (rank - rem * (q + 1) - 1) // q + 1
+    assert got == want
+
+
 # -- pack_sequences: distributed prefix sum ≡ sequential ---------------------
 
 
