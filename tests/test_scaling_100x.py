@@ -49,7 +49,16 @@ LO, HI = 0.5 * ROW_RATIO, 3.0 * ROW_RATIO
 
 # the audit's two shape classes, one decade up (AUDIT_100X.json):
 # join-shaped exchanges move row-proportional payloads...
-JOIN_LINEAR = ["join_three_way", "sql_q5_region_revenue"]
+# (order_value_deciles and vocab_growth are the round-10 de-funneled
+# two-phase scans — measured 10.1x/9.0x at this step; pinning them
+# here keeps the single-task-window fix byte-verified, not just
+# plan-verified)
+JOIN_LINEAR = [
+    "join_three_way",
+    "sql_q5_region_revenue",
+    "order_value_deciles",
+    "vocab_growth",
+]
 # ...aggregation-shaped exchanges move group-level payloads — partial
 # aggregation collapses the 10x row growth before the exchange, so
 # bytes must stay ~flat (measured 1.0x / 1.98x; band <= 3x)
