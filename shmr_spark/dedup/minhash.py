@@ -13,8 +13,10 @@ Pipeline (shingle → minhash → band → bucket-join → verify):
    bucket → candidate pairs. This is the scale path: the shuffle
    carries b small rows per doc and the join explodes only true
    bucket collisions.
-4. ``minhash_near_duplicates`` — verify candidates with exact Jaccard
-   over the shingle sets and filter by threshold.
+4. ``minhash_near_duplicates`` — verify candidates with Jaccard over
+   the xxhash64-hashed shingle sets (exact up to ~2^-64 hash
+   collisions; see the note at the verify join) and filter by
+   threshold.
 
 Banding math: P(candidate) = 1 - (1 - j^r)^b — with k=64, b=16, r=4
 the S-curve midpoint sits near j ≈ 0.5.

@@ -84,25 +84,51 @@ def schema_drift(actual: "DataFrame | object", expected: object) -> list[dict]:
     return drifts
 
 
-def missing_ranges(df, key_col: str):
+def missing_ranges(df, key_col: str, num_partitions: int | None = None):
     """Contiguous ranges of MISSING integer keys between the observed
     min and max — sequence-gap detection (dropped batches, id holes)
-    without a global sort: keys bucket by ranking._auto_bucketed's
-    fixed-width cells (at most N_BUCKETS=4096 key ranges regardless
-    of the key span — a ``key div constant`` bucket would grow the
-    summary O(n), the round-10 bucket audit), the lag window runs
-    PARTITIONED per bucket, and cross-bucket gaps are stitched from a
-    bucket-level (min, max) summary — the only unpartitioned window
-    runs on that bounded summary.
+    without a global sort.
 
-    Returns (gap_start, gap_end, n_missing), all BIGINT — exact
-    integer arithmetic, hash-stable cross-engine.
+    Partitioning is RANK-space, not value-space: the distinct keys go
+    through ``repartitionByRange`` (sampled, equal-POPULATION range
+    partitions), the lag window runs PARTITIONED per range partition,
+    and cross-partition gaps are stitched from a partition-level
+    (min, max) summary — the only unpartitioned window runs on that
+    ≤ num_partitions-row summary. Value-space cells (fixed-width
+    ``(key - min) / width`` buckets, the round-10 design) degenerate
+    on exactly this operator's target inputs: one stray huge key
+    stretches the span so nearly every real key lands in ONE cell and
+    the "partitioned" window becomes a single-task funnel. Sampled
+    range boundaries balance by population, so outlier keys cost one
+    near-empty partition instead of all the parallelism.
+
+    The sampled boundaries are not reproducible run-to-run, but the
+    OUTPUT is placement-invariant: a gap between neighbours in the
+    same partition is found by the lag; a gap straddling a boundary is
+    found by the stitch; the union is the same gap set wherever the
+    boundaries fall (cf. operators/ranking.py, which avoids
+    repartitionByRange because there the shard ASSIGNMENT is the
+    output — here it is internal).
+
+    ``num_partitions`` defaults to spark.sql.shuffle.partitions capped
+    at 4096 so the stitch summary stays bounded at any configured
+    parallelism. Returns (gap_start, gap_end, n_missing), all BIGINT —
+    exact integer arithmetic, hash-stable cross-engine.
     """
-    from shmr_spark.operators.ranking import _auto_bucketed
-
     k = F.col(key_col).cast("long")
-    keys = df.select(k.alias("__k")).distinct()
-    bucketed = _auto_bucketed(keys, "__k").withColumnRenamed("__bucket", "__b")
+    keys = df.select(k.alias("__k")).filter(k.isNotNull()).distinct()
+    if num_partitions is None:
+        try:
+            conf = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        except (TypeError, ValueError):  # "auto" under some AQE setups
+            conf = 256
+        num_partitions = min(max(conf, 1), 4096)
+    # spark_partition_id is monotone in the key here: RangePartitioner
+    # assigns ascending key ranges to ascending partition ids, so
+    # ordering the stitch by __b orders it by key range.
+    bucketed = keys.repartitionByRange(num_partitions, "__k").withColumn(
+        "__b", F.spark_partition_id().cast("long")
+    )
 
     wb = Window.partitionBy("__b").orderBy("__k")
     within = (

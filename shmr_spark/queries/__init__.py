@@ -48,85 +48,78 @@ def query(name: str, oracle: str | None = None, headline: bool = False):
 # (every round so far recorded exactly the first 50 registered
 # queries), so the order below is part of the verification strategy.
 # The registry was CLOSED at 176 through round 6, reopened to 179
-# across rounds 7-8 (bloom semi/anti, regression), and stays at 179
-# through rounds 9-10. Round-10 window: round 9 completed the second
-# full registry pass (every gate driver-green at r5 or newer); the
-# freshness floor is now the 36-query round-6 cohort. This window
-# takes:
-#   1. changed-code-this-round (standing rule: new/changed plans or
-#      oracles outrank rotation): order_value_deciles and vocab_growth
-#      moved off their single-task global windows onto the two-phase
-#      rank/prefix-sum operators (hash-parity preserved, verified at
-#      sf0.001/0.01); dedup_corpus_neardup, dedup_keep_best_quality,
-#      leakage_safe_split and dedup_minhash_incremental had their
-#      oracles rewritten onto the postings-join pair fragment
-#      (NEARDUP_PAIRS_SQL — row-identical, hours -> seconds in DuckDB,
-#      closing the round-9 sf0.1 sweep exclusions);
-#   2. the entire 36-query round-6 cohort (the oldest evidence;
-#      includes vocab_growth and ngram_jaccard from group 1's blast
-#      radius);
+# across rounds 7-8 (bloom semi/anti, regression), held at 179
+# through round 10, and opens to 180 in round 11 (compact_roundtrip
+# gives the layout tier its first driver-signed gate). Round-11
+# window: after round 10 the freshness histogram is 35 gates at r7,
+# 46 at r8, 48 at r9, 50 at r10 — the r7 cohort is the oldest
+# evidence and fills the bulk of the window. This window takes:
+#   1. changed-plans-this-round (standing rule: new/changed plans or
+#      oracles outrank rotation): missing_id_ranges (validate.py
+#      moved from value-space to rank-space gap bucketing — the r10
+#      ADVICE skew fix), bloom_semi/anti_join_revenue (auto mode
+#      moved from a key-count to a bytes-based threshold), and the
+#      NEW compact_roundtrip gate (sources/writers.py compaction
+#      content-preservation, previously pytest-only);
+#   2. the entire 35-gate round-7 cohort (the oldest evidence);
 #   3. canaries (standing policy): previously-green anchors spread
-#      across modules/tiers, drawn from the r7 cohort so they also
+#      across modules/tiers, drawn from the r8 cohort so they also
 #      advance the next-oldest evidence. Names absent from this list
 #      keep module registration order after it.
 _PRIORITY: list[str] = [
-    # -- group 1: plans/oracles changed this round (6; vocab_growth
-    #    and ngram_jaccard sit in the r6 cohort below; pack_sequences
-    #    rides the round-10 review refactor onto the shared
-    #    auto-bucketed prefix_sum)
-    "order_value_deciles",
-    "dedup_corpus_neardup",
-    "dedup_keep_best_quality",
-    "leakage_safe_split",
-    "dedup_minhash_incremental",
-    "pack_sequences",
-    # -- group 2: the full r6 cohort (36)
-    "approx_distinct",
-    "approx_percentiles",
-    "chunk_documents",
-    "clean_text",
-    "contamination_check",
-    "count_lineitem",
-    "doc_token_overlap",
-    "embedding_neardup",
-    "fingerprint_docs",
-    "fingerprint_winnow",
-    "funnel_stages",
-    "join_grouped",
-    "join_inner",
-    "label_centroids",
-    "mix_training_sources",
-    "ngram_jaccard",
-    "numbers_in_text",
-    "q22_dormant_customers",
-    "q6_promo_revenue",
-    "q7_nation_volume",
-    "quality_length_band",
-    "quality_score",
-    "quantize_embeddings",
-    "repetition_ratio",
-    "sample_k_per_group",
-    "shuffle_shards",
-    "similarity_pq_topk",
-    "streaming_dedup",
-    "streaming_enrich",
-    "streaming_interval_join",
-    "streaming_topk_trending",
-    "token_count",
-    "token_frequencies",
-    "triangle_count_trade",
-    "vector_stats",
-    "vocab_growth",
-    # -- group 3: canaries, module-diverse, from the r7 cohort (8;
-    #    window_tumbling yielded its slot to pack_sequences above)
-    "sql_q5_region_revenue",
-    "dedup_minhash",
-    "knn_join_lsh",
-    "similarity_ivf_topk",
-    "multimodal_jpeg_featurize",
-    "head_sorted",
-    "asof_join_prev",
-    "bm25_top_terms",
+    # -- group 1: plans/oracles changed this round (4)
+    "missing_id_ranges",
+    "bloom_semi_join_revenue",
+    "bloom_anti_join_revenue",
+    "compact_roundtrip",
+    # -- group 2: the full r7 cohort (35)
+    "activity_bitmaps",
+    "activity_streaks",
+    "cogroup_reconcile",
+    "cohort_retention",
+    "conversion_latency",
+    "daily_spine_counts",
+    "dedup_simhash",
+    "forward_fill_values",
+    "fuzzy_name_pairs",
+    "grouped_mad",
+    "grouping_sets_agg",
+    "histogram",
+    "json_extract_props",
+    "latest_event_state",
+    "merge_upsert",
+    "moving_average_orders",
+    "multimodal_audio_featurize",
+    "null_safe_join",
+    "profile_columns",
+    "referential_integrity",
+    "revenue_contribution",
+    "salted_agg_revenue",
+    "salted_join_revenue",
+    "similarity_indexed_topk",
+    "similarity_ivf_kmeans_topk",
+    "similarity_lsh_topk",
+    "similarity_quantized_rerank",
+    "stratified_sample",
+    "tfidf_top_terms",
+    "time_weighted_avg",
+    "train_test_split",
+    "udtf_sentences",
+    "unpivot_melt",
+    "variant_extract",
+    "window_tumbling",
+    # -- group 3: canaries, module-diverse, from the r8 cohort (11)
+    "dedup_exact",
+    "heavy_hitters_tokens",
+    "multimodal_resize",
+    "pagerank_trade_graph",
+    "reduce_by_key_q1",
+    "session_window_agg",
+    "q9_profit_by_nation",
+    "redact_pii",
+    "token_budget_select",
+    "compat_records_fold",
+    "bpe_pair_counts",
 ]
 
 

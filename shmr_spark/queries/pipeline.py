@@ -556,3 +556,83 @@ def range_shards_orders(spark, sf_dir):
         )
         .orderBy("shard_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Layout-tier canary: small-file compaction (sources/writers.py
+# compact_dataset — the distributed-write analog of the reference's
+# partitions.coalesce, /root/reference/shmr/partitions.py:81-123)
+# routed through the DRIVER hash gate. pytest pins the layout
+# properties (file counts, sizing, swap safety); this query gives the
+# component a driver-green row too: orders is scattered into many
+# small parquet files in a scratch dir, compacted in place, and the
+# POST-compaction content (per-status row counts + exact integer sums
+# + price cents) must hash-equal the direct-scan oracle — a lossy or
+# corrupting rewrite cannot pass. The gate additionally asserts the
+# pass actually compacted (files_after < files_before), so a silent
+# no-op fails loudly rather than vacuously passing.
+#
+# The result is collected (<= 3 status rows) before the scratch dir
+# is removed, then re-wrapped — the returned DataFrame must not read
+# lazily from a deleted path.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "compact_roundtrip",
+    oracle="""
+SELECT o_orderstatus AS status,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(o_custkey) AS BIGINT) AS custkey_sum,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS price_cents
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY status
+""",
+)
+def compact_roundtrip(spark, sf_dir):
+    """Compaction content-preservation under the hash gate: scatter ->
+    compact_dataset -> re-aggregate must equal the direct oracle scan.
+    Prices go through round(x*100) on BOTH engines so the cent sum is
+    integer-exact (o_totalprice has 2 decimals; the true cent value is
+    integral, float error is ~1e-9 — far from any .5 boundary)."""
+    import os
+    import shutil
+    import tempfile
+
+    from shmr_spark.sources.writers import compact_dataset
+
+    d = tempfile.mkdtemp(prefix="shmr_compact_gate_")
+    path = os.path.join(d, "orders")
+    try:
+        (
+            load_table(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_orderstatus", "o_custkey", "o_totalprice")
+            .repartition(32)
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+        stats = compact_dataset(spark, path, target_file_mb=128)
+        if stats["files_after"] >= stats["files_before"]:
+            raise RuntimeError(
+                "compaction did not reduce file count "
+                f"({stats['files_before']} -> {stats['files_after']})"
+            )
+        rows = (
+            spark.read.parquet(path)
+            .groupBy(F.col("o_orderstatus").alias("status"))
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("o_custkey").alias("custkey_sum"),
+                F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+                .alias("price_cents"),
+            )
+            .orderBy("status")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "status string, n_rows long, custkey_sum long, price_cents long"
+    )

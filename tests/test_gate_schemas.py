@@ -84,6 +84,10 @@ ACTION_RUNNING: dict[str, str] = {
     # deliberate design, dedup/minhash.py band_rows docstring)
     "dedup_minhash": "AQE stage materialization at banding checkpoints",
     "leakage_safe_split": "banding checkpoints + component rounds",
+    # scatter-write + in-place compaction + bounded (<=3 row) collect;
+    # the scratch dir is removed before return so the result must be
+    # materialized inside the body (queries/pipeline.py)
+    "compact_roundtrip": "compaction roundtrip in a scratch dir",
 }
 
 # generous on a loaded machine, small enough that a real hang fails

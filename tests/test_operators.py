@@ -1002,6 +1002,54 @@ def test_missing_ranges_bucket_stitch_equals_direct(spark):
     assert (102, 249, 148) in got  # multi-bucket-spanning gap present
 
 
+def test_missing_ranges_outlier_key_keeps_partitions_balanced(spark):
+    """The round-10 ADVICE regression: one stray huge key must NOT
+    collapse the per-partition lag into a single task. Value-space
+    cells put all dense keys into cell 0 when the span explodes;
+    rank-space range partitions balance by population, so with P=8
+    partitions over ~1000 dense keys + one outlier, the largest
+    partition must hold far less than the whole key set — and the gap
+    OUTPUT must still equal the direct definition."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from shmr_spark.operators.validate import missing_ranges
+
+    dense = [i for i in range(1, 2001) if i % 7 != 0]  # holes at 7k
+    keys = dense + [2**60]  # one outlier stretches the span by ~2^49
+    df = spark.createDataFrame([(k,) for k in keys], "id long")
+
+    got = {
+        (r.gap_start, r.gap_end)
+        for r in missing_ranges(df, "id", num_partitions=8).collect()
+    }
+    w = Window.orderBy("id")
+    direct = {
+        (r.s, r.e)
+        for r in df.select("id", F.lag("id").over(w).alias("p"))
+        .filter(F.col("id") - F.col("p") > 1)
+        .select((F.col("p") + 1).alias("s"), (F.col("id") - 1).alias("e"))
+        .collect()
+    }
+    assert got == direct
+    assert (2001, 2**60 - 1) in got  # the outlier's giant gap
+
+    # balance: replicate the operator's internal partitioning and
+    # check the max per-partition population — value-space cells
+    # would put all ~1714 dense keys in one cell here
+    sizes = (
+        df.select(F.col("id").alias("__k"))
+        .distinct()
+        .repartitionByRange(8, "__k")
+        .groupBy(F.spark_partition_id().alias("p"))
+        .count()
+        .agg(F.max("count").alias("mx"))
+        .collect()[0]
+        .mx
+    )
+    assert sizes < len(keys) / 2, f"one partition holds {sizes} keys"
+
+
 def test_apportion_sums_exactly_and_is_proportional(spark):
     """Quotas must sum exactly to the total (the property rate-based
     sampling lacks) and never deviate from the exact share by ≥ 1."""

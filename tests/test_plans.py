@@ -378,9 +378,13 @@ def test_fact_fact_joins_stay_sort_merge(spark, sf_dir, name):
 # (global_rank/global_ntile/range_shards, packing.prefix_sum and
 # pack_sequences) is O(N_BUCKETS)=O(4096) at ANY corpus size;
 # selection.py buckets by score domain (O(score_buckets));
-# validate.py's id-gap ``__b`` is the one remaining div-constant
-# cell (O(n/bucket_size) — a constant-factor reduction, documented
-# in-module). New operators should bucket via _auto_bucketed.
+# validate.py's id-gap scan buckets by RANK-space since round 11
+# (sampled repartitionByRange partitions — equal population, so an
+# outlier key can't collapse its parallelism the way value-space
+# cells can; its stitch summary is bounded at num_partitions ≤ 4096).
+# No div-constant cell remains. New operators should bucket via
+# _auto_bucketed (well-distributed keys) or rank-space range
+# partitions (outlier-prone keys).
 # --------------------------------------------------------------------
 
 # gate -> (allowed grouping key, why that domain is bounded)
