@@ -25,7 +25,7 @@ the cost — pays most: with an 11-column + 128-byte-payload fact at
 60M rows, semi 12.96 → 3.29 s (3.9×) and anti 23.25 → 6.23 s (3.7×).
 
 The same A/B also measured the losing regimes, and they bound this
-operator on BOTH sides. Below ``AUTO_BROADCAST_MAX_DIM_KEYS``: a
+operator on BOTH sides. Below ``AUTO_BROADCAST_MAX_RELATION_BYTES``: a
 plain BROADCAST semi/anti join beats both the shuffle join and the
 bloom reduction at every scale tried (0.36–2.1 s across three
 corpora) — a bloom filter can only approximate the membership test a
@@ -38,7 +38,8 @@ heap — while a cap-feasible bitmap (2^23 bits ≈ 1.7 bits/key) is
 saturated (79 % of the fact passes the probe) and LOSES to the plain
 shuffle join 1.7–2.3× on wall for an 18 % byte saving. So the
 plan-literal bloom has no winning auto regime, and ``mode="auto"``
-picks broadcast below the key threshold and plain shuffle above it.
+picks broadcast below the relation-bytes budget and plain shuffle
+above it.
 (The broadcast arm still won the LOCAL walls at the 5M-key far
 point — the threshold is a cluster-byte budget, not a local-wall
 crossover: broadcast traffic is relation × executors, 240 MB × N at
@@ -50,8 +51,8 @@ build and plan-pinned in tests/test_plans.py) injects a PROPER
 bloom reduction on the shuffle join (``bloom_filter_agg`` +
 broadcast subquery, not a plan literal) exactly when the join is
 selective enough to profit. The explicit ``mode="bloom"`` path remains for what it is
-measured to be: a deterministic, testable reduction for sub-1M-key
-dims when broadcasting is disallowed (memory-tight executors,
+measured to be: a deterministic, testable reduction for
+sub-budget-sized dims when broadcasting is disallowed (memory-tight executors,
 ``autoBroadcastJoinThreshold=-1`` policies) — its 2.0–3.9× wins over
 the plain shuffle in that regime are real — and for the gate queries
 that pin the bloom plan itself.
@@ -76,7 +77,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
-    "AUTO_BROADCAST_MAX_DIM_KEYS",
+    "AUTO_BROADCAST_MAX_RELATION_BYTES",
     "build_bloom_bits",
     "bloom_might_contain",
     "bloom_semi_join",
@@ -85,23 +86,47 @@ __all__ = [
 
 # Regime threshold for mode="auto" (A/B-backed, BLOOM_BENCH.json /
 # SCALING.md): broadcast semi/anti joins won every measured corpus
-# where the dim fit — 370 and 3,700 keys, narrow and wide facts, 6M
-# and 60M rows — because a broadcast hash relation answers the
+# where the dim fit — 370 / 3,700 / 2.5M / 5M keys, narrow and wide
+# facts, 6M–60M rows — because a broadcast hash relation answers the
 # membership test exactly where the bloom filter only pre-screens it.
-# The crossover is therefore not a measured point but the size at
-# which broadcasting stops being safe: 1M distinct keys is ~50 MB as
-# a LongHashedRelation (≈48 B/entry) — comfortably inside executor
-# memory on any production profile, and 5× Spark's own default
-# autoBroadcastJoinThreshold (10 MB), which the planner applies to
-# byte ESTIMATES that routinely undershoot post-distinct key sets.
-# Above this, per-executor memory for the relation (every executor
-# holds a full copy) starts competing with shuffle/execution memory
-# at 1000-executor scale, and broadcast traffic (relation x
-# executors) loses the byte race to the row-linear shuffle — the
-# far-regime pass measured both that byte crossover and the literal
-# bitmap's infeasibility there, so auto picks the plain shuffle
-# join above this line (Catalyst's runtime bloom filter reduces it).
-AUTO_BROADCAST_MAX_DIM_KEYS = 1_000_000
+# Every LOCAL wall clock (local[32] = one "executor") favors
+# broadcast even at 5M keys, so the threshold is NOT a local-wall
+# crossover; it is a CLUSTER-BYTE budget: broadcast traffic is
+# relation-bytes × executors (every executor holds a full copy, and
+# the relation competes with shuffle/execution memory), which loses
+# the byte race to the row-linear shuffle past ~budget/relation
+# executors and by ~100× at the 1000-executor target. The budget is
+# therefore expressed in estimated RELATION BYTES, not keys (the
+# round-10 1M-key constant was a proxy that assumed 8-byte keys):
+# 48 MiB ≈ 1M long keys as a LongHashedRelation (≈48 B/entry) —
+# comfortably inside executor memory on any production profile, 5×
+# Spark's own default autoBroadcastJoinThreshold (10 MB, applied to
+# byte estimates that routinely undershoot post-distinct key sets),
+# and small enough that 1000 executors pull ≤48 GB aggregate.
+# Above the budget auto picks the plain shuffle join (Catalyst's
+# runtime bloom filter reduces it); the far/mid-regime passes
+# measured both that byte reasoning and the literal bitmap's
+# infeasibility there. The round-11 MID point (BLOOM_BENCH.json:
+# 2.5M long keys ≈ 120 MB est. relation, 2.5× the budget) is the
+# first measured LOCAL crossover: the plain shuffle anti-join wall
+# already beats broadcast there (3.43 vs 4.49 s) while the semi
+# still favors broadcast (2.11 vs 2.99 s) — i.e. the budget sits
+# where the local evidence starts to flip, and the cluster byte
+# math (120 MB × N executors vs the fixed ~2.4 GB shuffle) breaks
+# even at only ~20 executors. Callers on known cluster profiles
+# override per call (``broadcast_bytes_budget=``).
+AUTO_BROADCAST_MAX_RELATION_BYTES = 48 * 1024 * 1024
+
+# Broadcast-hash-relation cost per entry beyond the key payload
+# (UnsafeHashedRelation/LongHashedRelation bookkeeping: ~40 B of
+# pointers + row header per entry; a long key lands at the measured
+# ≈48 B/entry total).
+_HASH_RELATION_ENTRY_OVERHEAD_B = 40
+
+# Fixed on-heap key widths by Spark type; variable-width keys
+# (string/binary) are MEASURED (avg octet_length in the same
+# estimate pass) or, on the no-job hint path, assumed this default.
+_VARIABLE_KEY_WIDTH_DEFAULT_B = 16
 
 # Hard cap on num_bits. The binding constraint is MEASURED, not the
 # (comfortably satisfied) ANSI overflow margin: the bitmap is a
@@ -118,6 +143,12 @@ MAX_NUM_BITS = 1 << 23
 
 
 def _check_num_bits(num_bits: int) -> None:
+    """Validates the bitmap size. BREAKING vs rounds ≤ 9: the cap
+    tightened 2^27 → 2^23 in round 10 after the far-regime pass
+    measured bigger plan-literal bitmaps OOMing executors — callers
+    that passed num_bits in (2^23, 2^27] now get this ValueError and
+    should either drop to the cap or use mode="shuffle" (Catalyst's
+    runtime bloom filter handles big dims with a broadcast filter)."""
     if num_bits & (num_bits - 1):
         raise ValueError(f"num_bits must be a power of two, got {num_bits}")
     if not 64 <= num_bits <= MAX_NUM_BITS:
@@ -225,9 +256,24 @@ def bloom_might_contain(
     return F.when(kc.isNotNull(), test)
 
 
-def _estimate_keys(dim: DataFrame, key: str) -> int:
-    """Distinct-key estimate for mode resolution / bitmap sizing:
-    approx_count_distinct is one partial-agg pass, no shuffle, 1-row
+def _key_width_bytes(dim: DataFrame, key: str) -> int | None:
+    """Fixed per-key byte width from the schema, or None for
+    variable-width types (string/binary), which need measurement."""
+    from pyspark.sql import types as T
+
+    dt = dim.schema[key].dataType
+    fixed = {
+        T.ByteType: 1, T.ShortType: 2, T.IntegerType: 4, T.LongType: 8,
+        T.FloatType: 4, T.DoubleType: 8, T.BooleanType: 1,
+        T.DateType: 4, T.TimestampType: 8, T.TimestampNTZType: 8,
+    }
+    return fixed.get(type(dt))
+
+
+def _estimate_keys(dim: DataFrame, key: str) -> tuple[int, int]:
+    """(distinct keys, avg key bytes) for mode resolution / bitmap
+    sizing: approx_count_distinct (plus avg octet_length for
+    variable-width keys) is one partial-agg pass, no shuffle, 1-row
     action — strictly cheaper than the full dim scan + bitmap collect
     a bloom build costs. It IS an eager Spark job at plan-construction
     time (it re-runs the dim's lineage), which the joins document;
@@ -239,7 +285,21 @@ def _estimate_keys(dim: DataFrame, key: str) -> int:
             "DataFrame; pass dim_keys_hint=, or an explicit mode AND "
             "num_bits"
         )
-    return int(dim.agg(F.approx_count_distinct(key)).first()[0])
+    width = _key_width_bytes(dim, key)
+    aggs = [F.approx_count_distinct(key).alias("__n")]
+    if width is None:
+        aggs.append(F.avg(F.octet_length(F.col(key))).alias("__w"))
+    row = dim.agg(*aggs).first()
+    if width is None:
+        width = int(row["__w"]) + 1 if row["__w"] is not None else (
+            _VARIABLE_KEY_WIDTH_DEFAULT_B
+        )
+    return int(row["__n"]), width
+
+
+def _relation_bytes(n_keys: int, key_width_b: int) -> int:
+    """Estimated broadcast-hash-relation size for a distinct key set."""
+    return n_keys * (key_width_b + _HASH_RELATION_ENTRY_OVERHEAD_B)
 
 
 def _bits_for_keys(n_keys: int) -> int:
@@ -257,18 +317,25 @@ def _bits_for_keys(n_keys: int) -> int:
 
 
 def _resolve_mode(
-    dim: DataFrame, key: str, mode: str, dim_keys_hint: int | None = None
+    dim: DataFrame,
+    key: str,
+    mode: str,
+    dim_keys_hint: int | None = None,
+    bytes_budget: int | None = None,
 ) -> tuple[str, int | None]:
     """Regime guard for the joins' ``mode="auto"`` default. Both
     sides are A/B-measured (BLOOM_BENCH.json): the broadcast join
     beats the bloom reduction at EVERY scale where the dim fits, and
     ABOVE the key threshold the literal bitmap is OOM-infeasible
     auto-sized / saturated-and-slower-than-plain cap-sized (the
-    round-10 far-regime pass). So "auto" takes the dim's distinct-key
-    count (the caller's ``dim_keys_hint`` when given, else one
-    _estimate_keys job) and picks broadcast below
-    AUTO_BROADCAST_MAX_DIM_KEYS, plain shuffle above it — where
-    Catalyst's runtime bloom filter performs the reduction with a
+    round-10 far-regime pass). So "auto" estimates the broadcast
+    relation's BYTES — distinct keys × (key width + hash-relation
+    entry overhead), from the caller's ``dim_keys_hint`` when given
+    (schema/default width, no job) else one _estimate_keys job — and
+    picks broadcast at or below the bytes budget
+    (AUTO_BROADCAST_MAX_RELATION_BYTES unless the caller passed
+    ``bytes_budget``), plain shuffle above it — where Catalyst's
+    runtime bloom filter performs the reduction with a
     properly-broadcast filter. The literal-bitmap path runs only when
     forced with ``mode="bloom"``. Returns ``(mode, n_keys)`` so the
     caller can reuse the estimate for bitmap sizing instead of
@@ -279,10 +346,44 @@ def _resolve_mode(
         raise ValueError(
             f"mode must be 'auto', 'bloom', 'broadcast' or 'shuffle', got {mode!r}"
         )
-    n_keys = dim_keys_hint if dim_keys_hint is not None else _estimate_keys(dim, key)
+    if dim_keys_hint is not None:
+        n_keys = dim_keys_hint
+        width = _key_width_bytes(dim, key) or _VARIABLE_KEY_WIDTH_DEFAULT_B
+    else:
+        n_keys, width = _estimate_keys(dim, key)
+    budget = (
+        bytes_budget if bytes_budget is not None
+        else AUTO_BROADCAST_MAX_RELATION_BYTES
+    )
     return (
-        "broadcast" if n_keys <= AUTO_BROADCAST_MAX_DIM_KEYS else "shuffle"
+        "broadcast" if _relation_bytes(n_keys, width) <= budget else "shuffle"
     ), n_keys
+
+
+def _warn_ignored_num_bits(
+    num_bits: int | None, requested_mode: str, resolved_mode: str
+) -> None:
+    """An explicitly-sized bitmap only exists on the 'bloom' path —
+    broadcast/shuffle plans build no bitmap at all. Before round 10,
+    auto above the threshold took the bloom path and honored
+    num_bits; silently dropping the caller's sizing intent now would
+    hide the plan-shape change (r10 ADVICE), so say it out loud.
+    Only AUTO resolution warns: a caller who forces
+    mode='broadcast'/'shuffle' alongside num_bits made the plan
+    choice explicitly."""
+    if (
+        num_bits is not None
+        and requested_mode == "auto"
+        and resolved_mode != "bloom"
+    ):
+        import warnings
+
+        warnings.warn(
+            f"num_bits={num_bits} is ignored: mode='auto' resolved to "
+            f"{resolved_mode!r}, which builds no literal bitmap — pass "
+            "mode='bloom' to force the sized-bitmap reduction",
+            stacklevel=3,
+        )
 
 
 def bloom_semi_join(
@@ -293,6 +394,7 @@ def bloom_semi_join(
     num_hashes: int = 5,
     mode: str = "auto",
     dim_keys_hint: int | None = None,
+    broadcast_bytes_budget: int | None = None,
 ) -> DataFrame:
     """EXACT semi-join with Bloom pre-reduction: filter the fact side
     by the dim-key Bloom filter (false positives only, never false
@@ -303,14 +405,18 @@ def bloom_semi_join(
     FPs cost shuffle bytes, not correctness).
 
     ``mode``: "auto" (default) applies the regime guard — a dim whose
-    distinct-key count fits AUTO_BROADCAST_MAX_DIM_KEYS runs the
-    measured-faster broadcast semi-join; above it, a plain shuffle
-    semi-join (Catalyst's runtime bloom filter supplies the
-    reduction — the literal bitmap is measured OOM-or-saturated
-    there, _resolve_mode). "bloom"/"broadcast"/"shuffle" force a path
+    estimated broadcast-relation bytes (distinct keys × key width +
+    entry overhead) fit ``broadcast_bytes_budget`` (default
+    AUTO_BROADCAST_MAX_RELATION_BYTES) runs the measured-faster
+    broadcast semi-join; above it, a plain shuffle semi-join
+    (Catalyst's runtime bloom filter supplies the reduction — the
+    literal bitmap is measured OOM-or-saturated there,
+    _resolve_mode). "bloom"/"broadcast"/"shuffle" force a path
     (the gate query and the plan tests force "bloom" so the reduction
     itself stays verified). Every mode returns the same rows — the
-    choice is plan shape, not semantics.
+    choice is plan shape, not semantics. NOTE: ``num_bits`` is only
+    honored when the resolved mode is "bloom" (the other plans build
+    no bitmap); passing it under auto warns when it would be ignored.
 
     ``num_bits=None`` (default) sizes the bitmap from the dim's
     distinct-key count at ~10 bits/key (_bits_for_keys — FP ≈ 1%;
@@ -326,7 +432,11 @@ def bloom_semi_join(
     not when the plan runs. Callers composing lazy plans (or using a
     dim with expensive lineage / a streaming dim) pass
     ``dim_keys_hint=`` — then no job runs before the action."""
-    mode, n_keys = _resolve_mode(dim, key, mode, dim_keys_hint)
+    requested = mode
+    mode, n_keys = _resolve_mode(
+        dim, key, mode, dim_keys_hint, broadcast_bytes_budget
+    )
+    _warn_ignored_num_bits(num_bits, requested, mode)
     keys = dim.select(key).distinct()
     if mode == "broadcast":
         return fact.join(F.broadcast(keys), key, "left_semi")
@@ -336,9 +446,9 @@ def bloom_semi_join(
         # the join is selective (plan-pinned in tests/test_plans.py)
         return fact.join(keys, key, "left_semi")
     if num_bits is None:
-        num_bits = _bits_for_keys(
-            n_keys if n_keys is not None else _estimate_keys(dim, key)
-        )
+        if n_keys is None:
+            n_keys, _ = _estimate_keys(dim, key)
+        num_bits = _bits_for_keys(n_keys)
     bits = build_bloom_bits(dim, key, num_bits, num_hashes)
     pre = fact.where(bloom_might_contain(key, bits, num_bits, num_hashes))
     return pre.join(keys, key, "left_semi")
@@ -352,6 +462,7 @@ def bloom_anti_join(
     num_hashes: int = 5,
     mode: str = "auto",
     dim_keys_hint: int | None = None,
+    broadcast_bytes_budget: int | None = None,
 ) -> DataFrame:
     """EXACT anti-join with Bloom short-circuit:
     ``bloom_anti_join(fact, dim, k) ≡ fact ANTI JOIN dim USING (k)``
@@ -391,21 +502,27 @@ def bloom_anti_join(
     spell out the NULL handling.)
 
     ``mode``: "auto" (default) applies the regime guard — a dim whose
-    distinct-key count fits AUTO_BROADCAST_MAX_DIM_KEYS runs the
+    estimated broadcast-relation bytes fit ``broadcast_bytes_budget``
+    (default AUTO_BROADCAST_MAX_RELATION_BYTES) runs the
     measured-faster broadcast anti-join; above it, a plain shuffle
     anti-join (see bloom_semi_join — the literal bitmap is measured
     OOM-or-saturated there). Both single-reference plans sidestep the
     two-branch determinism precondition above.
     "bloom"/"broadcast"/"shuffle" force a path. Every mode returns
     the same rows in the FACT's column order — the choice is plan
-    shape, not semantics.
+    shape, not semantics. ``num_bits`` is only honored on the "bloom"
+    path (see bloom_semi_join).
 
     ``num_bits=None`` sizes the bitmap from the key count, and
     ``mode="auto"``/``num_bits=None`` cost one eager 1-row job at
     call time unless ``dim_keys_hint`` is given — see
     bloom_semi_join's docstring for both contracts (identical
     here)."""
-    mode, n_keys = _resolve_mode(dim, key, mode, dim_keys_hint)
+    requested = mode
+    mode, n_keys = _resolve_mode(
+        dim, key, mode, dim_keys_hint, broadcast_bytes_budget
+    )
+    _warn_ignored_num_bits(num_bits, requested, mode)
     keys = dim.select(key).distinct()
     if mode == "broadcast":
         # a string-`on` join moves the key column first — re-select to
@@ -417,9 +534,9 @@ def bloom_anti_join(
         # does not apply here either
         return fact.join(keys, key, "left_anti").select(fact.columns)
     if num_bits is None:
-        num_bits = _bits_for_keys(
-            n_keys if n_keys is not None else _estimate_keys(dim, key)
-        )
+        if n_keys is None:
+            n_keys, _ = _estimate_keys(dim, key)
+        num_bits = _bits_for_keys(n_keys)
     bits = build_bloom_bits(dim, key, num_bits, num_hashes)
     probe = bloom_might_contain(key, bits, num_bits, num_hashes)
     definite_miss = fact.where(~F.coalesce(probe, F.lit(False)))

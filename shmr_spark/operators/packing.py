@@ -25,7 +25,7 @@ The same rewrite pattern as vocab_growth's distinct-over-window
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -34,6 +34,7 @@ def prefix_sum(
     order_col: str,
     value_col: str,
     out_col: str,
+    bucket: Column | None = None,
 ) -> DataFrame:
     """Inclusive cumulative sum of ``value_col`` in ``order_col``
     order — the general two-phase scan this module's docstring
@@ -42,13 +43,24 @@ def prefix_sum(
     ``Window.orderBy`` funnels (the round-9 verdict found two;
     pack_sequences now composes on this too).
 
-    Buckets come from ranking._auto_bucketed's fixed-width cells —
+    Buckets default to ranking._auto_bucketed's fixed-width cells —
     the totals table is O(N_BUCKETS) = O(4096) no matter how large
     the corpus, unlike a ``key // constant`` bucket whose totals grow
     O(n) and eventually funnel the offsets window and the broadcast
     (the round-10 review finding). Only that bounded table crosses a
     SinglePartition window; the data window is partitioned by bucket
     and runs fully parallel.
+
+    ``bucket`` (optional, mirroring global_rank/range_shards): an
+    order-preserving, non-null coarsening of ``order_col`` supplied
+    by the caller. Pass it when (a) the key range is known up front —
+    _auto_bucketed's in-plan min/max aggregate adds one action-time
+    pass over the input plan, which a composed pipeline may not want
+    to re-execute per action (training_pipeline.py) — or (b) the key
+    distribution has outliers, where fixed-width cells collapse (the
+    r10 ADVICE skew note; see validate.missing_ranges for the
+    rank-space alternative). The caller owns the cell-count bound:
+    an unbounded bucket re-creates the O(n) totals funnel.
 
     ``order_col`` must be numeric, non-null, and unique per row (the
     cumulative order is then total and the result deterministic).
@@ -63,7 +75,10 @@ def prefix_sum(
     """
     from shmr_spark.operators.ranking import _auto_bucketed
 
-    rows = _auto_bucketed(df, order_col)
+    if bucket is None:
+        rows = _auto_bucketed(df, order_col)
+    else:
+        rows = df.withColumn("__bucket", bucket)
     v = F.col(value_col)
     totals = rows.groupBy("__bucket").agg(
         F.sum(v).alias("__btot"), F.count(v).alias("__bcnt")
@@ -94,6 +109,7 @@ def pack_sequences(
     id_col: str = "doc_id",
     tokens_col: str = "n_tokens",
     budget: int = 2048,
+    bucket: Column | None = None,
 ) -> DataFrame:
     """Assign each document its global token offset and pack id.
 
@@ -105,11 +121,13 @@ def pack_sequences(
 
     The exclusive offset is the shared prefix_sum minus the row's own
     count — one implementation of the two-phase scan, not a second
-    copy that can drift (the round-10 review finding).
+    copy that can drift (the round-10 review finding). ``bucket``
+    passes through to prefix_sum (see there): callers with a known
+    id range skip the auto-bucket's extra min/max pass.
     """
     rows = df.select(F.col(id_col), F.col(tokens_col).alias("n_tokens"))
     return (
-        prefix_sum(rows, id_col, "n_tokens", "__cum")
+        prefix_sum(rows, id_col, "n_tokens", "__cum", bucket=bucket)
         .select(
             F.col(id_col),
             "n_tokens",

@@ -140,19 +140,30 @@ def training_pipeline(
             pass
     sel = select_by_token_fraction(scored, fraction=budget_fraction)
 
+    # Explicit buckets for BOTH two-phase scans below: their default
+    # in-plan min/max (ranking._auto_bucketed) would add one
+    # action-time pass over the selection→packing segment EACH just
+    # to size the cells. Both key ranges are known up front — doc_id
+    # ≤ max(doc_id) over the survivors, start_tok < fraction·total —
+    # so fixed-width coarsenings derive from ONE cheap aggregate over
+    # the already-persisted survivors: the expensive segment executes
+    # exactly once per action, and both bucket counts stay ≤ ~4096 at
+    # any corpus size. (Survivor doc_ids/token totals are dense,
+    # non-outlier domains, so fixed-width cells cannot collapse —
+    # the skew caveat on prefix_sum's bucket contract.)
+    agg = scored.agg(
+        F.sum("n_tokens").alias("t"), F.max("doc_id").alias("m")
+    ).collect()[0]
+    total_tokens = agg["t"] or 0
+    max_doc_id = agg["m"] or 0
+    id_width = max(1, int(max_doc_id) // 4096 + 1)
+    doc_bucket = F.floor(F.col("doc_id") / F.lit(id_width)).cast("long")
+
     packed = pack_sequences(
-        sel.select("doc_id", "n_tokens"), budget=pack_budget
+        sel.select("doc_id", "n_tokens"), budget=pack_budget,
+        bucket=doc_bucket,
     ).join(sel.select("doc_id", "quality"), "doc_id")
 
-    # Explicit shard bucket: range_shards' default in-plan min/max
-    # (ranking._auto_bucketed) would add a second action-time pass
-    # over the selection→packing segment just to size the cells.
-    # start_tok's range is known up front (selection keeps start_tok
-    # < fraction·total), so a fixed-width coarsening derives from one
-    # cheap aggregate over the already-persisted survivors — the
-    # expensive segment executes exactly once, and the bucket count
-    # stays ≤ ~4096 at any corpus size.
-    total_tokens = scored.agg(F.sum("n_tokens")).collect()[0][0] or 0
     width = max(1, int(total_tokens * budget_fraction) // 4096 + 1)
     shard_bucket = F.floor(F.col("start_tok") / F.lit(width)).cast("long")
 

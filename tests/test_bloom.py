@@ -183,7 +183,7 @@ def test_bloom_anti_join_preserves_fact_column_order(spark):
 # mode="auto" regime guard (round 9): BLOOM_BENCH.json shows the
 # broadcast join beating the bloom reduction at every measured scale
 # where the dim fits, so the default must not let a user deploy the
-# losing regime — below AUTO_BROADCAST_MAX_DIM_KEYS the operator
+# losing regime — below AUTO_BROADCAST_MAX_RELATION_BYTES the operator
 # short-circuits to a plain broadcast semi/anti join.
 # ---------------------------------------------------------------------------
 
@@ -261,13 +261,14 @@ def test_forced_bloom_mode_keeps_probe_in_plan(spark):
 
 
 def test_resolve_mode_thresholds(spark):
-    """_resolve_mode picks broadcast under the key threshold and the
-    plain SHUFFLE join above it (round-10 far-regime measurement: the
-    literal bitmap is OOM auto-sized / saturated-and-slower
-    cap-sized there, so Catalyst's runtime bloom filter owns that
-    regime; approx_count_distinct estimate — 2.5M distinct >> 1M
-    threshold even at ±5% rsd), and returns the key count it used so
-    bitmap sizing never re-runs the estimate."""
+    """_resolve_mode picks broadcast under the relation-bytes budget
+    and the plain SHUFFLE join above it (round-10 far-regime
+    measurement: the literal bitmap is OOM auto-sized /
+    saturated-and-slower cap-sized there, so Catalyst's runtime bloom
+    filter owns that regime; approx_count_distinct estimate — 2.5M
+    long keys ≈ 120 MB >> the 48 MiB budget even at ±5% rsd), and
+    returns the key count it used so bitmap sizing never re-runs the
+    estimate."""
     from shmr_spark.operators.bloom import _resolve_mode
 
     small = spark.range(0, 1000).select(F.col("id").alias("k"))
@@ -343,3 +344,85 @@ def test_num_bits_bounds(spark):
         build_bloom_bits(dim, "k", num_bits=1 << 24)
     with pytest.raises(ValueError, match=r"\[64, 2\^23\]"):
         bloom_might_contain("k", [0], num_bits=1 << 24)
+
+
+def test_resolve_mode_is_bytes_based(spark):
+    """The auto threshold is estimated relation BYTES, not a key
+    count: the same distinct-key count must resolve differently when
+    the per-key width or the budget changes (r10 verdict task 2)."""
+    from shmr_spark.operators.bloom import (
+        AUTO_BROADCAST_MAX_RELATION_BYTES,
+        _key_width_bytes,
+        _relation_bytes,
+        _resolve_mode,
+    )
+
+    dim = spark.range(0, 100).select(F.col("id").alias("k"))
+    # 800K long keys ≈ 38 MB < 48 MiB -> broadcast; the SAME count at
+    # a custom 16 MiB budget -> shuffle
+    assert _resolve_mode(dim, "k", "auto", dim_keys_hint=800_000)[0] == (
+        "broadcast"
+    )
+    assert _resolve_mode(
+        dim, "k", "auto", dim_keys_hint=800_000, bytes_budget=16 << 20
+    )[0] == "shuffle"
+    # width from schema: long = 8 B, string = None (measured)
+    assert _key_width_bytes(dim, "k") == 8
+    sdim = dim.select(F.col("k").cast("string").alias("k"))
+    assert _key_width_bytes(sdim, "k") is None
+    # the hinted string path uses the conservative default width:
+    # 800K * (16 + 40) ≈ 43 MB still under budget -> broadcast, but
+    # 1M * 56 ≈ 53 MB -> shuffle, where 1M LONG keys (48 MB) still
+    # broadcast: same count, different width, different plan
+    assert _resolve_mode(sdim, "k", "auto", dim_keys_hint=800_000)[0] == (
+        "broadcast"
+    )
+    assert _resolve_mode(sdim, "k", "auto", dim_keys_hint=1_000_000)[0] == (
+        "shuffle"
+    )
+    assert _resolve_mode(dim, "k", "auto", dim_keys_hint=1_000_000)[0] == (
+        "broadcast"
+    )
+    assert _relation_bytes(1_000_000, 8) <= AUTO_BROADCAST_MAX_RELATION_BYTES
+
+
+def test_estimate_measures_string_key_width(spark):
+    """Variable-width keys get their avg octet_length measured in the
+    SAME 1-row estimate pass (no second job) so a wide-string dim
+    resolves by its true relation bytes."""
+    from shmr_spark.operators.bloom import _estimate_keys
+
+    wide = spark.range(0, 500).select(
+        F.concat(F.lit("k" * 100), F.col("id").cast("string")).alias("k")
+    )
+    n, w = _estimate_keys(wide, "k")
+    assert 450 <= n <= 550
+    assert 100 <= w <= 110  # ~101-103 measured bytes, +1 ceiling pad
+
+
+def test_auto_mode_warns_when_num_bits_is_ignored(spark):
+    """r10 ADVICE: auto resolving away from the bloom path must not
+    silently drop an explicitly sized bitmap — it warns. Forcing the
+    mode explicitly alongside num_bits stays silent (informed
+    choice), as does auto WITHOUT num_bits."""
+    import warnings
+
+    fact = spark.range(0, 100).select((F.col("id") % 10).alias("k"), "id")
+    dim = spark.range(0, 5).select(F.col("id").alias("k"))
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        bloom_semi_join(fact, dim, "k", num_bits=1 << 10, dim_keys_hint=5)
+        hits = [x for x in w if issubclass(x.category, UserWarning)]
+        assert len(hits) == 1
+        assert "num_bits=1024 is ignored" in str(hits[0].message)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        bloom_anti_join(
+            fact, dim, "k", num_bits=1 << 10, mode="broadcast"
+        )  # forced: silent
+        bloom_semi_join(fact, dim, "k", dim_keys_hint=5)  # no num_bits: silent
+        bloom_semi_join(
+            fact, dim, "k", num_bits=1 << 10, mode="bloom"
+        )  # honored: silent
+        hits = [x for x in w if issubclass(x.category, UserWarning)]
+        assert len(hits) == 0, [str(x.message) for x in hits]

@@ -171,30 +171,64 @@ def test_read_ndjson_tolerant_quarantines_bad_lines(spark, tmp_path):
 
 
 def test_gate_cosines_clear_round_boundaries(spark, sf_dir):
-    """The similarity tier quantizes cosines with round(,6), which is
-    only cross-engine-risky within ~1 ulp of a 6th-decimal HALF
-    boundary (|sim·10⁶ mod 1 − 0.5| ≲ 2⁻⁵²·10⁶ ≈ 2e-10). This
-    measures the claim the tier's round() policy rests on (see
-    dedup/embedding.py): on the gate corpus, every all-pairs doc-doc
-    cosine and every probe-corpus cosine clears the boundary by ≥ 10×
-    that window — so Spark's BigDecimal HALF_UP and DuckDB's float
-    round cannot disagree on any gate value. (PageRank needed dquant
-    because it REQUANTIZES per iteration, compounding the exposure.)"""
+    """The similarity tier quantizes with round(,6), which is only
+    cross-engine-risky within ~1 ulp of a 6th-decimal HALF boundary
+    (|v·10⁶ mod 1 − 0.5| ≲ 2⁻⁵²·10⁶ ≈ 2e-10). This measures the claim
+    the tier's round() policy rests on (see dedup/embedding.py), over
+    EVERY round(,6) population a similarity-family gate compares to
+    its oracle (r10 verdict task 3):
+
+    - all-pairs doc-doc cosines INCLUDING self-pairs — the superset
+      of every gate sim: probe-corpus (probe = vec 0:
+      similarity_topk/lsh/ivf/ivf_kmeans/indexed/pq/quantized_rerank,
+      embedding_neardup), knn probes (vec_id % 100 == 0), and the
+      within-bucket/within-cell pair sims of dedup_embedding_lsh /
+      dedup_semantic. PQ's degenerate-exact lookup-table sums and
+      semantic's norm-precomputed sims differ from these values only
+      in summation order (≲ 1e-15 relative) — far inside the measured
+      boundary margin, so they round identically;
+    - vector_stats' sq_norm and max_abs populations (the only
+      non-cosine round(,6) gate columns).
+
+    Every value clears the boundary by ≥ 10× the ulp window — and
+    the same sweep run once at the driver/parity corpora measured
+    worst-case margins of 1.6e-6 (sf0.01 cosines), 1.1e-7 (sf0.1
+    cosines, 500× the window) and ≥ 5e-4 (both stats columns at both
+    scales) — so Spark's BigDecimal HALF_UP and DuckDB's float round
+    cannot disagree on any gate value. (PageRank needed dquant because it
+    REQUANTIZES per iteration, compounding the exposure; the
+    remaining float quantizers — quantize_embeddings, dquant
+    consumers — are floor-based, which is bit-deterministic given
+    identical IEEE inputs and needs no boundary margin.)"""
     from pyspark.sql import functions as F
 
     from shmr_spark.catalog import load_table
     from shmr_spark.functions.vectors import cosine_similarity
 
+    def worst_boundary_dist(vals, col):
+        # distance of v·10⁶ from the nearest x.5 rounding boundary
+        dist = F.abs(F.col(col) * 1e6 - F.floor(F.col(col) * 1e6) - 0.5)
+        return vals.agg(F.min(dist).alias("d")).collect()[0].d
+
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     a = emb.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("ea"))
     b = emb.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("eb"))
-    pairs = a.join(b, F.col("ia") < F.col("ib")).select(
+    pairs = a.join(b, F.col("ia") <= F.col("ib")).select(
         cosine_similarity(F.col("ea"), F.col("eb")).alias("sim")
     )
-    # distance of sim·10⁶ from the nearest x.5 rounding boundary
-    dist = F.abs(F.col("sim") * 1e6 - F.floor(F.col("sim") * 1e6) - 0.5)
-    worst = pairs.agg(F.min(dist).alias("d")).collect()[0].d
+    worst = worst_boundary_dist(pairs, "sim")
     assert worst > 2e-9, f"a gate cosine sits {worst} from a round boundary"
+
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    stats = emb.select(
+        F.aggregate(dbl, F.lit(0.0), lambda acc, x: acc + x * x).alias(
+            "sq_norm"
+        ),
+        F.array_max(F.transform(dbl, lambda x: F.abs(x))).alias("max_abs"),
+    )
+    for col in ("sq_norm", "max_abs"):
+        worst = worst_boundary_dist(stats, col)
+        assert worst > 2e-9, f"vector_stats {col} sits {worst} from a boundary"
 
 
 def test_dquant_matches_sql_dquant_on_round_boundaries(spark):

@@ -248,48 +248,55 @@ def _wide_pass(spark, sf_dir: str, wide_dir: str, label: str) -> dict:
 
 
 # --- the far side of the regime guard (verdict r9 task 4) ----------
-# AUTO_BROADCAST_MAX_DIM_KEYS = 1M was REASONED (50 MB hash relation
-# vs 128 KiB bitmap), not measured — every committed pass had a dim
-# that fits a broadcast. This pass puts one measured point ABOVE the
-# threshold: a 5M-distinct-key dim (5x the crossover; ~240 MB as a
-# LongHashedRelation) against a 30M-row fact wide enough (128 B
-# payload) that the exchange is the dominant cost, with per-arm
-# shuffle bytes recorded alongside wall time.
+# The auto broadcast budget (48 MiB ≈ 1M long keys) was REASONED
+# (hash-relation bytes vs bitmap bytes), not measured — every earlier
+# committed pass had a dim that fits a broadcast. These passes put
+# measured points ABOVE the budget: a 5M-distinct-key dim (~5x the
+# budget; ~240 MB as a LongHashedRelation) and a 2.5M-key MID point
+# (~2.5x, locating where the endpoints straddle) against a 30M-row
+# fact wide enough (128 B payload) that the exchange is the dominant
+# cost, with per-arm shuffle bytes recorded alongside wall time.
 
 FAR_KEY_DOMAIN = 50_000_000
 FAR_DIM_STEP = 10  # dim = every 10th key -> 5M distinct, 10% fact hit rate
 FAR_FACT_ROWS = 30_000_000
 
 
-def _make_far_corpus(spark, out_dir: str) -> None:
+def _make_far_corpus(spark, out_dir: str, dim_step: int) -> None:
     """Materialize the far-regime corpus once (deterministic: key =
     xxhash64(id) mod domain, payload = repeated sha2 — same
-    determinism rule as _make_wide)."""
-    if os.path.exists(os.path.join(out_dir, "dim", "_SUCCESS")):
-        return
-    fact = spark.range(FAR_FACT_ROWS).select(
-        F.pmod(F.xxhash64("id"), F.lit(FAR_KEY_DOMAIN)).alias("l_suppkey"),
-        (F.col("id") % 7).cast("string").alias("l_returnflag"),
-        F.repeat(F.sha2(F.col("id").cast("string"), 256), 2).alias("payload"),
-    )
-    fact.write.mode("overwrite").parquet(os.path.join(out_dir, "fact"))
-    dim = spark.range(0, FAR_KEY_DOMAIN, FAR_DIM_STEP).select(
-        F.col("id").alias("l_suppkey")
-    )
-    dim.write.mode("overwrite").parquet(os.path.join(out_dir, "dim"))
+    determinism rule as _make_wide). The 30M-row fact is shared by
+    every dim step; each step writes its own dim (step 10 keeps its
+    historical plain "dim" name so cached corpora stay valid)."""
+    dim_name = "dim" if dim_step == FAR_DIM_STEP else f"dim_step{dim_step}"
+    if not os.path.exists(os.path.join(out_dir, "fact", "_SUCCESS")):
+        fact = spark.range(FAR_FACT_ROWS).select(
+            F.pmod(F.xxhash64("id"), F.lit(FAR_KEY_DOMAIN)).alias("l_suppkey"),
+            (F.col("id") % 7).cast("string").alias("l_returnflag"),
+            F.repeat(F.sha2(F.col("id").cast("string"), 256), 2).alias("payload"),
+        )
+        fact.write.mode("overwrite").parquet(os.path.join(out_dir, "fact"))
+    if not os.path.exists(os.path.join(out_dir, dim_name, "_SUCCESS")):
+        dim = spark.range(0, FAR_KEY_DOMAIN, dim_step).select(
+            F.col("id").alias("l_suppkey")
+        )
+        dim.write.mode("overwrite").parquet(os.path.join(out_dir, dim_name))
 
 
-def _far_pass(spark, out_dir: str) -> dict:
+def _far_pass(spark, out_dir: str, dim_step: int = FAR_DIM_STEP,
+              regime: str = "far") -> dict:
     from shmr_spark.operators.bloom import (
-        AUTO_BROADCAST_MAX_DIM_KEYS,
+        AUTO_BROADCAST_MAX_RELATION_BYTES,
         _bits_for_keys,
+        _relation_bytes,
         bloom_might_contain,
         build_bloom_bits,
     )
 
-    _make_far_corpus(spark, out_dir)
+    _make_far_corpus(spark, out_dir, dim_step)
+    dim_name = "dim" if dim_step == FAR_DIM_STEP else f"dim_step{dim_step}"
     fact = spark.read.parquet(os.path.join(out_dir, "fact"))
-    dim = spark.read.parquet(os.path.join(out_dir, "dim"))
+    dim = spark.read.parquet(os.path.join(out_dir, dim_name))
 
     def agg(kept):
         # all-column hash agg, sorted-name order (see _wide_pass)
@@ -298,7 +305,7 @@ def _far_pass(spark, out_dir: str) -> dict:
             F.count("*").alias("n"), F.sum(allhash).alias("h")
         )
 
-    n_dim = FAR_KEY_DOMAIN // FAR_DIM_STEP
+    n_dim = FAR_KEY_DOMAIN // dim_step
     nb = _bits_for_keys(n_dim)  # clamps to MAX_NUM_BITS (saturated here)
     bits = build_bloom_bits(dim, "l_suppkey", num_bits=nb)
     kept = fact.where(bloom_might_contain("l_suppkey", bits, nb)).count()
@@ -306,16 +313,18 @@ def _far_pass(spark, out_dir: str) -> dict:
         fact,
         dim,
         agg,
-        f"far regime ({n_dim // 10**6}M-key dim, {FAR_DIM_STEP}x crossover)",
+        f"{regime} regime ({n_dim / 10**6:g}M-key dim, "
+        f"{dim_step}x crossover)",
         extra={
             "row_shape": "key + returnflag + 128B payload, all-column hash agg",
-            "auto_threshold_keys": AUTO_BROADCAST_MAX_DIM_KEYS,
+            "auto_bytes_budget": AUTO_BROADCAST_MAX_RELATION_BYTES,
+            "est_relation_bytes": _relation_bytes(n_dim, 8),
             "bloom_num_bits": nb,
             "bloom_kept_frac": round(kept / FAR_FACT_ROWS, 4),
             "note": "pre-cap sizing (2^26 bits for 5M keys) shipped "
             "70-170MB task binaries and OOMed a 24GiB heap at 32-way "
             "concurrency — the reason mode='auto' now picks the plain "
-            "shuffle join above the key threshold",
+            "shuffle join above the relation-bytes budget",
         },
         num_bits=nb,  # the cap-feasible bitmap: measured saturated
         bytes_spark=spark,
@@ -331,16 +340,25 @@ def main() -> None:
     sf1 = os.path.join(REPO, ".scaled", "sf1")
     make_scaled(spark, 10, base, sf1)
 
-    if "--far" in sys.argv:
-        # far-regime-only run: measure the >threshold point and MERGE
-        # it into the committed artifact (replacing any previous far
-        # row) without re-running the sf1/sf10 passes
-        row = _far_pass(spark, os.path.join(REPO, ".scaled", "bloom_far"))
+    if "--far" in sys.argv or "--mid" in sys.argv:
+        # single-regime run: measure the >budget point and MERGE it
+        # into the committed artifact (replacing any previous row for
+        # that regime) without re-running the sf1/sf10 passes.
+        # --far: 5M keys (step 10); --mid: 2.5M keys (step 20), the
+        # point between BLOOM_BENCH's endpoints the r10 verdict asked
+        # for.
+        regime = "far" if "--far" in sys.argv else "mid"
+        step = FAR_DIM_STEP if regime == "far" else 2 * FAR_DIM_STEP
+        row = _far_pass(
+            spark, os.path.join(REPO, ".scaled", "bloom_far"), step, regime
+        )
         path = os.path.join(REPO, "BLOOM_BENCH.json")
         with open(path) as f:
             result = json.loads(f.read())
         result["passes"] = [
-            p for p in result["passes"] if not p["corpus"].startswith("far regime")
+            p
+            for p in result["passes"]
+            if not p["corpus"].startswith(f"{regime} regime")
         ] + [row]
         line = json.dumps(result)
         print(line)
