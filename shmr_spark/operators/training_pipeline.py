@@ -13,7 +13,8 @@ the cross-stage invariant chain (counts only shrink, survivors are
 near-dup-free, packing conserves tokens, shards are balanced). The
 composition introduces no new shuffles; its only driver-side action
 is one scalar aggregate over the persisted survivor projection (the
-token total that sizes the shard-bucket width) — taken at the same
+token total and max doc id that size the pack/shard bucket widths —
+round 11 folded both into the one action) — taken at the same
 materialization point a production build writes to storage.
 """
 

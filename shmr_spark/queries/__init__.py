@@ -49,8 +49,12 @@ def query(name: str, oracle: str | None = None, headline: bool = False):
 # queries), so the order below is part of the verification strategy.
 # The registry was CLOSED at 176 through round 6, reopened to 179
 # across rounds 7-8 (bloom semi/anti, regression), held at 179
-# through round 10, and opens to 180 in round 11 (compact_roundtrip
-# gives the layout tier its first driver-signed gate). Round-11
+# through round 10, and opens to 182 in round 11 (compact_roundtrip,
+# bucketed_join_roundtrip and shmr_datasource_roundtrip give the
+# layout/interop tiers their first driver-signed gates — closing the
+# r10 verdict's "four components are pytest-only" item for the three
+# that are SQL-expressible; write_sorted_shards' layout properties
+# remain pytest-only by design). Round-11
 # window: after round 10 the freshness histogram is 35 gates at r7,
 # 46 at r8, 48 at r9, 50 at r10 — the r7 cohort is the oldest
 # evidence and fills the bulk of the window. This window takes:
@@ -59,19 +63,22 @@ def query(name: str, oracle: str | None = None, headline: bool = False):
 #      moved from value-space to rank-space gap bucketing — the r10
 #      ADVICE skew fix), bloom_semi/anti_join_revenue (auto mode
 #      moved from a key-count to a bytes-based threshold), and the
-#      NEW compact_roundtrip gate (sources/writers.py compaction
-#      content-preservation, previously pytest-only);
+#      NEW compact_roundtrip / bucketed_join_roundtrip /
+#      shmr_datasource_roundtrip gates (compaction, bucketed-table,
+#      and DataSource round trips — previously pytest-only);
 #   2. the entire 35-gate round-7 cohort (the oldest evidence);
 #   3. canaries (standing policy): previously-green anchors spread
 #      across modules/tiers, drawn from the r8 cohort so they also
 #      advance the next-oldest evidence. Names absent from this list
 #      keep module registration order after it.
 _PRIORITY: list[str] = [
-    # -- group 1: plans/oracles changed this round (4)
+    # -- group 1: plans/oracles changed this round (6)
     "missing_id_ranges",
     "bloom_semi_join_revenue",
     "bloom_anti_join_revenue",
     "compact_roundtrip",
+    "bucketed_join_roundtrip",
+    "shmr_datasource_roundtrip",
     # -- group 2: the full r7 cohort (35)
     "activity_bitmaps",
     "activity_streaks",
@@ -108,7 +115,9 @@ _PRIORITY: list[str] = [
     "unpivot_melt",
     "variant_extract",
     "window_tumbling",
-    # -- group 3: canaries, module-diverse, from the r8 cohort (11)
+    # -- group 3: canaries, module-diverse, from the r8 cohort (9;
+    #    redact_pii and token_budget_select yielded their slots to
+    #    the two extra group-1 gates)
     "dedup_exact",
     "heavy_hitters_tokens",
     "multimodal_resize",
@@ -116,8 +125,6 @@ _PRIORITY: list[str] = [
     "reduce_by_key_q1",
     "session_window_agg",
     "q9_profit_by_nation",
-    "redact_pii",
-    "token_budget_select",
     "compat_records_fold",
     "bpe_pair_counts",
 ]

@@ -636,3 +636,166 @@ def compact_roundtrip(spark, sf_dir):
     return spark.createDataFrame(
         rows, "status string, n_rows long, custkey_sum long, price_cents long"
     )
+
+
+# --------------------------------------------------------------------------
+# Layout-tier canary 2: bucketed tables (sources/bucketed.py — the
+# persistent-storage analog of the reference's split_by_key,
+# /root/reference/shmr/partition.py:239-261) under the DRIVER hash
+# gate. pytest pins the no-Exchange physical plans; this query signs
+# the CONTENT through the bucketed path and re-asserts the layout
+# property inline: customer and orders are written bucketed by the
+# join key into scratch managed tables, the bucketed equi-join +
+# same-key aggregation must plan with ZERO exchanges (a lost bucket
+# spec fails the gate loudly), and the per-custkey totals must
+# hash-equal the plain-scan oracle.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "bucketed_join_roundtrip",
+    oracle="""
+SELECT c_custkey AS custkey,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(o_orderkey) AS BIGINT) AS orderkey_sum
+FROM customer JOIN orders ON c_custkey = o_custkey
+WHERE c_custkey < 200
+GROUP BY c_custkey
+ORDER BY custkey
+""",
+)
+def bucketed_join_roundtrip(spark, sf_dir):
+    """Bucketed-join content preservation: scratch bucketBy(8) tables,
+    join + groupBy on the bucket key — clustering flows scan->join->agg
+    so the executed plan must contain no Exchange at all; the result
+    is collected (< 200 rows) before the tables are dropped."""
+    from shmr_spark.sources.bucketed import write_bucketed
+
+    cust = "gate_bucketed_customer"
+    ords = "gate_bucketed_orders"
+    try:
+        write_bucketed(
+            load_table(spark, sf_dir, "customer").select(
+                "c_custkey", "c_nationkey"
+            ),
+            cust,
+            key="c_custkey",
+            num_buckets=8,
+        )
+        write_bucketed(
+            load_table(spark, sf_dir, "orders").select(
+                "o_custkey", "o_orderkey"
+            ),
+            ords,
+            key="o_custkey",
+            num_buckets=8,
+        )
+        joined = (
+            spark.table(cust)
+            .filter(F.col("c_custkey") < 200)
+            # merge hint: at gate scale Catalyst would broadcast the
+            # filtered side (also shuffle-free, but it bypasses the
+            # layout under test); the hint forces the sort-merge path
+            # where bucket clustering is what removes the exchange
+            .hint("merge")
+            .join(
+                spark.table(ords),
+                F.col("c_custkey") == F.col("o_custkey"),
+            )
+            .groupBy(F.col("c_custkey").alias("custkey"))
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum("o_orderkey").alias("orderkey_sum"),
+            )
+            .orderBy("custkey")
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        if "Exchange hashpartitioning" in plan:
+            raise RuntimeError(
+                "bucketed join/agg planned a SHUFFLE exchange — the "
+                "bucket layout was not picked up:\n" + plan[:2000]
+            )
+        if "SortMergeJoin" not in plan:
+            raise RuntimeError(
+                "expected the bucketed SortMergeJoin path:\n" + plan[:2000]
+            )
+        rows = joined.collect()
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {cust}")
+        spark.sql(f"DROP TABLE IF EXISTS {ords}")
+    return spark.createDataFrame(
+        rows, "custkey long, n_orders long, orderkey_sum long"
+    )
+
+
+# --------------------------------------------------------------------------
+# Interop-tier canary: the shmr Python DataSource
+# (sources/shmr_datasource.py — reads/writes the REFERENCE CLI's own
+# partition-file format, ndjson/csv + gz + .meta sidecars) under the
+# DRIVER hash gate. pytest proves interop against the reference
+# binary; this query signs a full write->read round trip: orders
+# projected and written as shmr partition files in a scratch dir,
+# read back through the DataSource (one task per file), and the
+# re-aggregated per-status totals must hash-equal the plain-scan
+# oracle. Collected (<= 3 rows) before the scratch dir is removed.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "shmr_datasource_roundtrip",
+    oracle="""
+SELECT o_orderstatus AS status,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(o_custkey) AS BIGINT) AS custkey_sum
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY status
+""",
+)
+def shmr_datasource_roundtrip(spark, sf_dir):
+    import os
+    import shutil
+    import tempfile
+
+    from shmr_spark.sources.shmr_datasource import ShmrDataSource
+
+    # Python DataSource registration lives in the ACTIVE session's
+    # DataSourceManager, and under pinned-thread mode a fresh worker
+    # thread's JVM twin has no active session — format("shmr") then
+    # fails DATA_SOURCE_NOT_FOUND even though `spark` is passed
+    # explicitly (observed on the gate-schema walk's watchdog
+    # threads). Pin the active session for THIS thread first.
+    spark._jvm.org.apache.spark.sql.classic.SparkSession.setActiveSession(
+        spark._jsparkSession
+    )
+    spark.dataSource.register(ShmrDataSource)
+    d = tempfile.mkdtemp(prefix="shmr_ds_gate_")
+    out = os.path.join(d, "orders_shmr")
+    try:
+        (
+            load_table(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_orderstatus", "o_custkey")
+            .repartition(8)
+            .write.format("shmr")
+            .mode("append")
+            .save(out)
+        )
+        back = (
+            spark.read.format("shmr")
+            .schema("o_orderkey bigint, o_orderstatus string, o_custkey bigint")
+            .load(f"{out}/part-*.json")
+        )
+        rows = (
+            back.groupBy(F.col("o_orderstatus").alias("status"))
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("o_custkey").alias("custkey_sum"),
+            )
+            .orderBy("status")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "status string, n_rows long, custkey_sum long"
+    )

@@ -88,6 +88,10 @@ ACTION_RUNNING: dict[str, str] = {
     # the scratch dir is removed before return so the result must be
     # materialized inside the body (queries/pipeline.py)
     "compact_roundtrip": "compaction roundtrip in a scratch dir",
+    # scratch bucketed managed tables + bounded (<200 row) collect
+    "bucketed_join_roundtrip": "bucketed-table roundtrip",
+    # scratch shmr-format write->read + bounded (<=3 row) collect
+    "shmr_datasource_roundtrip": "DataSource roundtrip in a scratch dir",
 }
 
 # generous on a loaded machine, small enough that a real hang fails

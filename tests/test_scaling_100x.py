@@ -50,14 +50,17 @@ LO, HI = 0.5 * ROW_RATIO, 3.0 * ROW_RATIO
 # the audit's two shape classes, one decade up (AUDIT_100X.json):
 # join-shaped exchanges move row-proportional payloads...
 # (order_value_deciles and vocab_growth are the round-10 de-funneled
-# two-phase scans — measured 10.1x/9.0x at this step; pinning them
-# here keeps the single-task-window fix byte-verified, not just
-# plan-verified)
+# two-phase scans — measured 10.1x/9.0x at this step;
+# missing_id_ranges is the round-11 rank-space rewrite — its
+# distinct + range + per-partition-lag exchanges are all linear in
+# distinct keys; pinning them here keeps each single-task-window fix
+# byte-verified, not just plan-verified)
 JOIN_LINEAR = [
     "join_three_way",
     "sql_q5_region_revenue",
     "order_value_deciles",
     "vocab_growth",
+    "missing_id_ranges",
 ]
 # ...aggregation-shaped exchanges move group-level payloads — partial
 # aggregation collapses the 10x row growth before the exchange, so

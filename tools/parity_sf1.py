@@ -1,0 +1,95 @@
+"""One-decade-up oracle evidence (r10 verdict task 6): run the
+check_parity gate at sf1 (the cached 10x corpus, .scaled/sf1) for the
+10 bench headliners + the 5 LLM flagships and record the result as
+PARITY_SF1.json. The postings-join near-dup oracles (round 10) made
+the dedup twins feasible in DuckDB at this scale.
+
+Run: python tools/parity_sf1.py  → one JSON line + artifact.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINERS = [
+    "asof_join_prev",
+    "join_three_way",
+    "q3_top_orders",
+    "sql_q5_region_revenue",
+    "q6_promo_revenue",
+    "reduce_by_key_q1",
+    "text_stats",
+    "window_tumbling",
+    "dedup_exact",
+    "similarity_topk",
+]
+LLM_FLAGSHIPS = [
+    "dedup_minhash",
+    "knn_join_lsh",
+    "dedup_corpus_neardup",
+    "pack_sequences",
+    "similarity_indexed_topk",
+]
+
+
+def main() -> None:
+    sf1 = os.path.join(REPO, ".scaled", "sf1")
+    if not os.path.exists(os.path.join(sf1, "_COMPLETE")):
+        raise SystemExit(f"sf1 corpus missing at {sf1} — run tools/make_scaled_sf.py")
+    names = HEADLINERS + LLM_FLAGSHIPS
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "check_parity.py"), sf1, *names],
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+    )
+    gates: dict[str, dict] = {}
+    failures = 0
+    for line in proc.stdout.splitlines():
+        m = re.match(r"ok\s+(\S+): (\d+) rows hash-match", line)
+        if m:
+            gates[m.group(1)] = {"rows": int(m.group(2)), "status": "hash-match"}
+            continue
+        m = re.match(r"ok\s+(\S+): rows-only \((\d+) rows\)", line)
+        if m:
+            gates[m.group(1)] = {"rows": int(m.group(2)), "status": "rows-only"}
+            continue
+        m = re.match(r"FAIL (\S+): (.*)", line)
+        if m:
+            gates[m.group(1)] = {"status": "FAIL", "detail": m.group(2)[:300]}
+            failures += 1
+    missing = [n for n in names if n not in gates]
+    result = {
+        "metric": "parity_sf1",
+        "sf_dir": sf1,
+        "gates_total": len(names),
+        "hash_matched": sum(
+            1 for g in gates.values() if g["status"] == "hash-match"
+        ),
+        "failures": failures + len(missing),
+        "missing": missing,
+        "exclusions": [],
+        "gates": dict(sorted(gates.items())),
+        "note": (
+            "10 bench headliners + 5 LLM flagships, Spark vs DuckDB "
+            "value-hash at 10x the parity artifact's usual scale "
+            "(sf1 = 10x sf0.1; PARITY_SF01.json carries the full "
+            "179-gate sweep at sf0.1)."
+        ),
+    }
+    line = json.dumps(result)
+    print(line)
+    with open(os.path.join(REPO, "PARITY_SF1.json"), "w") as f:
+        f.write(line + "\n")
+    if failures or missing:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
