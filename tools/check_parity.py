@@ -61,8 +61,13 @@ def main() -> int:
     spark = get_spark(app_name="check_parity", shuffle_partitions=8)
     con = duckdb.connect()
     for t in TABLES:
+        # testdata tables are single parquet FILES; scaled corpora
+        # (.scaled/sf1 etc.) are Spark parquet DIRECTORIES — glob those
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
         )
 
     failures = []

@@ -38,20 +38,36 @@ LLM_FLAGSHIPS = [
 ]
 
 
+# One check_parity invocation per chunk: the corpus-wide CC dedup's
+# two sides take ~7 min combined at sf1 (Spark 109 s + DuckDB 298 s,
+# measured round 11), so a single 15-gate run outlives practical
+# watchdog timeouts; chunking also isolates a hang to a named group.
+CHUNKS = [
+    HEADLINERS,
+    ["dedup_corpus_neardup"],
+    ["dedup_minhash", "knn_join_lsh", "pack_sequences",
+     "similarity_indexed_topk"],
+]
+
+
 def main() -> None:
     sf1 = os.path.join(REPO, ".scaled", "sf1")
     if not os.path.exists(os.path.join(sf1, "_COMPLETE")):
         raise SystemExit(f"sf1 corpus missing at {sf1} — run tools/make_scaled_sf.py")
     names = HEADLINERS + LLM_FLAGSHIPS
-    proc = subprocess.run(
-        [sys.executable, os.path.join(REPO, "tools", "check_parity.py"), sf1, *names],
-        capture_output=True,
-        text=True,
-        cwd=REPO,
-    )
+    stdout_lines: list[str] = []
+    for chunk in CHUNKS:
+        proc = subprocess.run(
+            [sys.executable, os.path.join(REPO, "tools", "check_parity.py"),
+             sf1, *chunk],
+            capture_output=True,
+            text=True,
+            cwd=REPO,
+        )
+        stdout_lines.extend(proc.stdout.splitlines())
     gates: dict[str, dict] = {}
     failures = 0
-    for line in proc.stdout.splitlines():
+    for line in stdout_lines:
         m = re.match(r"ok\s+(\S+): (\d+) rows hash-match", line)
         if m:
             gates[m.group(1)] = {"rows": int(m.group(2)), "status": "hash-match"}
