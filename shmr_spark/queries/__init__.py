@@ -49,12 +49,12 @@ def query(name: str, oracle: str | None = None, headline: bool = False):
 # queries), so the order below is part of the verification strategy.
 # The registry was CLOSED at 176 through round 6, reopened to 179
 # across rounds 7-8 (bloom semi/anti, regression), held at 179
-# through round 10, and opens to 182 in round 11 (compact_roundtrip,
-# bucketed_join_roundtrip and shmr_datasource_roundtrip give the
-# layout/interop tiers their first driver-signed gates — closing the
-# r10 verdict's "four components are pytest-only" item for the three
-# that are SQL-expressible; write_sorted_shards' layout properties
-# remain pytest-only by design). Round-11
+# through round 10, and opens to 183 in round 11 (compact_roundtrip,
+# bucketed_join_roundtrip, shmr_datasource_roundtrip and
+# sorted_shards_roundtrip give the layout/interop tiers driver-signed
+# gates — closing the r10 verdict's "four components are pytest-only"
+# item entirely; only the per-file SORTEDNESS property stays
+# pytest-only, being a physical layout fact SQL cannot state). Round-11
 # window: after round 10 the freshness histogram is 35 gates at r7,
 # 46 at r8, 48 at r9, 50 at r10 — the r7 cohort is the oldest
 # evidence and fills the bulk of the window. This window takes:
@@ -72,13 +72,14 @@ def query(name: str, oracle: str | None = None, headline: bool = False):
 #      advance the next-oldest evidence. Names absent from this list
 #      keep module registration order after it.
 _PRIORITY: list[str] = [
-    # -- group 1: plans/oracles changed this round (6)
+    # -- group 1: plans/oracles changed this round (7)
     "missing_id_ranges",
     "bloom_semi_join_revenue",
     "bloom_anti_join_revenue",
     "compact_roundtrip",
     "bucketed_join_roundtrip",
     "shmr_datasource_roundtrip",
+    "sorted_shards_roundtrip",
     # -- group 2: the full r7 cohort (35)
     "activity_bitmaps",
     "activity_streaks",
@@ -115,15 +116,16 @@ _PRIORITY: list[str] = [
     "unpivot_melt",
     "variant_extract",
     "window_tumbling",
-    # -- group 3: canaries, module-diverse, from the r8 cohort (9;
-    #    redact_pii and token_budget_select yielded their slots to
-    #    the two extra group-1 gates)
+    # -- group 3: canaries, module-diverse, from the r8 cohort (8;
+    #    redact_pii, token_budget_select and session_window_agg
+    #    yielded their slots to the three extra group-1 gates —
+    #    streaming keeps four r10-green gates, so its freshness is
+    #    already the newest of any tier)
     "dedup_exact",
     "heavy_hitters_tokens",
     "multimodal_resize",
     "pagerank_trade_graph",
     "reduce_by_key_q1",
-    "session_window_agg",
     "q9_profit_by_nation",
     "compat_records_fold",
     "bpe_pair_counts",

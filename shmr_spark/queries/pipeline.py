@@ -799,3 +799,78 @@ def shmr_datasource_roundtrip(spark, sf_dir):
     return spark.createDataFrame(
         rows, "status string, n_rows long, custkey_sum long"
     )
+
+
+# --------------------------------------------------------------------------
+# Layout-tier canary 3: sorted-shard export (sources/writers.py
+# write_sorted_shards — the globally-sorted balanced-shard layout a
+# curriculum-ordered corpus export wants) under the DRIVER hash gate,
+# completing driver signatures for every layout/interop component.
+# pytest pins the physical layout (per-file sortedness, directory
+# structure); this query signs the shard ASSIGNMENT + content through
+# the written files: orders is exported as 8 equal-population
+# key-contiguous shards into a scratch dir, read back THROUGH the
+# partitioned layout, and the per-shard (count, min/max price, key
+# sum) must hash-equal the oracle's row_number definition — the same
+# deterministic two-phase-rank semantics range_shards_orders pins
+# in-plan, here proven through the storage round trip. Collected
+# (8 rows) before the scratch dir is removed.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "sorted_shards_roundtrip",
+    oracle="""
+WITH ranked AS (
+  SELECT o_totalprice, o_orderkey,
+         row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rn,
+         count(*) OVER () AS n
+  FROM orders
+)
+SELECT CAST((rn - 1) * 8 // n AS BIGINT) AS shard_id,
+       CAST(count(*) AS BIGINT) AS cnt,
+       min(o_totalprice) AS min_price,
+       max(o_totalprice) AS max_price,
+       CAST(sum(o_orderkey) AS BIGINT) AS orderkey_sum
+FROM ranked
+GROUP BY 1 ORDER BY shard_id
+""",
+)
+def sorted_shards_roundtrip(spark, sf_dir):
+    import os
+    import shutil
+    import tempfile
+
+    from shmr_spark.sources.writers import write_sorted_shards
+
+    d = tempfile.mkdtemp(prefix="shmr_shards_gate_")
+    path = os.path.join(d, "orders_sharded")
+    try:
+        write_sorted_shards(
+            load_table(spark, sf_dir, "orders").select(
+                "o_totalprice", "o_orderkey"
+            ),
+            path,
+            key_col="o_totalprice",
+            id_col="o_orderkey",
+            n_shards=8,
+        )
+        rows = (
+            spark.read.parquet(path)
+            .groupBy(F.col("shard_id").cast("long").alias("shard_id"))
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.min("o_totalprice").alias("min_price"),
+                F.max("o_totalprice").alias("max_price"),
+                F.sum("o_orderkey").alias("orderkey_sum"),
+            )
+            .orderBy("shard_id")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "shard_id long, cnt long, min_price double, max_price double, "
+        "orderkey_sum long",
+    )

@@ -92,6 +92,8 @@ ACTION_RUNNING: dict[str, str] = {
     "bucketed_join_roundtrip": "bucketed-table roundtrip",
     # scratch shmr-format write->read + bounded (<=3 row) collect
     "shmr_datasource_roundtrip": "DataSource roundtrip in a scratch dir",
+    # sorted-shard export + bounded (8 row) collect in a scratch dir
+    "sorted_shards_roundtrip": "sorted-shard roundtrip",
 }
 
 # generous on a loaded machine, small enough that a real hang fails
