@@ -46,7 +46,7 @@ from shmr_spark.operators.selection import select_by_token_fraction
 # first recomputes (a perf hit, never wrong results) — repeated
 # identical invocations are assumed sequential, which is the bench's
 # actual pattern.
-_cache_slots: dict[tuple, DataFrame] = {}
+_cache_slots: dict[tuple, tuple[DataFrame, ...]] = {}
 _cache_lock = threading.Lock()
 
 
@@ -60,11 +60,12 @@ def clear_pipeline_caches() -> int:
     with _cache_lock:
         dropped = list(_cache_slots.values())
         _cache_slots.clear()
-    for df in dropped:
-        try:
-            df.unpersist()
-        except Exception:
-            pass  # slot's session already stopped
+    for slot_dfs in dropped:
+        for df in slot_dfs:
+            try:
+                df.unpersist()
+            except Exception:
+                pass  # slot's session already stopped
     return len(dropped)
 
 
@@ -103,11 +104,21 @@ def training_pipeline(
 
     kept = cleaned.filter((F.col("quality") > 0.5) & (F.col("n_tokens") >= 5))
 
-    exact = dedup_exact_keep_first(kept, "text", "doc_id")
+    from pyspark import StorageLevel
+
+    # The exact-dedup output has TWO consumers (minhash banding and
+    # the cluster-representative join), each of which would otherwise
+    # recompute clean→annotate→filter→dedup from the scan. Persist it
+    # — the same "materialize after an expensive dedup stage" shape as
+    # the survivor projection below (in production, a write to
+    # storage). Measured at sf0.1: 8.10 → 7.21 s end-to-end (round
+    # 11). Cached under the same slot so repeated identical calls
+    # evict the previous round's copies.
+    exact = dedup_exact_keep_first(kept, "text", "doc_id").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     pairs = minhash_near_duplicates(exact, threshold=neardup_threshold)
     surv = dedup_keep_cluster_representative(exact, pairs)
-
-    from pyspark import StorageLevel
 
     slot = (
         # applicationId, not id(spark): CPython can reuse an id()
@@ -131,14 +142,15 @@ def training_pipeline(
     # the first's entry
     with _cache_lock:
         prev = _cache_slots.pop(slot, None)
-        _cache_slots[slot] = scored
+        _cache_slots[slot] = (exact, scored)
     if prev is not None:
-        try:
-            prev.unpersist()
-        except Exception:
-            # best-effort: the previous slot's session may already
-            # be stopped; its JVM-side cache died with it
-            pass
+        for df in prev:
+            try:
+                df.unpersist()
+            except Exception:
+                # best-effort: the previous slot's session may already
+                # be stopped; its JVM-side cache died with it
+                pass
     sel = select_by_token_fraction(scored, fraction=budget_fraction)
 
     # Explicit buckets for BOTH two-phase scans below: their default
