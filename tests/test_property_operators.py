@@ -417,3 +417,34 @@ def test_interval_self_join_finds_all_pairs(spark, raw, tol):
         if ka == kb and ia < ib and abs(ua - ub) <= tol
     }
     assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.integers(-(2**50), 2**50),
+        min_size=1,
+        max_size=60,
+        unique=True,
+    ),
+    st.integers(1, 12),
+)
+def test_missing_ranges_matches_python_oracle(spark, keys, n_parts):
+    """The rank-space gap detection (round 11: sampled range
+    partitions + boundary stitch) equals the pure-Python sorted-scan
+    definition for random key sets — including the huge-magnitude
+    outliers that collapsed the old value-space cells — at any
+    partition count. Duplicate inputs reduce to the distinct set."""
+    from shmr_spark.operators.validate import missing_ranges
+
+    df = spark.createDataFrame([(k,) for k in keys + keys[:3]], "id long")
+    got = {
+        (r.gap_start, r.gap_end, r.n_missing)
+        for r in missing_ranges(df, "id", num_partitions=n_parts).collect()
+    }
+    want = set()
+    ks = sorted(set(keys))
+    for a, b in zip(ks, ks[1:]):
+        if b - a > 1:
+            want.add((a + 1, b - 1, b - a - 1))
+    assert got == want
