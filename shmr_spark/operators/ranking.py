@@ -43,6 +43,21 @@ def _auto_bucketed(df: DataFrame, key_col: str) -> DataFrame:
     for near-unique float keys and single-task its offsets window —
     the exact failure this module exists to avoid.
 
+    SKEW CONTRACT (round 11): fixed-width cells assume the key range
+    is populated roughly evenly — ONE outlier key stretches
+    (max-min)/N_BUCKETS until nearly every real key lands in a single
+    cell and the per-cell window serializes. That is acceptable here
+    because (a) every consumer's default keys are bounded domains
+    (prices, scores, dense ids), (b) callers with outlier-prone keys
+    pass an explicit ``bucket`` (global_rank/range_shards/prefix_sum/
+    pack_sequences all take one), and (c) the one operator whose
+    TARGET inputs are outlier-shaped — gap detection — uses sampled
+    rank-space range partitions instead (validate.missing_ranges).
+    The alternative (sampled boundaries for every scan) would be
+    skew-proof but costs a second full-data exchange plus a sampling
+    pass on EVERY two-phase scan — the wrong default at 100 TB for
+    the common well-distributed case.
+
     min/max ride IN-PLAN as a broadcast 1-row aggregate (one extra
     pass over df at action time) rather than a driver ``first()``:
     plan construction runs zero jobs, so composing this under an
