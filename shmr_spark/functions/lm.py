@@ -1,0 +1,184 @@
+"""Corpus-level statistical text quality: bigram language-model
+scoring and repetition metrics.
+
+Two standard LLM-training-data quality filters the heuristic tier
+(functions/text.py quality_score) cannot express, because both need
+CORPUS-level statistics, not per-row expressions:
+
+- ``bigram_lm_scores``: the CCNet/KenLM-style filter — train an
+  add-one-smoothed bigram LM on the corpus itself, score every
+  document by its average negative log-probability (perplexity =
+  exp(score), a monotone transform, so thresholding the score IS
+  thresholding perplexity). High score = the document's token
+  transitions are unlike the corpus = noise/outlier candidate.
+  (queries/text.py's unigram_logprob_score is the order-0 member of
+  this family; conditioning on the previous token is what separates
+  fluent text from bag-of-frequent-words gibberish.)
+- ``repetition_metrics``: the Gopher-repetition family — duplicate
+  token fraction, most-frequent-token share, most-frequent-bigram
+  share. High values flag degenerate/boilerplate documents.
+
+Both are pure DataFrame compositions (explode → partial-aggregated
+groupBy → join), zero Python UDFs.
+
+Scale design (100 TB):
+- per-token work is explode + hash aggregation — map-side partial
+  aggregation collapses each document's repeats before the exchange,
+  so shuffle bytes are bounded by DISTINCT (doc, gram) pairs, not
+  token instances;
+- the unigram/vocab relation is Zipf-bounded (vocabulary grows
+  ~O(corpus^0.5), Heaps' law) → broadcast-eligible long after the
+  corpus itself stops being; the bigram-count join shuffles on
+  (w1, w2) and is linear in distinct bigrams; head-bigram skew is
+  AQE skew-join territory, and the per-document final aggregate is
+  bounded by document length;
+- all scoring state per document is O(distinct bigrams in the doc) —
+  no global window, no driver collect.
+
+Cross-engine determinism (the oracle contract): each bigram's
+negative log-probability is quantized ONCE via the floor rule
+(floor(x·10⁶ + 0.5) → int64, functions/numeric.py), then weighted by
+its exact integer count and summed in int64 — order-free. The only
+transcendental is ln(), whose ≤1-ulp cross-engine drift matters only
+within ~|x|·10⁶·2⁻⁵² ≈ 3e-9 of a floor boundary; the gate corpora's
+measured margins are pinned in tests/test_edge_cases.py
+(test_lm_terms_clear_floor_boundaries), the same playbook as the
+similarity tier's round(,6) policy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from shmr_spark.functions.scalars import with_scalars
+
+_SCALE = 1000000.0
+
+
+def _toks(text_col: str) -> Column:
+    """Whitespace tokens — the corpus convention (functions/text.py)."""
+    return F.split(F.col(text_col), " ")
+
+
+def _bigram_structs(text_col: str) -> Column:
+    """array<struct<w1,w2>> of adjacent token pairs — the zip_with
+    form is O(tokens) (see dedup/minhash.py shingle_ngrams for why
+    the transform(sequence)+index form is quadratic). zip_with pads
+    the shorter side with nulls; slicing to size-1 drops the stub."""
+    toks = _toks(text_col)
+    pairs = F.zip_with(
+        toks,
+        F.slice(toks, 2, 2_000_000_000),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    return F.slice(pairs, 1, F.greatest(F.size(toks) - 1, F.lit(0)))
+
+
+def bigram_lm_terms(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The per-(document, distinct-bigram) scoring table behind
+    ``bigram_lm_scores``: (id_col, w1, w2, cnt, term) where ``term``
+    is the un-quantized −ln P(w2|w1). Exposed so tests can measure
+    the term population's distance from floor-quantization
+    boundaries (the cross-engine ln() exposure)."""
+    tok_tbl = docs.select(F.explode(_toks(text_col)).alias("tok"))
+    uni = tok_tbl.groupBy("tok").agg(F.count("*").alias("c1"))
+    vocab = uni.agg(F.count("*").alias("v"))
+
+    bg = docs.select(
+        F.col(id_col), F.explode(_bigram_structs(text_col)).alias("p")
+    ).select(id_col, "p.w1", "p.w2")
+    # per-doc counts first: the (w1,w2)-join input shrinks from token
+    # instances to distinct-per-document bigrams
+    bc = bg.groupBy(id_col, "w1", "w2").agg(F.count("*").alias("cnt"))
+    c2 = bc.groupBy("w1", "w2").agg(F.sum("cnt").alias("c2"))
+
+    scored = with_scalars(
+        bc.join(c2, ["w1", "w2"]).join(uni.withColumnRenamed("tok", "w1"), "w1"),
+        vocab,
+    )
+    term = -F.log(
+        (F.col("c2") + 1).cast("double") / (F.col("c1") + F.col("v")).cast("double")
+    )
+    return scored.select(id_col, "w1", "w2", "cnt", term.alias("term"))
+
+
+def bigram_lm_scores(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document average negative log-probability under an
+    add-one-smoothed bigram LM trained on ``docs`` itself.
+
+    P(w2|w1) = (c(w1,w2) + 1) / (c(w1) + V), V = |vocabulary|.
+    Returns (id_col, n_bigrams, avg_neg_logp); documents with fewer
+    than two tokens have no bigrams and are absent (the SQL twin
+    behaves identically — generate_series(1, 0) is empty).
+
+    avg_neg_logp ≥ 0 always (c(w1,w2)+1 ≤ c(w1)+V because every
+    bigram instance is also a w1 instance), so the floor-quantizer's
+    negative-ties caveat (functions/numeric.py dquant) never applies.
+    """
+    scored = bigram_lm_terms(docs, id_col, text_col)
+    t6 = F.floor(F.col("term") * F.lit(_SCALE) + F.lit(0.5)).cast("long")
+    return scored.groupBy(id_col).agg(
+        F.sum("cnt").alias("n_bigrams"),
+        (
+            (F.sum(t6 * F.col("cnt")).cast("double") / F.lit(_SCALE))
+            / F.sum("cnt").cast("double")
+        ).alias("avg_neg_logp"),
+    )
+
+
+def repetition_metrics(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style per-document repetition statistics:
+
+    - dup_token_frac: 1 − distinct/total tokens (how much of the doc
+      is repeats);
+    - top_token_frac: share of the single most frequent token;
+    - top_bigram_frac: share of the most frequent adjacent bigram
+      (0.0 for single-token documents, which have none).
+
+    All three are exact-integer ratios — int/int IEEE division is
+    correctly rounded in both engines, so no quantization is needed.
+    Every row of ``docs`` appears exactly once in the output.
+    """
+    tok_tbl = docs.select(F.col(id_col), F.explode(_toks(text_col)).alias("tok"))
+    tc = tok_tbl.groupBy(id_col, "tok").agg(F.count("*").alias("c"))
+    ts = tc.groupBy(id_col).agg(
+        F.sum("c").alias("n_tokens"),
+        F.count("*").alias("n_distinct"),
+        F.max("c").alias("top_tok"),
+    )
+
+    bg_str = F.array_compact(
+        F.zip_with(
+            _toks(text_col),
+            F.slice(_toks(text_col), 2, 2_000_000_000),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    )
+    bg_tbl = docs.select(F.col(id_col), F.explode(bg_str).alias("bg"))
+    bc = bg_tbl.groupBy(id_col, "bg").agg(F.count("*").alias("c"))
+    bs = bc.groupBy(id_col).agg(
+        F.sum("c").alias("n_bigrams"), F.max("c").alias("top_bg")
+    )
+
+    return ts.join(bs, id_col, "left").select(
+        id_col,
+        F.col("n_tokens"),
+        (
+            (F.col("n_tokens") - F.col("n_distinct")).cast("double")
+            / F.col("n_tokens").cast("double")
+        ).alias("dup_token_frac"),
+        (F.col("top_tok").cast("double") / F.col("n_tokens").cast("double")).alias(
+            "top_token_frac"
+        ),
+        F.coalesce(
+            F.col("top_bg").cast("double") / F.col("n_bigrams").cast("double"),
+            F.lit(0.0),
+        ).alias("top_bigram_frac"),
+    )

@@ -1135,3 +1135,115 @@ def bpe_encode_counts(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     merges = train_bpe(docs, num_merges=1)
     return encode_bpe(docs, merges).select("doc_id", "n_tokens")
+
+
+# --------------------------------------------------------------------------
+# Corpus-statistical quality filters (functions/lm.py): an
+# add-one-smoothed bigram LM scores each document's average negative
+# log-probability (the CCNet/KenLM-style perplexity filter — the
+# corpus-level complement of the per-row quality_score heuristic),
+# and the Gopher-repetition family (duplicate-token / top-token /
+# top-bigram shares). The LM's only transcendental, ln(), is
+# floor-quantized once per distinct bigram and summed exactly in
+# int64 (functions/numeric.py discipline); boundary margins are
+# pinned in tests/test_edge_cases.py. The repetition ratios are
+# int/int divisions — correctly rounded identically in both engines.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "lm_perplexity",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+uni AS (
+  SELECT tok, count(*) AS c1 FROM toks GROUP BY 1
+),
+vocab AS (
+  SELECT count(*) AS v FROM uni
+),
+bgs AS (
+  SELECT doc_id, unnest(list_transform(
+      generate_series(1, len(string_split(text, ' ')) - 1),
+      i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+  )) AS bg FROM documents
+),
+bc AS (
+  SELECT doc_id, bg, count(*) AS cnt FROM bgs GROUP BY 1, 2
+),
+c2 AS (
+  SELECT bg, CAST(SUM(cnt) AS BIGINT) AS c2 FROM bc GROUP BY 1
+),
+scored AS (
+  SELECT bc.doc_id, bc.cnt,
+         CAST(floor(-ln(CAST(c2.c2 + 1 AS DOUBLE)
+                        / CAST(uni.c1 + vocab.v AS DOUBLE))
+                    * 1000000.0 + 0.5) AS BIGINT) AS t6
+  FROM bc
+  JOIN c2 ON bc.bg = c2.bg
+  JOIN uni ON string_split(bc.bg, ' ')[1] = uni.tok
+  CROSS JOIN vocab
+)
+SELECT doc_id,
+       CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+       CAST(CAST(SUM(t6 * cnt) AS BIGINT) AS DOUBLE) / 1000000.0
+           / CAST(CAST(SUM(cnt) AS BIGINT) AS DOUBLE) AS avg_neg_logp
+FROM scored GROUP BY 1
+""",
+)
+def lm_perplexity(spark, sf_dir):
+    """Bigram-LM quality scoring over the documents corpus. Documents
+    with a single token have no bigrams and are absent on both sides
+    (oracle: generate_series(1, 0) is empty)."""
+    from shmr_spark.functions.lm import bigram_lm_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bigram_lm_scores(docs)
+
+
+@query(
+    "repetition_metrics",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+tc AS (
+  SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2
+),
+ts AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         count(*) AS n_distinct, MAX(c) AS top_tok
+  FROM tc GROUP BY 1
+),
+bgs AS (
+  SELECT doc_id, unnest(list_transform(
+      generate_series(1, len(string_split(text, ' ')) - 1),
+      i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+  )) AS bg FROM documents
+),
+bc AS (
+  SELECT doc_id, bg, count(*) AS c FROM bgs GROUP BY 1, 2
+),
+bs AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams, MAX(c) AS top_bg
+  FROM bc GROUP BY 1
+)
+SELECT ts.doc_id,
+       ts.n_tokens,
+       CAST(ts.n_tokens - ts.n_distinct AS DOUBLE)
+           / CAST(ts.n_tokens AS DOUBLE) AS dup_token_frac,
+       CAST(ts.top_tok AS DOUBLE)
+           / CAST(ts.n_tokens AS DOUBLE) AS top_token_frac,
+       COALESCE(CAST(bs.top_bg AS DOUBLE) / CAST(bs.n_bigrams AS DOUBLE),
+                CAST(0 AS DOUBLE)) AS top_bigram_frac
+FROM ts LEFT JOIN bs ON ts.doc_id = bs.doc_id
+""",
+)
+def repetition_metrics(spark, sf_dir):
+    """Gopher-style repetition shares per document; single-token
+    documents get top_bigram_frac = 0.0."""
+    from shmr_spark.functions.lm import repetition_metrics as rep
+
+    docs = load_table(spark, sf_dir, "documents")
+    return rep(docs)

@@ -259,3 +259,24 @@ def test_dquant_matches_sql_dquant_on_round_boundaries(spark):
         for v in vals
     ]
     assert got == want
+
+
+def test_lm_terms_clear_floor_boundaries(spark, sf_dir):
+    """The bigram LM (functions/lm.py) floor-quantizes −ln P(w2|w1)
+    per distinct bigram before the exact int64 sum. ln() is the one
+    transcendental in an oracled gate: a ≤1-ulp libm disagreement
+    moves term·10⁶ + 0.5 by ~|term|·10⁶·2⁻⁵² ≈ 2e-9, so quantization
+    is cross-engine-safe iff no term sits that close to a floor
+    (integer) boundary. Measured over every (doc, bigram) term at the
+    gate corpora: worst margin 2.3e-4 (sf0.001, 26k terms), 4.2e-5
+    (sf0.01, 26k terms), 8.2e-4 (sf0.1, 256k terms) — ≥ 2×10⁴ times
+    the window. Same playbook as the similarity tier's round(,6)
+    policy (test_gate_cosines_clear_round_boundaries above)."""
+    from shmr_spark.catalog import load_table
+    from shmr_spark.functions.lm import bigram_lm_terms
+
+    docs = load_table(spark, sf_dir, "documents")
+    y = F.col("term") * 1e6 + 0.5
+    dist = F.least(y - F.floor(y), F.floor(y) + 1 - y)
+    worst = bigram_lm_terms(docs).agg(F.min(dist).alias("d")).collect()[0].d
+    assert worst > 2e-8, f"an LM term sits {worst} from a floor boundary"

@@ -162,3 +162,115 @@ def test_bpe_encode_roundtrip_and_counts(spark):
     # low=1 tok ×5, lower=3 ×2, newest=2 ×6 (n+ewest), widest=4 ×3
     assert r.n_tokens == 5 * 1 + 2 * 3 + 6 * 2 + 3 * 4
     assert "".join(r.tokens) == text.replace(" ", "")
+
+
+def test_bigram_lm_matches_python(spark, sf_dir):
+    """bigram_lm_scores ≡ a pure-Python add-one bigram LM with the
+    same floor-quantized exact summation, trained on the same subset
+    (deterministic doc_id filter, not limit()). Tolerance 2e-6: each
+    per-bigram term is quantized to 1e-6 once, and math.log vs the
+    JVM's ln may flip a boundary case by one quantum."""
+    from shmr_spark.functions.lm import bigram_lm_scores
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 60)
+        .select("doc_id", "text")
+    )
+    rows = {r.doc_id: r.text for r in docs.collect()}
+    uni = Counter()
+    big = Counter()
+    for t in rows.values():
+        toks = t.split(" ")
+        uni.update(toks)
+        big.update(zip(toks, toks[1:]))
+    vocab_size = len(uni)
+
+    got = {
+        r.doc_id: (r.n_bigrams, r.avg_neg_logp)
+        for r in bigram_lm_scores(docs).collect()
+    }
+    for doc_id, text in rows.items():
+        toks = text.split(" ")
+        bgs = list(zip(toks, toks[1:]))
+        if not bgs:
+            assert doc_id not in got  # single-token docs are absent
+            continue
+        s = 0
+        for w1, w2 in bgs:
+            term = -math.log((big[(w1, w2)] + 1) / (uni[w1] + vocab_size))
+            s += math.floor(term * 1e6 + 0.5)
+        n_bigrams, avg = got[doc_id]
+        assert n_bigrams == len(bgs)
+        assert abs(avg - (s / 1e6) / len(bgs)) < 2e-6
+
+
+def test_bigram_lm_hand_corpus_exact(spark):
+    """Hand-computable corpus: uni a=3 b=2 c=1 (V=3), bigrams
+    (a,b)=2 (a,c)=1 → doc 1/2 score ln2, doc 3 score ln3, both
+    floor-quantized to 6 decimals."""
+    from shmr_spark.functions.lm import bigram_lm_scores
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a c")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.avg_neg_logp for r in bigram_lm_scores(docs).collect()}
+    assert got[1] == got[2] == math.floor(math.log(2) * 1e6 + 0.5) / 1e6
+    assert got[3] == math.floor(math.log(3) * 1e6 + 0.5) / 1e6
+
+
+def test_repetition_metrics_hand_corpus(spark):
+    """Every metric on crafted docs, including the single-token
+    (no-bigram) and fully-repetitive edges."""
+    from shmr_spark.functions.lm import repetition_metrics
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a a"),  # all repeats, one bigram "a a" x3
+            (2, "a b c d"),  # all distinct
+            (3, "x"),  # single token: no bigrams
+            (4, "a b a b a b"),  # alternating: "a b" x3, "b a" x2
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in repetition_metrics(docs).collect()}
+    assert len(got) == 4
+    r1, r2, r3, r4 = got[1], got[2], got[3], got[4]
+    assert (r1.n_tokens, r1.dup_token_frac, r1.top_token_frac) == (4, 0.75, 1.0)
+    assert r1.top_bigram_frac == 1.0
+    assert (r2.dup_token_frac, r2.top_token_frac, r2.top_bigram_frac) == (
+        0.0,
+        0.25,
+        1.0 / 3.0,
+    )
+    assert (r3.n_tokens, r3.top_token_frac, r3.top_bigram_frac) == (1, 1.0, 0.0)
+    assert (r4.dup_token_frac, r4.top_token_frac, r4.top_bigram_frac) == (
+        4.0 / 6.0,
+        0.5,
+        3.0 / 5.0,
+    )
+
+
+def test_repetition_metrics_matches_python(spark, sf_dir):
+    """Exact cross-check vs a pure-Python computation on real corpus
+    documents — int/int IEEE division matches bit-for-bit."""
+    from shmr_spark.functions.lm import repetition_metrics
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 40)
+        .select("doc_id", "text")
+    )
+    rows = {r.doc_id: r.text for r in docs.collect()}
+    got = {r.doc_id: r for r in repetition_metrics(docs).collect()}
+    assert set(got) == set(rows)
+    for doc_id, text in rows.items():
+        toks = text.split(" ")
+        tc = Counter(toks)
+        bc = Counter(zip(toks, toks[1:]))
+        r = got[doc_id]
+        assert r.n_tokens == len(toks)
+        assert r.dup_token_frac == (len(toks) - len(tc)) / len(toks)
+        assert r.top_token_frac == max(tc.values()) / len(toks)
+        want_bg = max(bc.values()) / sum(bc.values()) if bc else 0.0
+        assert r.top_bigram_frac == want_bg
