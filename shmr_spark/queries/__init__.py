@@ -49,14 +49,15 @@ def query(name: str, oracle: str | None = None, headline: bool = False):
 # queries), so the order below is part of the verification strategy.
 # The registry was CLOSED at 176 through round 6, reopened to 179
 # across rounds 7-8 (bloom semi/anti, regression), held at 179
-# through round 10, and opens to 185 in round 11 (compact_roundtrip,
+# through round 10, and opens to 186 in round 11 (compact_roundtrip,
 # bucketed_join_roundtrip, shmr_datasource_roundtrip and
 # sorted_shards_roundtrip give the layout/interop tiers driver-signed
 # gates — closing the r10 verdict's "four components are pytest-only"
 # item entirely; only the per-file SORTEDNESS property stays
 # pytest-only, being a physical layout fact SQL cannot state — plus
 # lm_perplexity / repetition_metrics, the corpus-statistical quality
-# tier of functions/lm.py). Round-11
+# tier of functions/lm.py, and ngram_decontamination, the 13-gram
+# benchmark-overlap filter). Round-11
 # window: after round 10 the freshness histogram is 35 gates at r7,
 # 46 at r8, 48 at r9, 50 at r10 — the r7 cohort is the oldest
 # evidence and fills the bulk of the window. This window takes:
@@ -74,10 +75,11 @@ def query(name: str, oracle: str | None = None, headline: bool = False):
 #      advance the next-oldest evidence. Names absent from this list
 #      keep module registration order after it.
 _PRIORITY: list[str] = [
-    # -- group 1: plans/oracles changed or NEW this round (9; the two
+    # -- group 1: plans/oracles changed or NEW this round (10; the
     #    corpus-statistical quality gates — bigram-LM perplexity and
-    #    Gopher repetition metrics, functions/lm.py — are new in r11
-    #    and take canary slots per the standing new-plans-first rule)
+    #    Gopher repetition metrics, functions/lm.py — and the 13-gram
+    #    decontamination gate are new in r11 and take canary slots
+    #    per the standing new-plans-first rule)
     "missing_id_ranges",
     "bloom_semi_join_revenue",
     "bloom_anti_join_revenue",
@@ -87,6 +89,7 @@ _PRIORITY: list[str] = [
     "sorted_shards_roundtrip",
     "lm_perplexity",
     "repetition_metrics",
+    "ngram_decontamination",
     # -- group 2: the full r7 cohort (35)
     "activity_bitmaps",
     "activity_streaks",
@@ -127,14 +130,14 @@ _PRIORITY: list[str] = [
     #    redact_pii, token_budget_select and session_window_agg
     #    yielded their slots to the three extra group-1 gates —
     #    streaming keeps four r10-green gates, so its freshness is
-    #    already the newest of any tier; dedup_exact and
-    #    reduce_by_key_q1 yielded theirs to the two NEW r11 gates,
-    #    being r10-green already and exercised every round anyway as
-    #    a bench headliner and the entry() flagship respectively)
+    #    already the newest of any tier; dedup_exact, reduce_by_key_q1
+    #    and q9_profit_by_nation yielded theirs to the three NEW r11
+    #    gates — the first two are r10-green already and exercised
+    #    every round anyway as a bench headliner and the entry()
+    #    flagship, and the TPC-H tier keeps other r8+ evidence)
     "heavy_hitters_tokens",
     "multimodal_resize",
     "pagerank_trade_graph",
-    "q9_profit_by_nation",
     "compat_records_fold",
     "bpe_pair_counts",
 ]

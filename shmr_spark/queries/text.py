@@ -1247,3 +1247,100 @@ def repetition_metrics(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return rep(docs)
+
+
+# --------------------------------------------------------------------------
+# N-gram decontamination (the GPT-3/Llama playbook): a test-split
+# document is contaminated if it shares ANY token 13-gram with the
+# train split — catches partial/embedded leakage the exact
+# bag-of-words fingerprint (contamination_check above) cannot.
+# Scale shape: distinct 13-grams explode once per side, the train
+# side collapses to a DISTINCT gram set (map-side partial agg), and
+# the equi-join runs on md5(gram) — 32-byte keys instead of ~100-byte
+# gram strings through the exchange. Everything is linear in corpus
+# tokens; no pair enumeration anywhere. Documents shorter than 13
+# tokens contribute their full token sequence as one gram (the
+# shingle_ngrams short-doc rule, mirrored in the oracle's CASE).
+# --------------------------------------------------------------------------
+
+_DECON_N = 13
+
+
+def _decon_gram_sql() -> str:
+    s = "string_split(text, ' ')"
+    chain = " || ' ' || ".join(f"{s}[i+{k}]" if k else f"{s}[i]" for k in range(_DECON_N))
+    return f"""
+  SELECT doc_id,
+         CASE WHEN len({s}) >= {_DECON_N}
+              THEN list_distinct(list_transform(
+                     generate_series(1, len({s}) - {_DECON_N - 1}),
+                     i -> {chain}))
+              ELSE [text] END AS grams
+  FROM documents"""
+
+
+@query(
+    "ngram_decontamination",
+    oracle=f"""
+WITH g AS ({_decon_gram_sql()}),
+e AS (
+  SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_test_grams,
+         unnest(grams) AS gram
+  FROM g
+),
+tr AS (SELECT DISTINCT md5(gram) AS h FROM e WHERE doc_id % 5 <> 0),
+te AS (
+  SELECT doc_id AS test_doc, n_test_grams, md5(gram) AS h
+  FROM e WHERE doc_id % 5 = 0
+)
+SELECT test_doc,
+       COUNT(*) AS n_shared_grams,
+       MIN(n_test_grams) AS n_test_grams,
+       CAST(COUNT(*) AS DOUBLE) / CAST(MIN(n_test_grams) AS DOUBLE)
+           AS contamination_frac
+FROM te JOIN tr USING (h)
+GROUP BY test_doc
+""",
+)
+def ngram_decontamination(spark, sf_dir):
+    """Test-split docs sharing >= 1 token 13-gram with the train
+    split (split: doc_id % 5, as contamination_check). Output rows
+    only for contaminated docs; n_shared_grams counts DISTINCT shared
+    grams (per-doc grams are distinct, the train side is a distinct
+    set, so each test gram matches at most once)."""
+    from shmr_spark.dedup.minhash import shingle_ngrams
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id", shingle_ngrams(F.col("text"), _DECON_N).alias("grams")
+    ).select(
+        "doc_id",
+        F.size("grams").cast("long").alias("n_test_grams"),
+        F.explode("grams").alias("gram"),
+    )
+    train = (
+        grams.filter(F.col("doc_id") % 5 != 0)
+        .select(F.md5("gram").alias("h"))
+        .distinct()
+    )
+    test = grams.filter(F.col("doc_id") % 5 == 0).select(
+        F.col("doc_id").alias("test_doc"), "n_test_grams", F.md5("gram").alias("h")
+    )
+    shared = F.count("*")
+    return (
+        test.join(train, "h")
+        .groupBy("test_doc")
+        .agg(
+            shared.alias("n_shared_grams"),
+            F.min("n_test_grams").alias("n_test_grams"),
+        )
+        .select(
+            "test_doc",
+            "n_shared_grams",
+            "n_test_grams",
+            (
+                F.col("n_shared_grams").cast("double")
+                / F.col("n_test_grams").cast("double")
+            ).alias("contamination_frac"),
+        )
+    )

@@ -61,6 +61,16 @@ JOIN_LINEAR = [
     "order_value_deciles",
     "vocab_growth",
     "missing_id_ranges",
+    # the r11 corpus-statistical quality tier (functions/lm.py): both
+    # exchange distinct (doc, gram) rows — linear in documents. The
+    # LM measured 16.8x for 10x rows at this step: above 10x because
+    # one local JVM's partial-agg hash tables saturate at 100x and
+    # emit partially-uncollapsed runs (on a real cluster per-task
+    # input is bounded by maxPartitionBytes, so collapse quality is a
+    # partition-size constant, not a corpus-size function) — inside
+    # the linear band, nowhere near quadratic
+    "lm_perplexity",
+    "repetition_metrics",
 ]
 # ...aggregation-shaped exchanges move group-level payloads — partial
 # aggregation collapses the 10x row growth before the exchange, so

@@ -274,3 +274,39 @@ def test_repetition_metrics_matches_python(spark, sf_dir):
         assert r.top_token_frac == max(tc.values()) / len(toks)
         want_bg = max(bc.values()) / sum(bc.values()) if bc else 0.0
         assert r.top_bigram_frac == want_bg
+
+
+def test_ngram_decontamination_planted_overlap(spark, monkeypatch, tmp_path):
+    """A test-split doc that embeds a train doc's 13-gram run is
+    flagged with the exact shared-gram count; clean docs and sub-13
+    partial overlaps are not flagged. Short docs (<13 tokens) fall
+    back to whole-doc grams (the shingle_ngrams rule)."""
+    from shmr_spark.queries import load_all
+
+    w = [f"w{i}" for i in range(30)]
+    train_text = " ".join(w)  # doc 1 (train: 1 % 5 != 0)
+    # doc 0 (test): 13 tokens copied verbatim from train -> exactly
+    # one shared 13-gram; surrounded by unique tokens
+    leaked = " ".join(["u1", "u2"] + w[5:18] + ["u3", "u4"])
+    # doc 5 (test): only a 12-token run -> no shared 13-gram
+    partial = " ".join(["p1", "p2"] + w[5:17] + ["p3", "p4"])
+    # doc 10 (test): short dup of a short train doc (doc 6)
+    short = "tiny doc"
+    rows = [
+        (0, leaked),
+        (1, train_text),
+        (5, partial),
+        (6, short),
+        (10, short),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    import shmr_spark.queries.text as qt
+
+    monkeypatch.setattr(qt, "load_table", lambda s, d, t: docs)
+    got = {r.test_doc: r for r in qt.ngram_decontamination(spark, "unused").collect()}
+    assert set(got) == {0, 10}
+    assert got[0].n_shared_grams == 1
+    assert got[0].n_test_grams == 17 - 13 + 1  # 17 tokens
+    assert got[10].n_shared_grams == 1 and got[10].n_test_grams == 1
+    assert got[10].contamination_frac == 1.0

@@ -1,6 +1,8 @@
-"""One-decade-up oracle evidence (r10 verdict task 6): run the
-check_parity gate at sf1 (the cached 10x corpus, .scaled/sf1) for the
-10 bench headliners + the 5 LLM flagships and record the result as
+"""One-decade-up oracle evidence (r10 verdict task 6, widened in
+r11): run the check_parity gate at sf1 (the cached 10x corpus,
+.scaled/sf1) for the 10 bench headliners + the 5 LLM flagships + the
+ENTIRE 50-gate r11 driver window (so every gate the driver signs this
+round also carries 10x oracle evidence) and record the result as
 PARITY_SF1.json. The postings-join near-dup oracles (round 10) made
 the dedup twins feasible in DuckDB at this scale.
 
@@ -42,11 +44,25 @@ LLM_FLAGSHIPS = [
 # two sides take ~7 min combined at sf1 (Spark 109 s + DuckDB 298 s,
 # measured round 11), so a single 15-gate run outlives practical
 # watchdog timeouts; chunking also isolates a hang to a named group.
+def _window_chunks() -> list[list[str]]:
+    """The r11 driver window (the first 50 registered gates), minus
+    the flagship overlap, in chunks of 8."""
+    import sys as _sys
+
+    _sys.path.insert(0, REPO)
+    from shmr_spark.queries import _PRIORITY
+
+    seen = set(HEADLINERS) | set(LLM_FLAGSHIPS)
+    rest = [n for n in _PRIORITY if n not in seen]
+    return [rest[i : i + 8] for i in range(0, len(rest), 8)]
+
+
 CHUNKS = [
     HEADLINERS,
     ["dedup_corpus_neardup"],
     ["dedup_minhash", "knn_join_lsh", "pack_sequences",
      "similarity_indexed_topk"],
+    *_window_chunks(),
 ]
 
 
@@ -54,7 +70,7 @@ def main() -> None:
     sf1 = os.path.join(REPO, ".scaled", "sf1")
     if not os.path.exists(os.path.join(sf1, "_COMPLETE")):
         raise SystemExit(f"sf1 corpus missing at {sf1} — run tools/make_scaled_sf.py")
-    names = HEADLINERS + LLM_FLAGSHIPS
+    names = HEADLINERS + LLM_FLAGSHIPS + [n for c in CHUNKS[3:] for n in c]
     stdout_lines: list[str] = []
     for chunk in CHUNKS:
         proc = subprocess.run(
@@ -93,10 +109,11 @@ def main() -> None:
         "exclusions": [],
         "gates": dict(sorted(gates.items())),
         "note": (
-            "10 bench headliners + 5 LLM flagships, Spark vs DuckDB "
-            "value-hash at 10x the parity artifact's usual scale "
-            "(sf1 = 10x sf0.1; PARITY_SF01.json carries the full "
-            "179-gate sweep at sf0.1)."
+            "10 bench headliners + 5 LLM flagships + the full 50-gate "
+            "r11 driver window, Spark vs DuckDB value-hash at 10x the "
+            "parity artifact's usual scale (sf1 = 10x sf0.1; "
+            "PARITY_SF01.json carries the full-registry sweep at "
+            "sf0.1)."
         ),
     }
     line = json.dumps(result)
