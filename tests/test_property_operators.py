@@ -448,3 +448,74 @@ def test_missing_ranges_matches_python_oracle(spark, keys, n_parts):
         if b - a > 1:
             want.add((a + 1, b - 1, b - a - 1))
     assert got == want
+
+
+# -- corpus-statistical quality tier: LM + repetition vs brute force ---------
+
+
+_tok = st.text(
+    alphabet=st.characters(
+        codec="utf-8", exclude_characters=" ", exclude_categories=("Cs", "Cc")
+    ),
+    min_size=1,
+    max_size=4,
+)
+_doc = st.lists(_tok, min_size=1, max_size=12).map(" ".join)
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(_doc, min_size=1, max_size=10))
+def test_bigram_lm_and_repetition_match_bruteforce(spark, texts):
+    """On arbitrary unicode corpora (repeats, 1-token docs, non-ASCII
+    tokens): bigram_lm_scores ≡ the add-one LM computed brute-force
+    (same floor quantization, tolerance one quantum), and
+    repetition_metrics' ratios are bit-exact int/int divisions."""
+    import math
+    from collections import Counter
+
+    from shmr_spark.functions.lm import bigram_lm_scores, repetition_metrics
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    uni = Counter()
+    big = Counter()
+    toks_by_doc = {}
+    for i, t in enumerate(texts):
+        toks = t.split(" ")
+        toks_by_doc[i] = toks
+        uni.update(toks)
+        big.update(zip(toks, toks[1:]))
+    vocab_size = len(uni)
+
+    got_lm = {
+        r.doc_id: (r.n_bigrams, r.avg_neg_logp)
+        for r in bigram_lm_scores(docs).collect()
+    }
+    got_rep = {r.doc_id: r for r in repetition_metrics(docs).collect()}
+    assert set(got_rep) == set(toks_by_doc)
+
+    for i, toks in toks_by_doc.items():
+        bgs = list(zip(toks, toks[1:]))
+        if not bgs:
+            assert i not in got_lm
+        else:
+            s = sum(
+                math.floor(
+                    -math.log((big[bg] + 1) / (uni[bg[0]] + vocab_size)) * 1e6
+                    + 0.5
+                )
+                for bg in bgs
+            )
+            n_bigrams, avg = got_lm[i]
+            assert n_bigrams == len(bgs)
+            assert abs(avg - (s / 1e6) / len(bgs)) < 2e-6
+
+        tc, bc = Counter(toks), Counter(bgs)
+        r = got_rep[i]
+        assert r.n_tokens == len(toks)
+        assert r.dup_token_frac == (len(toks) - len(tc)) / len(toks)
+        assert r.top_token_frac == max(tc.values()) / len(toks)
+        assert r.top_bigram_frac == (
+            max(bc.values()) / sum(bc.values()) if bc else 0.0
+        )
