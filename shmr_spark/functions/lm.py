@@ -52,27 +52,34 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from shmr_spark.functions.scalars import with_scalars
+from shmr_spark.functions.text import tokens
 
 _SCALE = 1000000.0
-
-
-def _toks(text_col: str) -> Column:
-    """Whitespace tokens — the corpus convention (functions/text.py)."""
-    return F.split(F.col(text_col), " ")
 
 
 def _bigram_structs(text_col: str) -> Column:
     """array<struct<w1,w2>> of adjacent token pairs — the zip_with
     form is O(tokens) (see dedup/minhash.py shingle_ngrams for why
     the transform(sequence)+index form is quadratic). zip_with pads
-    the shorter side with nulls; slicing to size-1 drops the stub."""
-    toks = _toks(text_col)
+    the shorter side with nulls; slicing to size-1 drops the stub.
+    This file's ONE copy of the tail-stub arithmetic — the string
+    form below derives from it."""
+    toks = tokens(text_col)
     pairs = F.zip_with(
         toks,
         F.slice(toks, 2, 2_000_000_000),
         lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
     )
     return F.slice(pairs, 1, F.greatest(F.size(toks) - 1, F.lit(0)))
+
+
+def _bigram_strings(text_col: str) -> Column:
+    """array<string> of adjacent bigrams ('w1 w2'), via the struct
+    form so the pair construction exists exactly once."""
+    return F.transform(
+        _bigram_structs(text_col),
+        lambda p: F.concat(p["w1"], F.lit(" "), p["w2"]),
+    )
 
 
 def bigram_lm_terms(
@@ -83,7 +90,7 @@ def bigram_lm_terms(
     is the un-quantized −ln P(w2|w1). Exposed so tests can measure
     the term population's distance from floor-quantization
     boundaries (the cross-engine ln() exposure)."""
-    tok_tbl = docs.select(F.explode(_toks(text_col)).alias("tok"))
+    tok_tbl = docs.select(F.explode(tokens(text_col)).alias("tok"))
     uni = tok_tbl.groupBy("tok").agg(F.count("*").alias("c1"))
     vocab = uni.agg(F.count("*").alias("v"))
 
@@ -146,7 +153,7 @@ def repetition_metrics(
     correctly rounded in both engines, so no quantization is needed.
     Every row of ``docs`` appears exactly once in the output.
     """
-    tok_tbl = docs.select(F.col(id_col), F.explode(_toks(text_col)).alias("tok"))
+    tok_tbl = docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
     tc = tok_tbl.groupBy(id_col, "tok").agg(F.count("*").alias("c"))
     ts = tc.groupBy(id_col).agg(
         F.sum("c").alias("n_tokens"),
@@ -154,14 +161,9 @@ def repetition_metrics(
         F.max("c").alias("top_tok"),
     )
 
-    bg_str = F.array_compact(
-        F.zip_with(
-            _toks(text_col),
-            F.slice(_toks(text_col), 2, 2_000_000_000),
-            lambda a, b: F.concat(a, F.lit(" "), b),
-        )
+    bg_tbl = docs.select(
+        F.col(id_col), F.explode(_bigram_strings(text_col)).alias("bg")
     )
-    bg_tbl = docs.select(F.col(id_col), F.explode(bg_str).alias("bg"))
     bc = bg_tbl.groupBy(id_col, "bg").agg(F.count("*").alias("c"))
     bs = bc.groupBy(id_col).agg(
         F.sum("c").alias("n_bigrams"), F.max("c").alias("top_bg")

@@ -29,7 +29,7 @@ from shmr_spark.catalog import load_table
 from shmr_spark.dedup import minhash_near_duplicates
 from shmr_spark.dedup.clusters import dedup_keep_cluster_representative
 from shmr_spark.dedup.exact import dedup_exact_keep_first
-from shmr_spark.functions.text import quality_score, token_count
+from shmr_spark.functions.text import quality_score, token_count, tokens
 from shmr_spark.operators.packing import pack_sequences
 from shmr_spark.operators.ranking import range_shards
 from shmr_spark.operators.selection import select_by_token_fraction
@@ -110,8 +110,8 @@ def training_pipeline(
         .withColumn(
             "dup_token_frac",
             1
-            - F.size(F.array_distinct(F.split("text", " "))).cast("double")
-            / F.size(F.split("text", " ")).cast("double"),
+            - F.size(F.array_distinct(tokens("text"))).cast("double")
+            / F.size(tokens("text")).cast("double"),
         )
     )
 

@@ -126,7 +126,7 @@ _PRIORITY: list[str] = [
     "unpivot_melt",
     "variant_extract",
     "window_tumbling",
-    # -- group 3: canaries, module-diverse, from the r8 cohort (6;
+    # -- group 3: canaries, module-diverse, from the r8 cohort (5;
     #    redact_pii, token_budget_select and session_window_agg
     #    yielded their slots to the three extra group-1 gates —
     #    streaming keeps four r10-green gates, so its freshness is

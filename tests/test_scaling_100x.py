@@ -79,10 +79,12 @@ AGG_CONSTANT = ["dedup_exact", "reduce_by_key_q1"]
 # mixed shape: one side linear in docs, the other a distinct set that
 # is CONSTANT on the replicated corpus (13-gram decontamination's
 # train gram set — replication adds no new grams). Measured 4.87x for
-# 10x rows; the pin is the upper band only — at or past linear means
-# the distinct collapse before the join was lost (the exchange would
-# then carry gram instances), and quadratic means pair enumeration
+# 10x rows; the band tops out BELOW linear (8x < ROW_RATIO) so the
+# failure it documents can actually fire: at or past linear means the
+# distinct collapse before the join was lost (the exchange would then
+# carry gram instances), and quadratic means pair enumeration
 MIXED_SUBLINEAR = ["ngram_decontamination"]
+MIXED_HI = 8.0
 
 
 @pytest.fixture(scope="module")
@@ -131,11 +133,12 @@ def test_agg_exchanges_stay_byte_constant_at_100x(spark, name, corpora):
 
 
 @pytest.mark.parametrize("name", MIXED_SUBLINEAR)
-def test_mixed_exchanges_stay_at_most_linear_at_100x(spark, name, corpora):
+def test_mixed_exchanges_stay_sublinear_at_100x(spark, name, corpora):
     ratio = _ratio(spark, name, corpora)
-    assert ratio <= HI, (
+    assert ratio <= MIXED_HI, (
         f"{name}: 10x->100x shuffle-write ratio {ratio:.2f}x for "
-        f"{ROW_RATIO:.0f}x rows (measured 4.87x; upper band {HI:.0f}x) "
-        "— superlinear means the distinct-set collapse before the "
-        "join was lost or the join started enumerating pairs"
+        f"{ROW_RATIO:.0f}x rows (measured 4.87x; band {MIXED_HI:.0f}x, "
+        "below linear on purpose) — reaching linear means the "
+        "distinct-set collapse before the join was lost; past it, "
+        "pair enumeration"
     )
