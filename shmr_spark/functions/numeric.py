@@ -203,3 +203,29 @@ def sql_davg(expr: str) -> str:
         f"CAST((CAST(CAST(SUM(CAST(floor(CAST(({expr}) AS DOUBLE) * 1000000.0 + 0.5)"
         f" AS BIGINT)) AS BIGINT) AS DOUBLE) / 1000000.0) / COUNT({expr}) AS DOUBLE)"
     )
+
+
+def dsum_partial(col: Column | str) -> Column:
+    """Partial (per-bucket) form of dsum for two-phase/salted
+    aggregation: the exact scaled-int64 sum, still in long space.
+    Merge with dsum_merge — NOT by summing decimals and casting.
+
+    Why a decimal partial is wrong (found by the sf1 parity sweep,
+    round 11): decimal(28,6) partials also sum exactly, but the final
+    decimal→double conversion rounds the true rational T/10⁶ ONCE,
+    while dsum/sql_dsum compute double(T)/10⁶ — int64→double first
+    (correctly rounded), then an IEEE division. Once T exceeds 2⁵³
+    the two paths differ by 1 ulp (salted_agg_revenue's sf1 group
+    sums hit T ≈ 1.0e17: ...327.673 vs ...327.67299). Staying in
+    long space end-to-end reproduces dsum bit-for-bit, since int64
+    addition is associative across any partial split."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(_scaled_long(c))
+
+
+def dsum_merge(partial_col: Column | str) -> Column:
+    """Merge of dsum_partial buckets → the same double dsum returns.
+    Caller contract matches dsum's un-hinted fast path: |total sum|
+    must stay under INT64_SAFE_ABS_SUM."""
+    p = F.col(partial_col) if isinstance(partial_col, str) else partial_col
+    return (F.sum(p).cast("double") / F.lit(_SCALE)).cast("double")

@@ -28,14 +28,21 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from shmr_spark.functions.numeric import DEC
+from shmr_spark.functions.numeric import dsum_merge, dsum_partial
 
 # spec name → (partial_expr(col), merge_expr(partial_col))
+# dsum stays in scaled-int64 space across BOTH phases so the salted
+# result is bit-identical to dsum()/sql_dsum() at any magnitude: the
+# earlier decimal(28,6) partial summed exactly too, but its final
+# decimal→double cast rounds the true rational once, while dsum
+# computes double(int64 total)/10⁶ — the paths differ by 1 ulp once
+# the scaled total passes 2⁵³ (caught by the round-11 sf1 parity
+# sweep on salted_agg_revenue; see dsum_partial's docstring).
 _ALGEBRAIC = {
     "sum": (lambda c: F.sum(c), lambda p: F.sum(p)),
     "dsum": (
-        lambda c: F.sum(F.col(c).cast(DEC)),
-        lambda p: F.sum(p).cast("double"),
+        lambda c: dsum_partial(F.col(c)),
+        lambda p: dsum_merge(p),
     ),
     "count": (lambda c: F.count(c), lambda p: F.sum(p)),
     "min": (lambda c: F.min(c), lambda p: F.min(p)),
