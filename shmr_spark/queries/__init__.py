@@ -75,7 +75,8 @@ def query(name: str, oracle: str | None = None, headline: bool = False):
 #      advance the next-oldest evidence. Names absent from this list
 #      keep module registration order after it.
 _PRIORITY: list[str] = [
-    # -- group 1: plans/oracles changed or NEW this round (10; the
+    # -- group 1: plans/oracles changed or NEW this round (11; the
+    #    DSIR importance-resampling gate joined mid-round — and the
     #    corpus-statistical quality gates — bigram-LM perplexity and
     #    Gopher repetition metrics, functions/lm.py — and the 13-gram
     #    decontamination gate are new in r11 and take canary slots
@@ -90,6 +91,7 @@ _PRIORITY: list[str] = [
     "lm_perplexity",
     "repetition_metrics",
     "ngram_decontamination",
+    "dsir_select",
     # -- group 2: the full r7 cohort (35)
     "activity_bitmaps",
     "activity_streaks",
@@ -126,7 +128,10 @@ _PRIORITY: list[str] = [
     "unpivot_melt",
     "variant_extract",
     "window_tumbling",
-    # -- group 3: canaries, module-diverse, from the r8 cohort (5;
+    # -- group 3: canaries, module-diverse, from the r8 cohort (4;
+    #    bpe_pair_counts yielded its slot to the NEW dsir_select gate
+    #    added later in r11 — the BPE tier keeps r9-green evidence
+    #    via bpe_encode_counts;
     #    redact_pii, token_budget_select and session_window_agg
     #    yielded their slots to the three extra group-1 gates —
     #    streaming keeps four r10-green gates, so its freshness is
@@ -139,7 +144,6 @@ _PRIORITY: list[str] = [
     "multimodal_resize",
     "pagerank_trade_graph",
     "compat_records_fold",
-    "bpe_pair_counts",
 ]
 
 

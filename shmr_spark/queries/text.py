@@ -1250,6 +1250,69 @@ def repetition_metrics(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# DSIR importance-resampling selection (functions/dsir.py — Xie et
+# al. NeurIPS 2023): weight every document by the log-ratio of an
+# add-one-smoothed target-domain unigram model (lang='en' here) over
+# the raw-pool model, keep the top-k budget. The terms are SIGNED —
+# unlike the LM tier — but ride the same floor-quantize-once int64
+# discipline; selection is a fixed budget → TakeOrdered, no global
+# sort. The logweight column carries n_tokens alongside so the gate
+# also pins the per-doc count path.
+# --------------------------------------------------------------------------
+
+_DSIR_K = 25
+
+
+@query(
+    "dsir_select",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, (lang = 'en') AS is_t,
+         unnest(string_split(text, ' ')) AS tok
+  FROM documents
+),
+dc AS (
+  SELECT doc_id, is_t, tok, count(*) AS cnt FROM toks GROUP BY 1, 2, 3
+),
+cc AS (
+  SELECT tok, CAST(SUM(cnt) AS BIGINT) AS cr,
+         CAST(SUM(CASE WHEN is_t THEN cnt ELSE 0 END) AS BIGINT) AS ct
+  FROM dc GROUP BY 1
+),
+tot AS (
+  SELECT count(*) AS v, CAST(SUM(cr) AS BIGINT) AS nr,
+         CAST(SUM(ct) AS BIGINT) AS nt
+  FROM cc
+),
+scored AS (
+  SELECT dc.doc_id, dc.cnt,
+         CAST(floor((ln(CAST(cc.ct + 1 AS DOUBLE)
+                        / CAST(tot.nt + tot.v AS DOUBLE))
+                   - ln(CAST(cc.cr + 1 AS DOUBLE)
+                        / CAST(tot.nr + tot.v AS DOUBLE)))
+                    * 1000000.0 + 0.5) AS BIGINT) AS t6
+  FROM dc JOIN cc USING (tok) CROSS JOIN tot
+)
+SELECT doc_id,
+       CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+       CAST(CAST(SUM(t6 * cnt) AS BIGINT) AS DOUBLE) / 1000000.0
+           AS logweight
+FROM scored GROUP BY 1
+ORDER BY logweight DESC, doc_id
+LIMIT {_DSIR_K}
+""",
+)
+def dsir_select(spark, sf_dir):
+    """Top-{k} documents by DSIR importance weight toward the
+    English target domain; deterministic rank selection (ties by
+    doc_id) in place of the paper's Gumbel resampling."""
+    from shmr_spark.functions.dsir import dsir_select as sel
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sel(docs, F.col("lang") == "en", k=_DSIR_K)
+
+
+# --------------------------------------------------------------------------
 # N-gram decontamination (the GPT-3/Llama playbook): a test-split
 # document is contaminated if it shares ANY token 13-gram with the
 # train split — catches partial/embedded leakage the exact

@@ -280,3 +280,23 @@ def test_lm_terms_clear_floor_boundaries(spark, sf_dir):
     dist = F.least(y - F.floor(y), F.floor(y) + 1 - y)
     worst = bigram_lm_terms(docs).agg(F.min(dist).alias("d")).collect()[0].d
     assert worst > 2e-8, f"an LM term sits {worst} from a floor boundary"
+
+
+def test_dsir_terms_clear_floor_boundaries(spark, sf_dir):
+    """Same playbook for the DSIR gate (functions/dsir.py): its
+    per-(doc, token) importance terms are SIGNED (the LM tier's are
+    ≥ 0), so this measures boundary distance over both signs of the
+    term population at the gate corpus. Measured worst margins:
+    6.6e-3 (sf0.001, 11.7k terms), 5.1e-3 (sf0.01), 8.9e-3 (sf0.1,
+    116k terms) — ≥ 10⁶ times the ~2e-9 ulp-drift window (DSIR terms
+    are small log-ratios, |term| < 0.23 here, so term·10⁶ rarely
+    lands near an integer)."""
+    from shmr_spark.catalog import load_table
+    from shmr_spark.functions.dsir import dsir_logweight_terms
+
+    docs = load_table(spark, sf_dir, "documents")
+    terms = dsir_logweight_terms(docs, F.col("lang") == "en")
+    y = F.col("term") * 1e6 + 0.5
+    dist = F.least(y - F.floor(y), F.floor(y) + 1 - y)
+    worst = terms.agg(F.min(dist).alias("d")).collect()[0].d
+    assert worst > 2e-8, f"a DSIR term sits {worst} from a floor boundary"

@@ -276,6 +276,74 @@ def test_repetition_metrics_matches_python(spark, sf_dir):
         assert r.top_bigram_frac == want_bg
 
 
+def test_dsir_matches_python(spark, sf_dir):
+    """dsir_logweights ≡ a pure-Python DSIR estimator with the same
+    floor-quantized exact summation on the same subset. Tolerance
+    2e-6 per the bigram-LM rationale (one 1e-6 quantum per term,
+    math.log vs JVM ln boundary flips)."""
+    from shmr_spark.functions.dsir import dsir_logweights
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 60)
+        .select("doc_id", "lang", "text")
+    )
+    rows = {r.doc_id: (r.lang, r.text) for r in docs.collect()}
+    cr = Counter()
+    ct = Counter()
+    for lang, text in rows.values():
+        toks = text.split(" ")
+        cr.update(toks)
+        if lang == "en":
+            ct.update(toks)
+    v, nr, nt = len(cr), sum(cr.values()), sum(ct.values())
+
+    got = {
+        r.doc_id: (r.n_tokens, r.logweight)
+        for r in dsir_logweights(docs, F.col("lang") == "en").collect()
+    }
+    assert set(got) == set(rows)
+    for doc_id, (lang, text) in rows.items():
+        toks = text.split(" ")
+        s = 0
+        for tok, cnt in Counter(toks).items():
+            term = math.log((ct[tok] + 1) / (nt + v)) - math.log(
+                (cr[tok] + 1) / (nr + v)
+            )
+            s += math.floor(term * 1e6 + 0.5) * cnt
+        n_tokens, logweight = got[doc_id]
+        assert n_tokens == len(toks)
+        assert abs(logweight - s / 1e6) < 2e-6
+
+
+def test_dsir_select_prefers_target_like_docs(spark):
+    """Semantic check on a hand corpus: a raw-pool document written
+    in the target domain's vocabulary outranks one written in
+    off-domain vocabulary, and the selection returns exactly k rows
+    ordered by (logweight desc, doc_id)."""
+    from shmr_spark.functions.dsir import dsir_logweights, dsir_select
+
+    docs = spark.createDataFrame(
+        [
+            (1, "en", "alpha beta alpha gamma"),
+            (2, "en", "alpha beta delta"),
+            (3, "fr", "alpha beta gamma"),  # target-like raw doc
+            (4, "fr", "zut flute bof"),  # off-domain raw doc
+        ],
+        "doc_id long, lang string, text string",
+    )
+    w = {
+        r.doc_id: r.logweight
+        for r in dsir_logweights(docs, F.col("lang") == "en").collect()
+    }
+    assert w[3] > w[4], "target-vocabulary doc must outweigh off-domain doc"
+    sel = dsir_select(docs, F.col("lang") == "en", k=3).collect()
+    assert len(sel) == 3
+    ranked = sorted(w.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    assert [r.doc_id for r in sel] == [d for d, _ in ranked]
+    assert 4 not in {r.doc_id for r in sel}
+
+
 def test_ngram_decontamination_planted_overlap(spark, monkeypatch, tmp_path):
     """A test-split doc that embeds a train doc's 13-gram run is
     flagged with the exact shared-gram count; clean docs and sub-13

@@ -1,10 +1,12 @@
-"""One-decade-up oracle evidence (r10 verdict task 6, widened in
-r11): run the check_parity gate at sf1 (the cached 10x corpus,
-.scaled/sf1) for the 10 bench headliners + the 5 LLM flagships + the
-ENTIRE 50-gate r11 driver window (so every gate the driver signs this
-round also carries 10x oracle evidence) and record the result as
+"""One-decade-up oracle evidence (r10 verdict task 6, widened twice
+in r11): run the check_parity gate at sf1 (the cached 10x corpus,
+.scaled/sf1) for the ENTIRE registry — 10 bench headliners + 5 LLM
+flagships first (the costliest chunks, isolated), then every
+remaining registered gate in chunks of 8 — and record the result as
 PARITY_SF1.json. The postings-join near-dup oracles (round 10) made
-the dedup twins feasible in DuckDB at this scale.
+the dedup twins feasible in DuckDB at this scale; the first widening
+(driver window, 64 gates) caught the >2^53 salted-dsum divergence,
+which motivated going full-registry.
 
 Run: python tools/parity_sf1.py  → one JSON line + artifact.
 """
@@ -44,16 +46,24 @@ LLM_FLAGSHIPS = [
 # two sides take ~7 min combined at sf1 (Spark 109 s + DuckDB 298 s,
 # measured round 11), so a single 15-gate run outlives practical
 # watchdog timeouts; chunking also isolates a hang to a named group.
-def _window_chunks() -> list[list[str]]:
-    """The r11 driver window (the first 50 registered gates), minus
-    the flagship overlap, in chunks of 8."""
+# A per-chunk wall cap (CHUNK_TIMEOUT_S) turns a pathological sf1
+# oracle into a named FAIL instead of a stuck sweep.
+CHUNK_TIMEOUT_S = 2400
+
+
+def _registry_chunks() -> list[list[str]]:
+    """The ENTIRE registry (window order first, then module order),
+    minus the flagship chunks above, in chunks of 8 — the r11
+    widening took the sweep from the 64-gate driver window to all
+    186 registered gates, so the 10x oracle decade covers every gate
+    the sf0.1 artifact covers."""
     import sys as _sys
 
     _sys.path.insert(0, REPO)
-    from shmr_spark.queries import _PRIORITY
+    from shmr_spark.queries import load_all
 
     seen = set(HEADLINERS) | set(LLM_FLAGSHIPS)
-    rest = [n for n in _PRIORITY if n not in seen]
+    rest = [n for n in load_all() if n not in seen]
     return [rest[i : i + 8] for i in range(0, len(rest), 8)]
 
 
@@ -62,7 +72,7 @@ CHUNKS = [
     ["dedup_corpus_neardup"],
     ["dedup_minhash", "knn_join_lsh", "pack_sequences",
      "similarity_indexed_topk"],
-    *_window_chunks(),
+    *_registry_chunks(),
 ]
 
 
@@ -72,15 +82,36 @@ def main() -> None:
         raise SystemExit(f"sf1 corpus missing at {sf1} — run tools/make_scaled_sf.py")
     names = HEADLINERS + LLM_FLAGSHIPS + [n for c in CHUNKS[3:] for n in c]
     stdout_lines: list[str] = []
-    for chunk in CHUNKS:
-        proc = subprocess.run(
-            [sys.executable, os.path.join(REPO, "tools", "check_parity.py"),
-             sf1, *chunk],
-            capture_output=True,
-            text=True,
-            cwd=REPO,
-        )
-        stdout_lines.extend(proc.stdout.splitlines())
+    for i, chunk in enumerate(CHUNKS):
+        try:
+            proc = subprocess.run(
+                [sys.executable,
+                 os.path.join(REPO, "tools", "check_parity.py"),
+                 sf1, *chunk],
+                capture_output=True,
+                text=True,
+                cwd=REPO,
+                timeout=CHUNK_TIMEOUT_S,
+            )
+            stdout_lines.extend(proc.stdout.splitlines())
+        except subprocess.TimeoutExpired as exc:
+            partial = (exc.stdout or b"")
+            if isinstance(partial, bytes):
+                partial = partial.decode("utf-8", "replace")
+            stdout_lines.extend(partial.splitlines())
+            done = {
+                m.group(1)
+                for line in partial.splitlines()
+                if (m := re.match(r"ok\s+(\S+):", line))
+            }
+            for n in chunk:
+                if n not in done:
+                    stdout_lines.append(
+                        f"FAIL {n}: chunk {i} exceeded "
+                        f"{CHUNK_TIMEOUT_S}s wall"
+                    )
+        print(f"[parity_sf1] chunk {i + 1}/{len(CHUNKS)} done "
+              f"({', '.join(chunk[:3])}...)", file=sys.stderr)
     gates: dict[str, dict] = {}
     failures = 0
     for line in stdout_lines:
@@ -109,11 +140,12 @@ def main() -> None:
         "exclusions": [],
         "gates": dict(sorted(gates.items())),
         "note": (
-            "10 bench headliners + 5 LLM flagships + the full 50-gate "
-            "r11 driver window, Spark vs DuckDB value-hash at 10x the "
-            "parity artifact's usual scale (sf1 = 10x sf0.1; "
-            "PARITY_SF01.json carries the full-registry sweep at "
-            "sf0.1)."
+            "FULL registry sweep at sf1 (10x the sf0.1 parity "
+            "artifact's scale): 10 bench headliners + 5 LLM flagships "
+            "first, then every remaining registered gate in chunks of "
+            "8 with a per-chunk wall cap. The r11 widening from the "
+            "64-gate driver window to the whole registry is what "
+            "caught the >2^53 salted-dsum 1-ulp divergence."
         ),
     }
     line = json.dumps(result)
