@@ -76,6 +76,7 @@ def training_pipeline(
     neardup_threshold: float = 0.8,
     pack_budget: int = 2048,
     n_shards: int = 16,
+    dsir_target=None,
 ) -> DataFrame:
     """Run the full flow over ``sf_dir``'s documents table; returns
     the final shard table (doc_id, quality, n_tokens, start_tok,
@@ -89,6 +90,15 @@ def training_pipeline(
     output of an expensive dedup stage is always materialized (there,
     written to storage; here, MEMORY_AND_DISK) before fan-out to
     selection + stats, never recomputed per consumer.
+
+    ``dsir_target`` (optional boolean Column over the documents
+    columns, e.g. ``F.col("lang") == "en"``) switches the selection
+    stage's ranking from the per-row quality heuristic to the DSIR
+    importance log-weight toward that target domain
+    (functions/dsir.py) — same greedy token-fraction cut, different
+    order. Opt-in because it adds the DSIR scoring pass (one
+    (doc, token) partial-aggregated explode + a broadcast-sized
+    count relation) over the persisted exact-dedup frame.
     """
     docs = load_table(spark, sf_dir, "documents")
 
@@ -149,6 +159,10 @@ def training_pipeline(
         neardup_threshold,
         pack_budget,
         n_shards,
+        # the cached frames are selection-invariant, but keying the
+        # mode apart keeps an alternating quality/DSIR sweep from
+        # evicting each other's caches every call
+        dsir_target is not None,
     )
     scored = surv.select("doc_id", "quality", "n_tokens").persist(
         StorageLevel.MEMORY_AND_DISK
@@ -168,7 +182,26 @@ def training_pipeline(
                 # best-effort: the previous slot's session may already
                 # be stopped; its JVM-side cache died with it
                 pass
-    sel = select_by_token_fraction(scored, fraction=budget_fraction)
+    if dsir_target is not None:
+        from shmr_spark.functions.dsir import dsir_logweights
+
+        # score the PERSISTED exact-dedup frame (the last point with
+        # text that is materialized — scoring surv would recompute
+        # the whole minhash banding lineage); the join onto scored
+        # restricts weights to the near-dup survivors, and estimating
+        # the target/raw distributions over the exact-deduped pool is
+        # the paper's setting (DSIR runs pre-selection, not
+        # post-near-dup). The greedy cut then ranks by importance
+        # log-weight instead of the quality heuristic; quality is
+        # re-attached because the downstream pack join carries it.
+        w = dsir_logweights(exact, dsir_target).select("doc_id", "logweight")
+        sel = select_by_token_fraction(
+            scored.join(w, "doc_id"),
+            fraction=budget_fraction,
+            score_col="logweight",
+        ).join(scored.select("doc_id", "quality"), "doc_id")
+    else:
+        sel = select_by_token_fraction(scored, fraction=budget_fraction)
 
     # Explicit buckets for BOTH two-phase scans below: their default
     # in-plan min/max (ranking._auto_bucketed) would add one

@@ -88,3 +88,37 @@ def test_training_pipeline_invariants(spark, sf_dir, tmp_path):
         assert "PartitionFilters" in plan
     finally:
         shards.unpersist()
+
+
+def test_training_pipeline_dsir_selection(spark, sf_dir):
+    """dsir_target switches the selection ranking to DSIR importance
+    weight: the invariant chain holds (unique ids, token
+    conservation, in-budget packing) and the kept set actually
+    differs from the quality-ordered cut — the survivors skew toward
+    the target domain relative to the quality-mode selection."""
+    base = training_pipeline(spark, sf_dir, n_shards=4)
+    dsir = training_pipeline(
+        spark, sf_dir, n_shards=4, dsir_target=F.col("lang") == "en"
+    )
+    b_ids = {r.doc_id for r in base.select("doc_id").collect()}
+    d = dsir.cache()
+    try:
+        d_ids = {r.doc_id for r in d.select("doc_id").collect()}
+        assert d.select("doc_id").distinct().count() == len(d_ids)
+        agg = d.agg(
+            F.sum("n_tokens").alias("tot"),
+            F.max(F.col("start_tok") + F.col("n_tokens")).alias("hi"),
+        ).collect()[0]
+        assert agg.tot == agg.hi
+        assert d_ids != b_ids, "DSIR ranking selected the same set"
+        # the DSIR cut holds at least as many target-language docs
+        docs = load_table(spark, sf_dir, "documents")
+        en = {
+            r.doc_id
+            for r in docs.filter(F.col("lang") == "en")
+            .select("doc_id")
+            .collect()
+        }
+        assert len(d_ids & en) >= len(b_ids & en)
+    finally:
+        d.unpersist()
