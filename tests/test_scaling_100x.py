@@ -74,7 +74,7 @@ JOIN_LINEAR = [
     # DSIR (functions/dsir.py) is the tier's order-0 member: the
     # exchange is distinct (doc, token) pairs, the token-count
     # relation is broadcast, and the fixed-k selection is TakeOrdered
-    # (no sort exchange) — measured 10.6x for 10x rows at this step
+    # (no sort exchange) — measured 10.9x for 10x rows at this step
     "dsir_select",
 ]
 # ...aggregation-shaped exchanges move group-level payloads — partial

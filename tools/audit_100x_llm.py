@@ -80,6 +80,9 @@ def main() -> None:
         "knn_join_lsh_fixed_probes": _knn_join_lsh_fixed_probes,
         "dedup_minhash_prod": _dedup_minhash_prod,
         "pipeline_e2e": _pipeline_e2e,
+        # r11: DSIR selection — distinct-(doc,token) exchange, fixed-k
+        # TakeOrdered; expected byte-linear (~10.9x measured)
+        "dsir_select": reg["dsir_select"].fn,
     }
 
     # rows whose 100x wall is weather-hostage (BUILD_LOG §43:
