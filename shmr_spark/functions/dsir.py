@@ -54,10 +54,9 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from shmr_spark.functions.numeric import _SCALE, _scaled_long
 from shmr_spark.functions.scalars import with_scalars
 from shmr_spark.functions.text import tokens
-
-_SCALE = 1000000.0
 
 
 def dsir_logweight_terms(
@@ -122,7 +121,7 @@ def dsir_logweights(
     ``docs`` appears exactly once (``tokens`` of an empty string is
     [''], one token, so no document drops out)."""
     scored = dsir_logweight_terms(docs, is_target, id_col, text_col)
-    t6 = F.floor(F.col("term") * F.lit(_SCALE) + F.lit(0.5)).cast("long")
+    t6 = _scaled_long(F.col("term"))
     return scored.groupBy(id_col).agg(
         F.sum("cnt").alias("n_tokens"),
         (F.sum(t6 * F.col("cnt")).cast("double") / F.lit(_SCALE)).alias(

@@ -51,10 +51,9 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from shmr_spark.functions.numeric import _SCALE, _scaled_long
 from shmr_spark.functions.scalars import with_scalars
 from shmr_spark.functions.text import tokens
-
-_SCALE = 1000000.0
 
 
 def _bigram_structs(text_col: str) -> Column:
@@ -128,7 +127,7 @@ def bigram_lm_scores(
     negative-ties caveat (functions/numeric.py dquant) never applies.
     """
     scored = bigram_lm_terms(docs, id_col, text_col)
-    t6 = F.floor(F.col("term") * F.lit(_SCALE) + F.lit(0.5)).cast("long")
+    t6 = _scaled_long(F.col("term"))
     return scored.groupBy(id_col).agg(
         F.sum("cnt").alias("n_bigrams"),
         (

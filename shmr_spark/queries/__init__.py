@@ -49,7 +49,7 @@ def query(name: str, oracle: str | None = None, headline: bool = False):
 # queries), so the order below is part of the verification strategy.
 # The registry was CLOSED at 176 through round 6, reopened to 179
 # across rounds 7-8 (bloom semi/anti, regression), held at 179
-# through round 10, and opens to 186 in round 11 (compact_roundtrip,
+# through round 10, and opens to 187 across round 11 (compact_roundtrip,
 # bucketed_join_roundtrip, shmr_datasource_roundtrip and
 # sorted_shards_roundtrip give the layout/interop tiers driver-signed
 # gates — closing the r10 verdict's "four components are pytest-only"

@@ -10,7 +10,10 @@ from pyspark.sql import functions as F
 
 from shmr_spark.catalog import load_table
 from shmr_spark.dedup import minhash_near_duplicates
-from shmr_spark.operators.training_pipeline import training_pipeline
+from shmr_spark.operators.training_pipeline import (
+    clear_pipeline_caches,
+    training_pipeline,
+)
 
 
 def test_training_pipeline_invariants(spark, sf_dir, tmp_path):
@@ -122,3 +125,7 @@ def test_training_pipeline_dsir_selection(spark, sf_dir):
         assert len(d_ids & en) >= len(b_ids & en)
     finally:
         d.unpersist()
+        # the two modes leave corpus-sized survivor caches in the
+        # module slot map — release them so the rest of the suite
+        # doesn't carry 4 MEMORY_AND_DISK frames
+        clear_pipeline_caches()

@@ -55,7 +55,8 @@ def _registry_chunks() -> list[list[str]]:
     """The ENTIRE registry (window order first, then module order),
     minus the flagship chunks above, in chunks of 8 — the r11
     widening took the sweep from the 64-gate driver window to all
-    186 registered gates, so the 10x oracle decade covers every gate
+    registered gates (187 as of the DSIR addition), so the 10x
+    oracle decade covers every gate
     the sf0.1 artifact covers."""
     import sys as _sys
 
@@ -99,10 +100,13 @@ def main() -> None:
             if isinstance(partial, bytes):
                 partial = partial.decode("utf-8", "replace")
             stdout_lines.extend(partial.splitlines())
+            # a gate that already printed a verdict (ok OR a real
+            # FAIL with its diagnosis) keeps it; only silent gates
+            # get the synthesized timeout FAIL
             done = {
                 m.group(1)
                 for line in partial.splitlines()
-                if (m := re.match(r"ok\s+(\S+):", line))
+                if (m := re.match(r"(?:ok\s+|FAIL )(\S+):", line))
             }
             for n in chunk:
                 if n not in done:
