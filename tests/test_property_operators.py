@@ -519,3 +519,53 @@ def test_bigram_lm_and_repetition_match_bruteforce(spark, texts):
         assert r.top_bigram_frac == (
             max(bc.values()) / sum(bc.values()) if bc else 0.0
         )
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(_doc, min_size=1, max_size=10),
+    st.lists(st.booleans(), min_size=10, max_size=10),
+)
+def test_dsir_logweights_match_bruteforce(spark, texts, flags):
+    """On arbitrary unicode corpora with an arbitrary target split
+    (including all-target and empty-target — add-one smoothing keeps
+    every ratio finite): dsir_logweights ≡ the brute-force estimator
+    with the same floor quantization, tolerance one quantum per
+    distinct token."""
+    import math
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from shmr_spark.functions.dsir import dsir_logweights
+
+    rows = [
+        (i, bool(flags[i]), t) for i, t in enumerate(texts)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, is_t boolean, text string"
+    )
+    cr, ct = Counter(), Counter()
+    for _, is_t, t in rows:
+        toks = t.split(" ")
+        cr.update(toks)
+        if is_t:
+            ct.update(toks)
+    v, nr, nt = len(cr), sum(cr.values()), sum(ct.values())
+
+    got = {
+        r.doc_id: (r.n_tokens, r.logweight)
+        for r in dsir_logweights(docs, F.col("is_t")).collect()
+    }
+    assert set(got) == {i for i, _, _ in rows}
+    for i, _, t in rows:
+        toks = t.split(" ")
+        s = 0
+        for tok, cnt in Counter(toks).items():
+            term = math.log((ct[tok] + 1) / (nt + v)) - math.log(
+                (cr[tok] + 1) / (nr + v)
+            )
+            s += math.floor(term * 1e6 + 0.5) * cnt
+        n_tokens, logweight = got[i]
+        assert n_tokens == len(toks)
+        assert abs(logweight - s / 1e6) < 2e-6
