@@ -9,6 +9,11 @@ the dedup twins feasible in DuckDB at this scale; the first widening
 which motivated going full-registry.
 
 Run: python tools/parity_sf1.py  → one JSON line + artifact.
+     python tools/parity_sf1.py --retry  → re-run only the artifact's
+     FAIL/missing gates, ONE gate per check_parity invocation with a
+     generous wall cap (slow chunks hit the shared cap because eight
+     sf1 oracles serialize inside one invocation, not because any
+     single gate is pathological), and patch the artifact in place.
 """
 
 from __future__ import annotations
@@ -75,6 +80,87 @@ CHUNKS = [
      "similarity_indexed_topk"],
     *_registry_chunks(),
 ]
+
+
+RETRY_TIMEOUT_S = 3600
+
+
+def _run_one(sf1: str, name: str, timeout_s: int) -> list[str]:
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.join(REPO, "tools", "check_parity.py"),
+             sf1, name],
+            capture_output=True,
+            text=True,
+            cwd=REPO,
+            timeout=timeout_s,
+        )
+        return proc.stdout.splitlines()
+    except subprocess.TimeoutExpired:
+        return [f"FAIL {name}: single-gate retry exceeded {timeout_s}s wall"]
+
+
+def _parse_into(gates: dict[str, dict], lines: list[str]) -> None:
+    for line in lines:
+        m = re.match(r"ok\s+(\S+): (\d+) rows hash-match", line)
+        if m:
+            gates[m.group(1)] = {
+                "rows": int(m.group(2)), "status": "hash-match",
+            }
+            continue
+        m = re.match(r"ok\s+(\S+): rows-only \((\d+) rows\)", line)
+        if m:
+            gates[m.group(1)] = {
+                "rows": int(m.group(2)), "status": "rows-only",
+            }
+            continue
+        m = re.match(r"FAIL (\S+): (.*)", line)
+        if m:
+            gates[m.group(1)] = {
+                "status": "FAIL", "detail": m.group(2)[:300],
+            }
+
+
+def retry() -> None:
+    """Re-run only the recorded FAIL/missing gates, serially, one
+    check_parity invocation each, and patch PARITY_SF1.json."""
+    sf1 = os.path.join(REPO, ".scaled", "sf1")
+    path = os.path.join(REPO, "PARITY_SF1.json")
+    with open(path) as f:
+        result = json.load(f)
+    gates = result["gates"]
+    todo = sorted(
+        set(n for n, g in gates.items() if g.get("status") == "FAIL")
+        | set(result.get("missing", []))
+    )
+    if not todo:
+        print("nothing to retry")
+        return
+    for i, name in enumerate(todo):
+        _parse_into(gates, _run_one(sf1, name, RETRY_TIMEOUT_S))
+        print(f"[retry] {i + 1}/{len(todo)} {name}: "
+              f"{gates.get(name, {}).get('status', 'missing')}",
+              file=sys.stderr)
+    failures = sum(1 for g in gates.values() if g["status"] == "FAIL")
+    missing = [n for n in result.get("missing", []) if n not in gates]
+    result.update(
+        gates=dict(sorted(gates.items())),
+        hash_matched=sum(
+            1 for g in gates.values() if g["status"] == "hash-match"
+        ),
+        failures=failures + len(missing),
+        missing=missing,
+        note=result["note"] + (
+            " Wall-cap stragglers re-run serially (one gate per "
+            "invocation) via --retry."
+        ) if "--retry" not in result["note"] else result["note"],
+    )
+    line = json.dumps(result)
+    print(line)
+    with open(path, "w") as f:
+        f.write(line + "\n")
+    if result["failures"]:
+        sys.exit(1)
 
 
 def main() -> None:
@@ -161,4 +247,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--retry" in sys.argv[1:]:
+        retry()
+    else:
+        main()
