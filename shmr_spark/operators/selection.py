@@ -35,6 +35,7 @@ def select_by_token_budget(
     tokens_col: str = "n_tokens",
     id_col: str = "doc_id",
     score_buckets: int = 1000,
+    auto_scale_score: bool = False,
 ) -> DataFrame:
     """Rows of ``df`` kept by the greedy quality-ordered budget cut.
 
@@ -46,10 +47,61 @@ def select_by_token_budget(
     Rows with a NULL score are excluded up front (explicitly, not as a
     join artifact): an unscored document has no rank in a
     quality-ordered cut. Score a default if such rows must compete.
+
+    ``auto_scale_score`` rescales the score into bucket space from an
+    IN-PLAN min/max (a 1-row broadcast relation) before flooring, so
+    the populated-bucket count tracks the score column's OBSERVED
+    spread, not its worst-case bound. floor(score·K) is the right
+    default for scores designed to fill a known unit range (the
+    quality heuristic); a score that merely has a wide theoretical
+    bound but concentrates tightly (a per-token mean log-ratio such
+    as DSIR's, bounded ±ln(corpus) but empirically within ±0.25)
+    would land almost entirely in a handful of static buckets, and
+    the per-bucket cumulative window would then run large corpus
+    fractions in single tasks. The affine map
+    floor((s − min)/(max − min) · K) (clamped to K−1, bucket 0 when
+    the span is empty) is monotone non-decreasing in the score —
+    IEEE subtraction/division/multiplication by positive constants
+    preserve order — so the decomposition stays order-preserving and
+    the output is bit-identical either way. Costs one extra reference
+    to ``df`` (the min/max aggregate); callers with expensive
+    lineages should persist ``df`` first, which the training pipeline
+    already does at its materialization point.
     """
     df = df.filter(F.col(score_col).isNotNull())
-    bucket = F.floor(F.col(score_col) * F.lit(score_buckets)).alias("__bucket")
-    rows = df.select(F.col(id_col), F.col(score_col), F.col(tokens_col), bucket)
+    if auto_scale_score:
+        rng = df.agg(
+            F.min(score_col).alias("__smin"), F.max(score_col).alias("__smax")
+        )
+        span = F.col("__smax") - F.col("__smin")
+        scaled = (
+            F.when(
+                span > 0,
+                F.least(
+                    F.floor(
+                        (F.col(score_col) - F.col("__smin"))
+                        / span
+                        * F.lit(score_buckets)
+                    ),
+                    F.lit(score_buckets - 1),
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+        )
+        rows = df.crossJoin(F.broadcast(rng)).select(
+            F.col(id_col),
+            F.col(score_col),
+            F.col(tokens_col),
+            scaled.alias("__bucket"),
+        )
+    else:
+        bucket = F.floor(F.col(score_col) * F.lit(score_buckets)).alias(
+            "__bucket"
+        )
+        rows = df.select(
+            F.col(id_col), F.col(score_col), F.col(tokens_col), bucket
+        )
 
     totals = rows.groupBy("__bucket").agg(F.sum(tokens_col).alias("__btot"))
     # higher bucket = higher score = earlier in the ranking
@@ -88,6 +140,7 @@ def select_by_token_fraction(
     tokens_col: str = "n_tokens",
     id_col: str = "doc_id",
     score_buckets: int = 1000,
+    auto_scale_score: bool = False,
 ) -> DataFrame:
     """``select_by_token_budget`` with the budget expressed as a
     FRACTION of the input's total token mass, computed IN-PLAN: the
@@ -112,6 +165,7 @@ def select_by_token_fraction(
         tokens_col=tokens_col,
         id_col=id_col,
         score_buckets=score_buckets,
+        auto_scale_score=auto_scale_score,
     )
     total = df.filter(F.col(score_col).isNotNull()).agg(
         F.sum(tokens_col).cast("decimal(19,0)").alias("__total_tok")

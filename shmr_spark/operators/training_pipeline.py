@@ -21,7 +21,9 @@ materialization point a production build writes to storage.
 from __future__ import annotations
 
 import threading
+import warnings
 
+from py4j.protocol import Py4JError
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -190,16 +192,23 @@ def training_pipeline(
         # (code-review findings, round 11):
         # - the cut ranks by the PER-TOKEN mean log-weight, not the
         #   raw sum: the sum grows with document length (unbounded
-        #   either sign), and select_by_token_budget's
-        #   floor(score·K) bucketing needs a bounded score range or
-        #   its bucket-offsets relation stops being a small
-        #   broadcastable aggregate. The mean is bounded by
+        #   either sign), while the mean is bounded by
         #   max |per-token term| ≤ ln(corpus_tokens + V) — ~32 at
-        #   10¹⁴ tokens — so with score_buckets=64 the offsets
-        #   relation stays ≤ ~4096 rows at ANY corpus size (and the
-        #   length-debiased ranking is what a budget cut wants
-        #   anyway: the raw sum double-counts length, which the
-        #   token-budget cut already charges for);
+        #   10¹⁴ tokens (and the length-debiased ranking is what a
+        #   budget cut wants anyway: the raw sum double-counts
+        #   length, which the token-budget cut already charges for).
+        #   The score is bucketed AUTO-SCALED (round-12 advice
+        #   finding): dsir_score concentrates near 0 (|score| < 0.23
+        #   measured at sf0.1), so a static floor(score·K) against
+        #   the ±32 worst-case bound populated only a handful of
+        #   buckets and the per-bucket cumulative window ran large
+        #   corpus fractions in single tasks. auto_scale_score maps
+        #   the score affinely from its in-plan min/max into
+        #   [0, 1024) buckets, so populated-bucket count tracks the
+        #   observed spread at any corpus size while the offsets
+        #   relation stays ≤ 1024 rows (output unchanged — the
+        #   prefix sum is exact under any order-preserving
+        #   bucketing, asserted in tests);
         # - the ranked frame is PERSISTED before the cut:
         #   select_by_token_fraction references its input twice and
         #   the pack/quality joins re-reference the selection, so an
@@ -221,7 +230,8 @@ def training_pipeline(
             ranked,
             fraction=budget_fraction,
             score_col="dsir_score",
-            score_buckets=64,
+            score_buckets=1024,
+            auto_scale_score=True,
         ).join(scored.select("doc_id", "quality"), "doc_id")
         slot_frames = (exact, scored, ranked)
     else:
@@ -246,14 +256,30 @@ def training_pipeline(
         # the new slot's (e.g. a previous DSIR ranked frame for a
         # different target, which is not part of the slot key).
         def _same_plan(a: DataFrame, b: DataFrame) -> bool:
+            # Fails OPEN to retention (round-12 advice finding): a
+            # reflection failure here must degrade to a cache leak
+            # (skip the unpersist, keep the previous entry alive),
+            # never to silently dropping a shared cache entry out
+            # from under the frames persisted above — which is the
+            # exact defect this plan comparison exists to prevent.
+            # Only the expected Py4J/attribute errors are swallowed
+            # (and warned about); anything else propagates.
             try:
                 return bool(
                     a._jdf.queryExecution()
                     .analyzed()
                     .sameResult(b._jdf.queryExecution().analyzed())
                 )
-            except Exception:
-                return False
+            except (Py4JError, AttributeError) as exc:
+                warnings.warn(
+                    "training_pipeline: plan comparison failed "
+                    f"({exc!r}); retaining the previous slot's cache "
+                    "entry (fail-open — a leak, not an uncached "
+                    "repeat)",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
+                return True
 
         for df in prev:
             if any(_same_plan(df, nf) for nf in slot_frames):

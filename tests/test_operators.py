@@ -473,6 +473,89 @@ def test_select_by_token_budget_equals_naive(spark):
     assert got and max(got.values()) < budget
 
 
+def test_select_by_token_budget_auto_scale_equals_naive(spark):
+    """auto_scale_score (round-12 advice fix): a tightly-concentrated
+    SIGNED score (the DSIR per-token mean shape — |score| < 0.25 while
+    the theoretical bound is ±32) must (a) produce the identical
+    output to the naive single-window cut — the affine min/max rescale
+    only changes the parallel decomposition, never the result — and
+    (b) actually spread the rows across bucket space, where the static
+    floor(score·K) bucketing collapses them into a handful of cells
+    (the single-task-window hazard the fix exists for)."""
+    import math
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from shmr_spark.operators.selection import select_by_token_budget
+
+    rng = random.Random(12)
+    rows = [
+        (i, rng.gauss(0.0, 0.08), rng.randrange(1, 400)) for i in range(600)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, score double, n_tokens long"
+    ).repartition(8)
+    budget = 20_000
+
+    got = {
+        r.doc_id: r.start_tok
+        for r in select_by_token_budget(
+            df,
+            budget=budget,
+            score_col="score",
+            score_buckets=1024,
+            auto_scale_score=True,
+        ).collect()
+    }
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    naive = {
+        r.doc_id: r.s
+        for r in df.select(
+            "doc_id", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).alias("s")
+        ).collect()
+        if r.s < budget
+    }
+    assert got == naive
+
+    # the data-level property the fix targets: on this score
+    # population the static map floor(score·64) lands everything in
+    # ~a dozen cells; the affine rescale spreads it across hundreds
+    scores = [s for _, s, _ in rows]
+    static = {math.floor(s * 64) for s in scores}
+    lo, hi = min(scores), max(scores)
+    scaled = {
+        min(math.floor((s - lo) / (hi - lo) * 1024), 1023) for s in scores
+    }
+    assert len(static) < 40 < len(scaled)
+
+
+def test_select_by_token_budget_auto_scale_degenerate_span(spark):
+    """All-equal scores (span 0) under auto_scale_score: every row
+    lands in bucket 0 and the cut still equals the naive form (ties
+    break by id inside the single bucket)."""
+    from pyspark.sql import functions as F
+
+    from shmr_spark.operators.selection import select_by_token_budget
+
+    df = spark.createDataFrame(
+        [(i, 0.5, 10) for i in range(40)],
+        "doc_id long, score double, n_tokens long",
+    ).repartition(4)
+    out = select_by_token_budget(
+        df, budget=100, score_col="score", auto_scale_score=True
+    )
+    kept = sorted(r.doc_id for r in out.collect())
+    # 10 tokens each, budget 100: doc i starts at exactly i·10, and
+    # the keep rule is start_tok < budget, so ids 0..9 (doc 10 starts
+    # AT the budget — no straddle, it is cut)
+    assert kept == list(range(10))
+    assert out.filter(F.col("start_tok") != F.col("doc_id") * 10).count() == 0
+
+
 def test_rollup_merge_equals_full_recompute(spark, sf_dir):
     """merge_rollup(state, delta) must be bit-identical to a full
     rollup over the union — the algebraic-partials identity the
