@@ -6,11 +6,24 @@ p_t and a raw-pool distribution p_r over cheap bag-of-word features,
 weight every raw document x by its importance log-ratio
 log p_t(x) − log p_r(x), and keep a fixed budget of top-weighted
 documents. The result is a raw-pool subset that looks like the
-target domain without training a classifier. (The paper hashes
-n-grams into buckets to bound the feature space; here the feature
-space is the unigram vocabulary itself, which the corpus bounds
-naturally — the hashed variant is the same estimator with `tok`
-replaced by `pmod(hash(tok), B)`, noted below.)
+target domain without training a classifier.
+
+Two feature spaces, selected by ``hash_buckets``:
+
+- ``None`` (default): the raw unigram vocabulary. Correct whenever
+  Heaps' law holds (vocabulary ~O(corpus^0.5)), which bounds the
+  broadcast count relation for curated corpora.
+- ``hash_buckets=B``: the paper's hashed-feature estimator — every
+  token maps to ``bucket = md5_60bits(tok) mod B`` and the
+  distributions are estimated over the ≤B buckets. This is what
+  GUARANTEES a bounded feature space when a raw 100 TB web corpus's
+  vocabulary (typos, URLs, code fragments) outgrows the Heaps-law
+  assumption: the count relation is ≤B rows at ANY corpus size, by
+  construction rather than by corpus statistics. The hash is the
+  engine-portable md5-prefix idiom (first 15 hex chars → 60-bit
+  non-negative int; identical in Spark and DuckDB, the
+  train_test_split / ngram_decontamination playbook) so the hashed
+  gate is oracle-checkable, unlike xxhash64 which only Spark has.
 
 Both distributions are add-one smoothed over the SHARED raw-pool
 vocabulary V (every token seen anywhere appears in both supports, so
@@ -59,13 +72,21 @@ from shmr_spark.functions.scalars import with_scalars
 from shmr_spark.functions.text import tokens
 
 
+def _hashed_bucket(col: Column, num_buckets: int) -> Column:
+    """Engine-portable feature hash: first 60 bits of md5 mod B —
+    non-negative, so Spark's pmod and SQL's ``%`` agree."""
+    h = F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+    return F.pmod(h, F.lit(num_buckets))
+
+
 def dsir_logweight_terms(
     docs: DataFrame,
     is_target: Column,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hash_buckets: int | None = None,
 ) -> DataFrame:
-    """The per-(document, distinct-token) term table behind
+    """The per-(document, distinct-feature) term table behind
     ``dsir_logweights``: (id_col, tok, cnt, term) where ``term`` is
     the un-quantized ln p_t(tok) − ln p_r(tok). Exposed so tests can
     measure the term population's distance from floor-quantization
@@ -75,12 +96,24 @@ def dsir_logweight_terms(
     the target domain (e.g. ``F.col("lang") == "en"``); target
     documents are part of the raw pool, as in the paper's
     continued-pretraining setting.
+
+    With ``hash_buckets=B`` the feature (and the output's ``tok``
+    column, then a BIGINT bucket id) is ``md5_60bits(token) mod B``
+    — the paper's hashed estimator; see the module docstring. The
+    downstream pipeline is identical: only the feature key changes,
+    so everything (one explode, distinct-(doc, feature) exchange,
+    broadcast count relation, in-plan totals) is shared.
     """
+    feat = (
+        F.col("tok")
+        if hash_buckets is None
+        else _hashed_bucket(F.col("tok"), hash_buckets)
+    )
     tok_tbl = docs.select(
         F.col(id_col),
         is_target.alias("__is_t"),
         F.explode(tokens(text_col)).alias("tok"),
-    )
+    ).select(F.col(id_col), F.col("__is_t"), feat.alias("tok"))
     # per-doc counts first: the token-count join input shrinks from
     # token instances to distinct-per-document tokens (__is_t is
     # functionally dependent on the document, so it rides the key)
@@ -115,12 +148,17 @@ def dsir_logweights(
     is_target: Column,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hash_buckets: int | None = None,
 ) -> DataFrame:
     """Per-document DSIR importance log-weight:
     (id_col, n_tokens BIGINT, logweight DOUBLE). Every document of
     ``docs`` appears exactly once (``tokens`` of an empty string is
-    [''], one token, so no document drops out)."""
-    scored = dsir_logweight_terms(docs, is_target, id_col, text_col)
+    [''], one token, so no document drops out). ``n_tokens`` counts
+    tokens in both modes (bucket collisions merge features, never
+    drop tokens, so the count is feature-space-invariant)."""
+    scored = dsir_logweight_terms(
+        docs, is_target, id_col, text_col, hash_buckets
+    )
     t6 = _scaled_long(F.col("term"))
     return scored.groupBy(id_col).agg(
         F.sum("cnt").alias("n_tokens"),
@@ -136,10 +174,11 @@ def dsir_select(
     k: int,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hash_buckets: int | None = None,
 ) -> DataFrame:
     """Top-k raw-pool documents by DSIR importance weight — the
     paper's selection step with a deterministic rank in place of
     Gumbel-noise resampling (reproducible under reruns; ties broken
     by id). Fixed k keeps the plan at TakeOrdered — no global sort."""
-    w = dsir_logweights(docs, is_target, id_col, text_col)
+    w = dsir_logweights(docs, is_target, id_col, text_col, hash_buckets)
     return w.orderBy(F.desc("logweight"), F.asc(id_col)).limit(k)

