@@ -49,101 +49,82 @@ def query(name: str, oracle: str | None = None, headline: bool = False):
 # queries), so the order below is part of the verification strategy.
 # The registry was CLOSED at 176 through round 6, reopened to 179
 # across rounds 7-8 (bloom semi/anti, regression), held at 179
-# through round 10, and opens to 187 across round 11 (compact_roundtrip,
-# bucketed_join_roundtrip, shmr_datasource_roundtrip and
-# sorted_shards_roundtrip give the layout/interop tiers driver-signed
-# gates — closing the r10 verdict's "four components are pytest-only"
-# item entirely; only the per-file SORTEDNESS property stays
-# pytest-only, being a physical layout fact SQL cannot state — plus
-# lm_perplexity / repetition_metrics, the corpus-statistical quality
-# tier of functions/lm.py, and ngram_decontamination, the 13-gram
-# benchmark-overlap filter). Round-11
-# window: after round 10 the freshness histogram is 35 gates at r7,
-# 46 at r8, 48 at r9, 50 at r10 — the r7 cohort is the oldest
-# evidence and fills the bulk of the window. This window takes:
+# through round 10, opened to 187 across round 11 (the four
+# layout/interop roundtrip gates + lm_perplexity, repetition_metrics,
+# ngram_decontamination, dsir_select) and to 188 in round 12
+# (dsir_select_hashed — the paper's hashed-feature DSIR estimator,
+# the bounded-feature-space variant for web-scale vocabularies).
+# Round-12 window: after round 11 the freshness histogram is 42 gates
+# at r8, 45 at r9, 50 at r10, 50 at r11 — the r8 cohort is the oldest
+# evidence and fills the bulk of the window (the r11 verdict's task
+# 1, computed from CORRECTNESS_r01-r11). This window takes:
 #   1. changed-plans-this-round (standing rule: new/changed plans or
-#      oracles outrank rotation): missing_id_ranges (validate.py
-#      moved from value-space to rank-space gap bucketing — the r10
-#      ADVICE skew fix), bloom_semi/anti_join_revenue (auto mode
-#      moved from a key-count to a bytes-based threshold), and the
-#      NEW compact_roundtrip / bucketed_join_roundtrip /
-#      shmr_datasource_roundtrip gates (compaction, bucketed-table,
-#      and DataSource round trips — previously pytest-only);
-#   2. the entire 35-gate round-7 cohort (the oldest evidence);
+#      oracles outrank rotation): the NEW dsir_select_hashed gate,
+#      and dsir_select (its term table gained a feature-projection
+#      step shared with the hashed variant — the optimized plan is
+#      expected unchanged, but a changed analyzed plan re-gates);
+#   2. the entire 42-gate round-8 cohort (the oldest evidence);
 #   3. canaries (standing policy): previously-green anchors spread
-#      across modules/tiers, drawn from the r8 cohort so they also
+#      across modules/tiers, drawn from the r9 cohort so they also
 #      advance the next-oldest evidence. Names absent from this list
 #      keep module registration order after it.
 _PRIORITY: list[str] = [
-    # -- group 1: plans/oracles changed or NEW this round (11; the
-    #    DSIR importance-resampling gate joined mid-round — and the
-    #    corpus-statistical quality gates — bigram-LM perplexity and
-    #    Gopher repetition metrics, functions/lm.py — and the 13-gram
-    #    decontamination gate are new in r11 and take canary slots
-    #    per the standing new-plans-first rule)
-    "missing_id_ranges",
-    "bloom_semi_join_revenue",
-    "bloom_anti_join_revenue",
-    "compact_roundtrip",
-    "bucketed_join_roundtrip",
-    "shmr_datasource_roundtrip",
-    "sorted_shards_roundtrip",
-    "lm_perplexity",
-    "repetition_metrics",
-    "ngram_decontamination",
+    # -- group 1: plans/oracles changed or NEW this round (2)
+    "dsir_select_hashed",
     "dsir_select",
-    # -- group 2: the full r7 cohort (35)
-    "activity_bitmaps",
-    "activity_streaks",
-    "cogroup_reconcile",
-    "cohort_retention",
-    "conversion_latency",
-    "daily_spine_counts",
-    "dedup_simhash",
-    "forward_fill_values",
-    "fuzzy_name_pairs",
-    "grouped_mad",
-    "grouping_sets_agg",
-    "histogram",
-    "json_extract_props",
-    "latest_event_state",
-    "merge_upsert",
-    "moving_average_orders",
-    "multimodal_audio_featurize",
-    "null_safe_join",
-    "profile_columns",
-    "referential_integrity",
-    "revenue_contribution",
-    "salted_agg_revenue",
-    "salted_join_revenue",
-    "similarity_indexed_topk",
-    "similarity_ivf_kmeans_topk",
-    "similarity_lsh_topk",
-    "similarity_quantized_rerank",
-    "stratified_sample",
-    "tfidf_top_terms",
-    "time_weighted_avg",
-    "train_test_split",
-    "udtf_sentences",
-    "unpivot_melt",
-    "variant_extract",
-    "window_tumbling",
-    # -- group 3: canaries, module-diverse, from the r8 cohort (4;
-    #    bpe_pair_counts yielded its slot to the NEW dsir_select gate
-    #    added later in r11 — the BPE tier keeps r9-green evidence
-    #    via bpe_encode_counts;
-    #    redact_pii, token_budget_select and session_window_agg
-    #    yielded their slots to the three extra group-1 gates —
-    #    streaming keeps four r10-green gates, so its freshness is
-    #    already the newest of any tier; dedup_exact, reduce_by_key_q1
-    #    and q9_profit_by_nation yielded theirs to the three NEW r11
-    #    gates — the first two are r10-green already and exercised
-    #    every round anyway as a bench headliner and the entry()
-    #    flagship, and the TPC-H tier keeps other r8+ evidence)
-    "heavy_hitters_tokens",
-    "multimodal_resize",
-    "pagerank_trade_graph",
-    "compat_records_fold",
+    # -- group 2: the full r8 cohort (42)
+    "apply_side_effect",
+    "bool_aggregates",
+    "bpe_pair_counts",
+    "corpus_snapshot_diff",
+    "correlation",
+    "count_distinct",
+    "cube_agg",
+    "dedup_exact",
+    "dedup_incremental",
+    "dedup_semantic",
+    "duplicate_spans",
+    "event_transitions",
+    "filter_orders",
+    "interval_join_events",
+    "monthly_trend",
+    "outlier_filter",
+    "percentile_ranks",
+    "percentiles",
+    "pivot_agg",
+    "q10_returned_top_customers",
+    "q14_promo_share",
+    "q18_large_orders",
+    "q9_profit_by_nation",
+    "range_shards_orders",
+    "redact_pii",
+    "reduce_by_key_q1",
+    "regression_price_qty",
+    "rolling_user_window",
+    "rollup_agg",
+    "rollup_incremental",
+    "scd2_intervals",
+    "sentence_dedup",
+    "session_window_agg",
+    "sessionize",
+    "similarity_topk",
+    "split_by_key_buckets",
+    "token_budget_select",
+    "topk_global",
+    "topk_per_group",
+    "training_subset",
+    "unigram_logprob_score",
+    "validate_orders",
+    # -- group 3: canaries, module-diverse, from the r9 cohort (6):
+    #    one each for the relational-join, TPC-H, dedup, similarity,
+    #    streaming and multimodal tiers, so every tier advances its
+    #    next-oldest evidence alongside the r8 bulk
+    "join_three_way",
+    "q21_single_fault_suppliers",
+    "dedup_embedding_lsh",
+    "knn_join_exact",
+    "streaming_tumbling",
+    "multimodal_featurize",
 ]
 
 
