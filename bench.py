@@ -3,8 +3,14 @@ $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS]. The LAST stdout line is a compact JSON
 summary the driver parses:
   {"metric": ..., "value": N, "unit": "sec", "queries": {...},
+   "medians": {...}, "sentinel": {"before": ..., "after": ...},
    "sf": ..., "scale_value": N, "extras_value": N,
    "detail": "BENCH_DETAIL.json"}
+"value" is the sum of per-query MINIMA over five repetitions (the
+round-comparable metric); "medians" and the fixed-workload machine-
+load "sentinel" bracket (timed before and after the headline loop)
+quantify the box's weather inside the artifact itself — the driver
+headline swung ±20% on identical code two rounds running.
 The full result — per-query shuffle-byte maps, 10x extras, pair
 counts — goes to BENCH_DETAIL.json and an earlier stdout line. (The
 driver keeps only a ~2000-char stdout TAIL; round 8 printed one
@@ -262,6 +268,34 @@ def main() -> None:
     for name, spec in sorted(headline.items()):
         spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    # Machine-load SENTINEL (r11 verdict task 2): a fixed calibration
+    # workload — corpus-independent, registry-independent, pure
+    # JVM-side codegen (range → sum), no I/O — timed immediately
+    # before and immediately after the headline loop. The driver
+    # headline swung ±20% across rounds on identical code (documented
+    # 2.6x same-plan spread); the sentinel puts a number on the
+    # machine weather INSIDE the artifact: compare sentinel medians
+    # across rounds to separate "the box was slow" from "the plan got
+    # slower". ~0.5 s per rep so five reps cost ~2.5 s per bracket.
+    def _sentinel_time() -> float:
+        t0 = time.perf_counter()
+        spark.range(0, 600_000_000, 1, 32).selectExpr(
+            "sum(id * 7 + 3) AS s"
+        ).write.format("noop").mode("overwrite").save()
+        return round(time.perf_counter() - t0, 3)
+
+    import statistics
+
+    def _sentinel_bracket() -> dict:
+        _sentinel_time()  # warm the codegen for this exact plan
+        reps = [_sentinel_time() for _ in range(5)]
+        return {
+            "median": round(statistics.median(reps), 3),
+            "min": min(reps),
+        }
+
+    sentinel_before = _sentinel_bracket()
+
     # Shuffle-byte accounting helpers (UNTIMED passes — and, since
     # round 9, run strictly AFTER every timed loop in the session: r8
     # interleaved these cache-clearing re-execution passes between the
@@ -293,23 +327,35 @@ def main() -> None:
     # the instrument's cache clears / re-executions cannot poison the
     # min-of-N via GC and page-cache pressure (the r8 lesson).
 
-    # min over 3 timed repetitions: one GC pause or CPU-frequency dip
-    # would otherwise dominate a sub-second query's number
-    timings: dict[str, float] = {}
-    for _ in range(3):
+    # five timed repetitions per query (r11 verdict task 2 raised it
+    # from three): the headline "value" stays the per-query MIN sum —
+    # the round-over-round comparable metric since r1, and the most
+    # weather-robust point estimate — and the per-query MEDIANS ride
+    # alongside so a sustained-load round (where even the min drifts)
+    # is distinguishable from a one-off stall (min fine, median up)
+    reps: dict[str, list[float]] = {n: [] for n in headline}
+    for _ in range(5):
         for name, spec in sorted(headline.items()):
             t0 = time.perf_counter()
             df = spec.fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            dt = round(time.perf_counter() - t0, 3)
-            timings[name] = min(timings.get(name, dt), dt)
+            reps[name].append(round(time.perf_counter() - t0, 3))
 
+    sentinel_after = _sentinel_bracket()
+
+    timings = {n: min(ts) for n, ts in reps.items()}
+    medians = {n: round(statistics.median(ts), 3) for n, ts in reps.items()}
     total = round(sum(timings.values()), 3)
     result = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "medians": medians,
+        # before/after bracket: a large after/before delta means the
+        # box's load CHANGED during the run — the per-query numbers
+        # then carry that spread, whatever the plans did
+        "sentinel": {"before": sentinel_before, "after": sentinel_after},
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
 
@@ -442,6 +488,14 @@ def compact_summary(result: dict) -> dict:
         "queries": result["queries"],
         "detail": "BENCH_DETAIL.json",
     }
+    # per-query medians + the machine-load sentinel bracket (r11
+    # verdict task 2): both must reach the driver-recorded artifact,
+    # not just BENCH_DETAIL.json, so the graded number carries its
+    # own weather context
+    if "medians" in result:
+        out["medians"] = result["medians"]
+    if "sentinel" in result:
+        out["sentinel"] = result["sentinel"]
     sc = result.get("scale_check")
     if sc:
         out["scale_value"] = sc["value"]

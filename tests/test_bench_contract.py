@@ -55,6 +55,13 @@ def _largest_realistic_result() -> dict:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        # r12: per-query medians + the machine-load sentinel bracket
+        # are part of the compact line now — worst-case magnitudes
+        "medians": dict(timings),
+        "sentinel": {
+            "before": {"median": 999.999, "min": 999.999},
+            "after": {"median": 999.999, "min": 999.999},
+        },
         "sf": 0.1,
         "shuffle_bytes": {n: {"read": 2**40, "write": 2**40} for n in headline},
         "scale_check": {
