@@ -137,6 +137,54 @@ def test_agg_exchanges_stay_byte_constant_at_100x(spark, name, corpora):
     )
 
 
+def test_indexed_ann_probe_and_build_exchanges_at_100x(spark, corpora):
+    """The persistent-IVF ANN path (similarity_indexed_topk +
+    similarity/index.py), at a PINNED cache state (r11 verdict task
+    4 — the audit's 10x/100x rows were previously taken warm/cold
+    and the ratio came out null):
+
+    - the WARM probe (index built, one throwaway probe first) moves
+      ZERO shuffle bytes at BOTH scales — centroid resolution is a
+      k-row driver collect, the corpus scan is partition-pruned, and
+      top-k is TakeOrdered; nothing exchanges, at any corpus size;
+    - the index BUILD's exchange is byte-CONSTANT (measured 237 KB at
+      10x vs 233 KB at 100x): it carries k-means partial aggregates
+      (per-partition k×dim sums), and the partitionBy write itself
+      never shuffles — so the one corpus-sized data movement in the
+      whole path is the storage write, which is scan-shaped."""
+    import shutil
+    import tempfile
+
+    from shmr_spark.catalog import load_table
+    from shmr_spark.similarity import build_ivf_index
+
+    d10, d100 = corpora
+    spec = load_all()["similarity_indexed_topk"]
+    build = {}
+    for d in (d10, d100):
+        noop_sink(spec.fn(spark, d))  # warm: build index + one probe
+        probe = shuffle_bytes_of(spark, lambda: noop_sink(spec.fn(spark, d)))
+        assert probe["write"] == 0, (
+            f"warm indexed probe at {d} wrote {probe['write']} shuffle "
+            "bytes — the storage-pruned plan started exchanging"
+        )
+        emb = load_table(spark, d, "embeddings")
+        tmp = tempfile.mkdtemp(prefix="shmr_ivf_100x_")
+        try:
+            build[d] = shuffle_bytes_of(
+                spark, lambda: build_ivf_index(emb, tmp, n_cells=8, kmeans_iters=2)
+            )["write"]
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+    assert build[d10] > 0, "index build moved no shuffle bytes at 10x"
+    ratio = build[d100] / build[d10]
+    assert ratio <= 3.0, (
+        f"IVF build exchange ratio {ratio:.2f}x at 10x->100x — the "
+        "k-means partial aggregation stopped absorbing row growth "
+        "(measured ~1.0x: the exchange is per-partition k×dim sums)"
+    )
+
+
 @pytest.mark.parametrize("name", MIXED_SUBLINEAR)
 def test_mixed_exchanges_stay_sublinear_at_100x(spark, name, corpora):
     ratio = _ratio(spark, name, corpora)

@@ -60,6 +60,32 @@ def _knn_join_lsh_fixed_probes(spark, sf_dir):
     return knn_join_lsh(probes, emb, k=5, n_planes=8, radius=1)
 
 
+def _index_build(spark, sf_dir):
+    # the BUILD side of the persistent IVF index, isolated: a cold
+    # k-means assign + partitionBy write into a throwaway dir. The
+    # warm probe moves ZERO shuffle bytes by design, so the build is
+    # the only exchange in the path — and it is byte-CONSTANT
+    # (k-means partials: per-partition k×dim sums; the partitionBy
+    # write never shuffles), measured ~233 KB at both 10x and 100x.
+    # The corpus-sized data movement is the storage WRITE, which is
+    # scan-shaped, not an exchange.
+    import shutil
+    import tempfile
+
+    from shmr_spark.catalog import load_table
+    from shmr_spark.similarity import build_ivf_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = tempfile.mkdtemp(prefix="shmr_audit_ivf_")
+    try:
+        build_ivf_index(emb, d, n_cells=8, kmeans_iters=2)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    # return a trivially-collectable frame so the shared noop harness
+    # has something to sink; the build already ran above
+    return spark.range(1)
+
+
 def main() -> None:
     spark = get_spark(app_name="shmr_audit_100x_llm")
     from tools.make_scaled_sf import make_scaled
@@ -83,7 +109,18 @@ def main() -> None:
         # r11: DSIR selection — distinct-(doc,token) exchange, fixed-k
         # TakeOrdered; expected byte-linear (~10.9x measured)
         "dsir_select": reg["dsir_select"].fn,
+        # r12: the IVF index BUILD in isolation (k-means assign +
+        # partitionBy write, cold every time) — the corpus-growing
+        # exchange the warm probe doesn't have
+        "similarity_index_build": _index_build,
     }
+
+    # r12 (verdict task 4): rows measured at a PINNED cache state —
+    # one untimed pass first (builds the on-disk index if absent and
+    # runs a throwaway probe), so 10x and 100x are both WARM. The r11
+    # artifact mixed a fully-warm 10x (0 bytes) with a cold-build
+    # 100x (232 KB) and the ratio came out null.
+    warm_first = {"similarity_indexed_topk"}
 
     # rows whose 100x wall is weather-hostage (BUILD_LOG §43:
     # 161/116/299 s over byte-identical plans — a 2.6x spread no
@@ -96,6 +133,8 @@ def main() -> None:
     for name, fn in specs.items():
         row: dict = {}
         for label, d in (("10x", d10), ("100x", d100)):
+            if name in warm_first:
+                noop_sink(fn(spark, d))  # build + throwaway probe
             t0 = time.perf_counter()
             bytes_ = shuffle_bytes_of(spark, lambda: noop_sink(fn(spark, d)))
             wall = round(time.perf_counter() - t0, 3)
@@ -108,8 +147,22 @@ def main() -> None:
                 }
             else:
                 row[label] = {"write_bytes": bytes_["write"], "wall": wall}
+        if name in warm_first:
+            row["cache_state"] = (
+                "warm at BOTH scales: index built + one throwaway "
+                "probe before each measurement"
+            )
         w10, w100 = row["10x"]["write_bytes"], row["100x"]["write_bytes"]
-        row["byte_ratio_100x_over_10x"] = round(w100 / w10, 2) if w10 else None
+        if w10:
+            row["byte_ratio_100x_over_10x"] = round(w100 / w10, 2)
+        elif w100 == 0:
+            # zero exchange at both scales IS the ratio: the plan
+            # moves no shuffle bytes regardless of corpus size (the
+            # storage-pruned warm probe) — byte-constant at zero
+            row["byte_ratio_100x_over_10x"] = 1.0
+            row["byte_ratio_note"] = "0 bytes at both scales (constant)"
+        else:
+            row["byte_ratio_100x_over_10x"] = None
         out[name] = row
         print(name, json.dumps(row), flush=True)
 
