@@ -85,12 +85,16 @@ def dsir_logweight_terms(
     id_col: str = "doc_id",
     text_col: str = "text",
     hash_buckets: int | None = None,
+    ngrams: int = 1,
 ) -> DataFrame:
     """The per-(document, distinct-feature) term table behind
-    ``dsir_logweights``: (id_col, tok, cnt, term) where ``term`` is
-    the un-quantized ln p_t(tok) − ln p_r(tok). Exposed so tests can
-    measure the term population's distance from floor-quantization
-    boundaries (the cross-engine ln() exposure).
+    ``dsir_logweights``: (id_col, tok, cnt, n_toks, term) where
+    ``term`` is the un-quantized ln p_t(tok) − ln p_r(tok) and
+    ``n_toks`` is the document's TOKEN count (feature-space-
+    invariant — it rides the group key so per-token normalization
+    survives feature sets larger than the token sequence). Exposed
+    so tests can measure the term population's distance from
+    floor-quantization boundaries (the cross-engine ln() exposure).
 
     ``is_target`` is a boolean Column over ``docs``'s columns naming
     the target domain (e.g. ``F.col("lang") == "en"``); target
@@ -98,12 +102,24 @@ def dsir_logweight_terms(
     continued-pretraining setting.
 
     With ``hash_buckets=B`` the feature (and the output's ``tok``
-    column, then a BIGINT bucket id) is ``md5_60bits(token) mod B``
-    — the paper's hashed estimator; see the module docstring. The
-    downstream pipeline is identical: only the feature key changes,
-    so everything (one explode, distinct-(doc, feature) exchange,
-    broadcast count relation, in-plan totals) is shared.
+    column, then a BIGINT bucket id) is ``md5_60bits(feature) mod
+    B`` — the paper's hashed estimator; see the module docstring.
+    ``ngrams=2`` widens the feature set to unigrams + adjacent
+    bigrams (the paper's actual feature space; bigrams reuse
+    functions/lm.py's O(tokens) zip_with construction). The
+    downstream pipeline is identical in every mode: only the feature
+    key changes, so everything (one explode, distinct-(doc, feature)
+    exchange, broadcast count relation, in-plan totals) is shared.
     """
+    if ngrams not in (1, 2):
+        raise ValueError(f"ngrams must be 1 or 2, got {ngrams}")
+    toks_arr = tokens(text_col)
+    if ngrams == 2:
+        from shmr_spark.functions.lm import _bigram_strings
+
+        feats_arr = F.concat(toks_arr, _bigram_strings(text_col))
+    else:
+        feats_arr = toks_arr
     feat = (
         F.col("tok")
         if hash_buckets is None
@@ -112,12 +128,16 @@ def dsir_logweight_terms(
     tok_tbl = docs.select(
         F.col(id_col),
         is_target.alias("__is_t"),
-        F.explode(tokens(text_col)).alias("tok"),
-    ).select(F.col(id_col), F.col("__is_t"), feat.alias("tok"))
-    # per-doc counts first: the token-count join input shrinks from
-    # token instances to distinct-per-document tokens (__is_t is
-    # functionally dependent on the document, so it rides the key)
-    dc = tok_tbl.groupBy(id_col, "__is_t", "tok").agg(
+        F.size(toks_arr).cast("long").alias("n_toks"),
+        F.explode(feats_arr).alias("tok"),
+    ).select(
+        F.col(id_col), F.col("__is_t"), F.col("n_toks"), feat.alias("tok")
+    )
+    # per-doc counts first: the feature-count join input shrinks from
+    # feature instances to distinct-per-document features (__is_t and
+    # n_toks are functionally dependent on the document, so they ride
+    # the key)
+    dc = tok_tbl.groupBy(id_col, "__is_t", "n_toks", "tok").agg(
         F.count("*").alias("cnt")
     )
     # raw + target counts from ONE aggregation over dc
@@ -140,7 +160,7 @@ def dsir_logweight_terms(
         (F.col("cr") + 1).cast("double")
         / (F.col("__nr") + F.col("__v")).cast("double")
     )
-    return scored.select(id_col, "tok", "cnt", term.alias("term"))
+    return scored.select(id_col, "tok", "cnt", "n_toks", term.alias("term"))
 
 
 def dsir_logweights(
@@ -149,19 +169,22 @@ def dsir_logweights(
     id_col: str = "doc_id",
     text_col: str = "text",
     hash_buckets: int | None = None,
+    ngrams: int = 1,
 ) -> DataFrame:
     """Per-document DSIR importance log-weight:
     (id_col, n_tokens BIGINT, logweight DOUBLE). Every document of
     ``docs`` appears exactly once (``tokens`` of an empty string is
     [''], one token, so no document drops out). ``n_tokens`` counts
-    tokens in both modes (bucket collisions merge features, never
-    drop tokens, so the count is feature-space-invariant)."""
+    TOKENS in every mode — bucket collisions merge features and
+    ``ngrams=2`` adds bigram features, but the count rides the group
+    key from the scan, so per-token normalization (the training
+    pipeline's mean) is feature-space-invariant."""
     scored = dsir_logweight_terms(
-        docs, is_target, id_col, text_col, hash_buckets
+        docs, is_target, id_col, text_col, hash_buckets, ngrams
     )
     t6 = _scaled_long(F.col("term"))
     return scored.groupBy(id_col).agg(
-        F.sum("cnt").alias("n_tokens"),
+        F.max("n_toks").alias("n_tokens"),
         (F.sum(t6 * F.col("cnt")).cast("double") / F.lit(_SCALE)).alias(
             "logweight"
         ),
@@ -175,10 +198,13 @@ def dsir_select(
     id_col: str = "doc_id",
     text_col: str = "text",
     hash_buckets: int | None = None,
+    ngrams: int = 1,
 ) -> DataFrame:
     """Top-k raw-pool documents by DSIR importance weight — the
     paper's selection step with a deterministic rank in place of
     Gumbel-noise resampling (reproducible under reruns; ties broken
     by id). Fixed k keeps the plan at TakeOrdered — no global sort."""
-    w = dsir_logweights(docs, is_target, id_col, text_col, hash_buckets)
+    w = dsir_logweights(
+        docs, is_target, id_col, text_col, hash_buckets, ngrams
+    )
     return w.orderBy(F.desc("logweight"), F.asc(id_col)).limit(k)

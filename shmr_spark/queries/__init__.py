@@ -52,8 +52,10 @@ def query(name: str, oracle: str | None = None, headline: bool = False):
 # through round 10, opened to 187 across round 11 (the four
 # layout/interop roundtrip gates + lm_perplexity, repetition_metrics,
 # ngram_decontamination, dsir_select) and to 188 in round 12
-# (dsir_select_hashed — the paper's hashed-feature DSIR estimator,
-# the bounded-feature-space variant for web-scale vocabularies).
+# (dsir_select_hashed and dsir_select_ngram_hashed — the paper's
+# hashed-feature DSIR estimators, token-level and full
+# unigram+bigram, the bounded-feature-space variants for web-scale
+# vocabularies).
 # Round-12 window: after round 11 the freshness histogram is 42 gates
 # at r8, 45 at r9, 50 at r10, 50 at r11 — the r8 cohort is the oldest
 # evidence and fills the bulk of the window (the r11 verdict's task
@@ -69,7 +71,8 @@ def query(name: str, oracle: str | None = None, headline: bool = False):
 #      advance the next-oldest evidence. Names absent from this list
 #      keep module registration order after it.
 _PRIORITY: list[str] = [
-    # -- group 1: plans/oracles changed or NEW this round (2)
+    # -- group 1: plans/oracles changed or NEW this round (3)
+    "dsir_select_ngram_hashed",
     "dsir_select_hashed",
     "dsir_select",
     # -- group 2: the full r8 cohort (42)
@@ -115,16 +118,16 @@ _PRIORITY: list[str] = [
     "training_subset",
     "unigram_logprob_score",
     "validate_orders",
-    # -- group 3: canaries, module-diverse, from the r9 cohort (6):
-    #    one each for the relational-join, TPC-H, dedup, similarity,
-    #    streaming and multimodal tiers, so every tier advances its
-    #    next-oldest evidence alongside the r8 bulk
+    # -- group 3: canaries, module-diverse, from the r9 cohort (5):
+    #    one each for the relational-join, TPC-H, dedup, similarity
+    #    and streaming tiers (the multimodal canary yielded its slot
+    #    to the third group-1 gate — the multimodal tier still
+    #    advances via multimodal_audio_featurize in the r8 cohort)
     "join_three_way",
     "q21_single_fault_suppliers",
     "dedup_embedding_lsh",
     "knn_join_exact",
     "streaming_tumbling",
-    "multimodal_featurize",
 ]
 
 

@@ -1387,6 +1387,85 @@ def dsir_select_hashed(spark, sf_dir):
     )
 
 
+# The paper's FULL configuration: hashed unigram + adjacent-bigram
+# features (Xie et al. §3 hash bag-of-ngrams with n ≤ 2). The bigram
+# set widens the feature instance stream to 2N−1 per document but the
+# count relation stays ≤B rows; n_tokens still counts TOKENS (it
+# rides the group key from the scan), so per-token normalization is
+# feature-space-invariant. B=64 keeps collisions live at gate scale
+# (unigram+bigram vocabulary ≫ 64 here).
+_DSIR_NGRAM_B = 64
+
+
+@query(
+    "dsir_select_ngram_hashed",
+    oracle=f"""
+WITH feats AS (
+  SELECT doc_id, (lang = 'en') AS is_t,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+         unnest(list_concat(
+             string_split(text, ' '),
+             list_transform(
+                 generate_series(1, len(string_split(text, ' ')) - 1),
+                 i -> string_split(text, ' ')[i] || ' ' ||
+                      string_split(text, ' ')[i+1])
+         )) AS f
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, is_t, n_toks,
+         CAST('0x' || substr(md5(f), 1, 15) AS BIGINT) % {_DSIR_NGRAM_B}
+             AS tok
+  FROM feats
+),
+dc AS (
+  SELECT doc_id, is_t, n_toks, tok, count(*) AS cnt
+  FROM toks GROUP BY 1, 2, 3, 4
+),
+cc AS (
+  SELECT tok, CAST(SUM(cnt) AS BIGINT) AS cr,
+         CAST(SUM(CASE WHEN is_t THEN cnt ELSE 0 END) AS BIGINT) AS ct
+  FROM dc GROUP BY 1
+),
+tot AS (
+  SELECT count(*) AS v, CAST(SUM(cr) AS BIGINT) AS nr,
+         CAST(SUM(ct) AS BIGINT) AS nt
+  FROM cc
+),
+scored AS (
+  SELECT dc.doc_id, dc.cnt, dc.n_toks,
+         CAST(floor((ln(CAST(cc.ct + 1 AS DOUBLE)
+                        / CAST(tot.nt + tot.v AS DOUBLE))
+                   - ln(CAST(cc.cr + 1 AS DOUBLE)
+                        / CAST(tot.nr + tot.v AS DOUBLE)))
+                    * 1000000.0 + 0.5) AS BIGINT) AS t6
+  FROM dc JOIN cc USING (tok) CROSS JOIN tot
+)
+SELECT doc_id,
+       CAST(MAX(n_toks) AS BIGINT) AS n_tokens,
+       CAST(CAST(SUM(t6 * cnt) AS BIGINT) AS DOUBLE) / 1000000.0
+           AS logweight
+FROM scored GROUP BY 1
+ORDER BY logweight DESC, doc_id
+LIMIT {_DSIR_K}
+""",
+)
+def dsir_select_ngram_hashed(spark, sf_dir):
+    """Top-{k} documents by the paper's full hashed bag-of-ngrams
+    DSIR estimator (unigrams + adjacent bigrams, md5-bucketed into
+    B={buckets})."""
+    from shmr_spark.functions.dsir import dsir_select as sel
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sel(
+        docs,
+        F.col("lang") == "en",
+        k=_DSIR_K,
+        hash_buckets=_DSIR_NGRAM_B,
+        ngrams=2,
+    )
+
+
 # --------------------------------------------------------------------------
 # N-gram decontamination (the GPT-3/Llama playbook): a test-split
 # document is contaminated if it shares ANY token 13-gram with the

@@ -328,3 +328,19 @@ def test_dsir_hashed_terms_clear_floor_boundaries(spark, sf_dir):
     assert worst > 2e-8, (
         f"a hashed DSIR term sits {worst} from a floor boundary"
     )
+
+    # the full unigram+bigram hashed feature set (the
+    # dsir_select_ngram_hashed gate, B=64): a third term population
+    # again — measured worst margins 8.5e-4 (sf0.001), 2.0e-3
+    # (sf0.01), 4.3e-3 (sf0.1), ≥ 4×10⁵ over the window
+    from shmr_spark.queries.text import _DSIR_NGRAM_B
+
+    terms2 = dsir_logweight_terms(
+        docs, F.col("lang") == "en", hash_buckets=_DSIR_NGRAM_B, ngrams=2
+    )
+    y2 = F.col("term") * 1e6 + 0.5
+    dist2 = F.least(y2 - F.floor(y2), F.floor(y2) + 1 - y2)
+    worst2 = terms2.agg(F.min(dist2).alias("d")).collect()[0].d
+    assert worst2 > 2e-8, (
+        f"an ngram-hashed DSIR term sits {worst2} from a floor boundary"
+    )

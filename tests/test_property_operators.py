@@ -578,11 +578,13 @@ def test_dsir_logweights_match_bruteforce(spark, texts, flags):
 )
 def test_dsir_hashed_logweights_match_bruteforce(spark, texts, flags):
     """The hashed-feature estimator (hash_buckets=B) on arbitrary
-    unicode corpora: every token maps to md5_60bits mod B (B=7,
-    deliberately tiny so arbitrary inputs collide) and the estimator
-    runs over bucket counts — mirrored brute-force in Python with
-    hashlib.md5 over the token's UTF-8 bytes, which is exactly what
-    Spark's md5() hashes."""
+    unicode corpora, in BOTH feature modes (ngrams=1 token features,
+    ngrams=2 token+adjacent-bigram features — the paper's full set):
+    every feature maps to md5_60bits mod B (B=7, deliberately tiny so
+    arbitrary inputs collide) and the estimator runs over bucket
+    counts — mirrored brute-force in Python with hashlib.md5 over the
+    feature's UTF-8 bytes, which is exactly what Spark's md5()
+    hashes. n_tokens must count TOKENS in both modes."""
     import hashlib
     import math
     from collections import Counter
@@ -593,36 +595,43 @@ def test_dsir_hashed_logweights_match_bruteforce(spark, texts, flags):
 
     B = 7
 
-    def bucket(tok: str) -> int:
-        return int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:15], 16) % B
+    def bucket(feat: str) -> int:
+        return int(hashlib.md5(feat.encode("utf-8")).hexdigest()[:15], 16) % B
+
+    def features(t: str, ngrams: int) -> list[int]:
+        toks = t.split(" ")
+        feats = list(toks)
+        if ngrams == 2:
+            feats += [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        return [bucket(f) for f in feats]
 
     rows = [(i, bool(flags[i]), t) for i, t in enumerate(texts)]
     docs = spark.createDataFrame(
         rows, "doc_id long, is_t boolean, text string"
     )
-    cr, ct = Counter(), Counter()
-    for _, is_t, t in rows:
-        feats = [bucket(tok) for tok in t.split(" ")]
-        cr.update(feats)
-        if is_t:
-            ct.update(feats)
-    v, nr, nt = len(cr), sum(cr.values()), sum(ct.values())
+    for ngrams in (1, 2):
+        cr, ct = Counter(), Counter()
+        for _, is_t, t in rows:
+            feats = features(t, ngrams)
+            cr.update(feats)
+            if is_t:
+                ct.update(feats)
+        v, nr, nt = len(cr), sum(cr.values()), sum(ct.values())
 
-    got = {
-        r.doc_id: (r.n_tokens, r.logweight)
-        for r in dsir_logweights(
-            docs, F.col("is_t"), hash_buckets=B
-        ).collect()
-    }
-    assert set(got) == {i for i, _, _ in rows}
-    for i, _, t in rows:
-        toks = t.split(" ")
-        s = 0
-        for feat, cnt in Counter(bucket(tok) for tok in toks).items():
-            term = math.log((ct[feat] + 1) / (nt + v)) - math.log(
-                (cr[feat] + 1) / (nr + v)
-            )
-            s += math.floor(term * 1e6 + 0.5) * cnt
-        n_tokens, logweight = got[i]
-        assert n_tokens == len(toks)
-        assert abs(logweight - s / 1e6) < 2e-6
+        got = {
+            r.doc_id: (r.n_tokens, r.logweight)
+            for r in dsir_logweights(
+                docs, F.col("is_t"), hash_buckets=B, ngrams=ngrams
+            ).collect()
+        }
+        assert set(got) == {i for i, _, _ in rows}
+        for i, _, t in rows:
+            s = 0
+            for feat, cnt in Counter(features(t, ngrams)).items():
+                term = math.log((ct[feat] + 1) / (nt + v)) - math.log(
+                    (cr[feat] + 1) / (nr + v)
+                )
+                s += math.floor(term * 1e6 + 0.5) * cnt
+            n_tokens, logweight = got[i]
+            assert n_tokens == len(t.split(" "))
+            assert abs(logweight - s / 1e6) < 2e-6
