@@ -84,6 +84,8 @@ def training_pipeline(
     pack_budget: int = 2048,
     n_shards: int = 16,
     dsir_target=None,
+    dsir_hash_buckets: int | None = None,
+    dsir_ngrams: int = 1,
 ) -> DataFrame:
     """Run the full flow over ``sf_dir``'s documents table; returns
     the final shard table (doc_id, quality, n_tokens, start_tok,
@@ -107,6 +109,15 @@ def training_pipeline(
     it adds the DSIR scoring pass (one
     (doc, token) partial-aggregated explode + a broadcast-sized
     count relation) over the persisted exact-dedup frame.
+
+    ``dsir_hash_buckets`` / ``dsir_ngrams`` select the hashed
+    bounded-feature estimator (the production configuration for raw
+    web-scale corpora, where the count relation must be ≤B rows by
+    construction rather than Heaps-bounded) and the paper's
+    unigram+bigram feature set; both pass straight through to
+    ``dsir_logweights``. The per-token mean stays the ranking score
+    in every mode — n_tokens counts tokens regardless of feature
+    space.
     """
     docs = load_table(spark, sf_dir, "documents")
 
@@ -217,7 +228,12 @@ def training_pipeline(
         #   the cache slot below so eviction tracks it.
         ranked = (
             scored.join(
-                dsir_logweights(exact, dsir_target).select(
+                dsir_logweights(
+                    exact,
+                    dsir_target,
+                    hash_buckets=dsir_hash_buckets,
+                    ngrams=dsir_ngrams,
+                ).select(
                     "doc_id",
                     (F.col("logweight") / F.col("n_tokens")).alias(
                         "dsir_score"

@@ -123,9 +123,33 @@ def test_training_pipeline_dsir_selection(spark, sf_dir):
             .collect()
         }
         assert len(d_ids & en) >= len(b_ids & en)
+
+        # the hashed bounded-feature estimator (production config for
+        # raw web corpora) through the same composition: the chain
+        # invariants hold and the budget-fraction cut keeps the same
+        # token-mass bound — the feature space changes the ORDER, not
+        # the contract
+        hashed = training_pipeline(
+            spark,
+            sf_dir,
+            n_shards=4,
+            dsir_target=F.col("lang") == "en",
+            dsir_hash_buckets=16,
+            dsir_ngrams=2,
+        ).cache()
+        try:
+            h_ids = {r.doc_id for r in hashed.select("doc_id").collect()}
+            assert hashed.select("doc_id").distinct().count() == len(h_ids)
+            hagg = hashed.agg(
+                F.sum("n_tokens").alias("tot"),
+                F.max(F.col("start_tok") + F.col("n_tokens")).alias("hi"),
+            ).collect()[0]
+            assert hagg.tot == hagg.hi
+        finally:
+            hashed.unpersist()
     finally:
         d.unpersist()
-        # the two modes leave corpus-sized survivor caches in the
+        # the modes leave corpus-sized survivor caches in the
         # module slot map — release them so the rest of the suite
-        # doesn't carry 4 MEMORY_AND_DISK frames
+        # doesn't carry the MEMORY_AND_DISK frames
         clear_pipeline_caches()
