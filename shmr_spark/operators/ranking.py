@@ -163,18 +163,114 @@ def global_ntile(
         raise ValueError(f"global_ntile needs n >= 1, got {n}")
     ranked = global_rank(df, key_col, id_col, bucket=bucket, rank_col="__rank")
     total = df.groupBy().agg(F.count(F.lit(1)).alias("__total"))
-    # integer `div` end to end — float division would drift past 2^53
-    tile = F.expr(
+    return (
+        with_scalars(ranked, total)
+        .withColumn(tile_col, _ntile_case(n))
+        .drop("__rank", "__total")
+    )
+
+
+def _ntile_case(n: int) -> Column:
+    """SQL ntile's exact remainder rule over a precomputed ``__rank``
+    / ``__total`` pair, in pure integer arithmetic (`div` end to end —
+    float division would drift past 2^53). The N < n degenerate
+    (quota q = 0) stays inside the first CASE branch — rem = N and
+    every rank ≤ rem·(q+1) = N — so the ``div q`` in the ELSE never
+    divides by zero on a taken branch (CASE evaluates lazily per row,
+    ANSI mode included)."""
+    return F.expr(
         f"CAST(CASE WHEN __rank <= (__total % {n}) * (__total div {n} + 1) "
         f"THEN (__rank - 1) div (__total div {n} + 1) + 1 "
         f"ELSE (__total % {n}) "
         f"  + (__rank - (__total % {n}) * (__total div {n} + 1) - 1) "
         f"    div (__total div {n}) + 1 "
         f"END AS INT)"
-    ).alias(tile_col)
+    )
+
+
+def grouped_rank(
+    df: DataFrame,
+    group_cols: list[str],
+    key_col: str,
+    id_col: str,
+    bucket: Column | None = None,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """``row_number() OVER (PARTITION BY group ORDER BY key, id)``
+    without the one-task-per-group window — the grouped
+    generalization of global_rank for the "few large groups" regime
+    (per-language perplexity buckets, per-source quality ranks),
+    where a bare partitioned window serializes each group through a
+    single task no matter how many executors are idle.
+
+    Same two-phase shape: one GLOBAL order-preserving coarse bucket
+    of the key (a global fixed-width cell is order-preserving within
+    every group, so one min/max pass serves all groups), bucket
+    totals counted per (group, bucket), a window over the TOTALS
+    table (≤ |groups|·N_BUCKETS rows) partitioned by group yields
+    each (group, bucket)'s offset, and a broadcast join plus a
+    per-(group, bucket) row_number finishes the rank with every cell
+    scanning in parallel.
+
+    Sizing contract: the broadcast offsets table is
+    ≤ |groups|·N_BUCKETS rows, so this is for MODEST group
+    cardinality (languages, sources, shards — thousands at most).
+    With millions of tiny groups the plain partitioned window is
+    already parallel (one small task per group) and is the right
+    tool; this operator exists for the opposite corner.
+    """
+    if bucket is None:
+        rows = _auto_bucketed(df, key_col)
+    else:
+        rows = df.withColumn("__bucket", bucket)
+
+    totals = rows.groupBy(*group_cols, "__bucket").agg(
+        F.count(F.lit(1)).alias("__bcnt")
+    )
+    w_b = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        *group_cols,
+        "__bucket",
+        F.coalesce(F.sum("__bcnt").over(w_b), F.lit(0)).alias("__boff"),
+    )
+    w_in = Window.partitionBy(*group_cols, "__bucket").orderBy(key_col, id_col)
     return (
-        with_scalars(ranked, total)
-        .withColumn(tile_col, tile)
+        rows.join(F.broadcast(offsets), [*group_cols, "__bucket"])
+        .withColumn(rank_col, F.col("__boff") + F.row_number().over(w_in))
+        .drop("__bucket", "__boff")
+    )
+
+
+def grouped_ntile(
+    df: DataFrame,
+    group_cols: list[str],
+    key_col: str,
+    id_col: str,
+    n: int,
+    bucket: Column | None = None,
+    tile_col: str = "tile",
+) -> DataFrame:
+    """``ntile(n) OVER (PARTITION BY group ORDER BY key, id)`` on top
+    of grouped_rank — row-identical to the window function per group
+    (the same ANSI remainder rule as global_ntile, applied to each
+    group's own rank/total pair), with every group's scan
+    parallelized across its key buckets. The CCNet head/middle/tail
+    perplexity split is ntile(3) per language — exactly this shape.
+    Output: input columns + ``tile_col`` (1-based int)."""
+    n = int(n)
+    if n < 1:
+        raise ValueError(f"grouped_ntile needs n >= 1, got {n}")
+    ranked = grouped_rank(
+        df, group_cols, key_col, id_col, bucket=bucket, rank_col="__rank"
+    )
+    totals = df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("__total"))
+    return (
+        ranked.join(F.broadcast(totals), group_cols)
+        .withColumn(tile_col, _ntile_case(n))
         .drop("__rank", "__total")
     )
 

@@ -1561,3 +1561,170 @@ def ngram_decontamination(spark, sf_dir):
             ).alias("contamination_frac"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# CCNet perplexity buckets: the head/middle/tail split (Wenzek et al.
+# 2020) assigns every document a per-LANGUAGE perplexity tercile —
+# the standard corpus-quality partition downstream filters key on.
+# Scale shape: a bare ntile(3) OVER (PARTITION BY lang ...) funnels
+# each language (terabytes, at web scale) through ONE task;
+# grouped_ntile reproduces ntile's exact remainder rule per group on
+# top of the two-phase bucketed rank, so every language's scan
+# parallelizes across key cells. Ordering is (avg_neg_logp, doc_id):
+# the score is the SAME quantized-int64-sum double on both engines
+# (lm_perplexity's contract), so the order — and therefore every
+# tile boundary — is engine-invariant.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "perplexity_buckets",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+uni AS (
+  SELECT tok, count(*) AS c1 FROM toks GROUP BY 1
+),
+vocab AS (
+  SELECT count(*) AS v FROM uni
+),
+bgs AS (
+  SELECT doc_id, unnest(list_transform(
+      generate_series(1, len(string_split(text, ' ')) - 1),
+      i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+  )) AS bg FROM documents
+),
+bc AS (
+  SELECT doc_id, bg, count(*) AS cnt FROM bgs GROUP BY 1, 2
+),
+c2 AS (
+  SELECT bg, CAST(SUM(cnt) AS BIGINT) AS c2 FROM bc GROUP BY 1
+),
+scored AS (
+  SELECT bc.doc_id, bc.cnt,
+         CAST(floor(-ln(CAST(c2.c2 + 1 AS DOUBLE)
+                        / CAST(uni.c1 + vocab.v AS DOUBLE))
+                    * 1000000.0 + 0.5) AS BIGINT) AS t6
+  FROM bc
+  JOIN c2 ON bc.bg = c2.bg
+  JOIN uni ON string_split(bc.bg, ' ')[1] = uni.tok
+  CROSS JOIN vocab
+),
+ppl AS (
+  SELECT doc_id,
+         CAST(CAST(SUM(t6 * cnt) AS BIGINT) AS DOUBLE) / 1000000.0
+             / CAST(CAST(SUM(cnt) AS BIGINT) AS DOUBLE) AS avg_neg_logp
+  FROM scored GROUP BY 1
+)
+SELECT p.doc_id, d.lang, p.avg_neg_logp,
+       CAST(ntile(3) OVER (
+           PARTITION BY d.lang ORDER BY p.avg_neg_logp, p.doc_id
+       ) AS INT) AS ppl_bucket
+FROM ppl p JOIN documents d USING (doc_id)
+""",
+)
+def perplexity_buckets(spark, sf_dir):
+    """Per-language perplexity terciles (1 = head, 3 = tail) over the
+    bigram-LM score. Single-token documents have no bigrams and are
+    absent on both sides (the lm_perplexity contract)."""
+    from shmr_spark.functions.lm import bigram_lm_scores
+    from shmr_spark.operators.ranking import grouped_ntile
+
+    docs = load_table(spark, sf_dir, "documents")
+    scores = bigram_lm_scores(docs).select("doc_id", "avg_neg_logp")
+    scored = scores.join(docs.select("doc_id", "lang"), "doc_id")
+    tiled = grouped_ntile(
+        scored, ["lang"], "avg_neg_logp", "doc_id", 3, tile_col="ppl_bucket"
+    )
+    return tiled.select("doc_id", "lang", "avg_neg_logp", "ppl_bucket")
+
+
+# --------------------------------------------------------------------------
+# Supervised quality/domain classifier (functions/nb.py): multinomial
+# Naive Bayes trained in-plan on the doc_id % 5 != 0 split and scored
+# over the held-out fifth — the closed-form member of the fastText
+# filter family (FineWeb-Edu / CCNet playbook). Everything is exact
+# integer counts except one quantized ln() per distinct (token,
+# class) likelihood and per class prior, so the argmax compares
+# exact int64 scores and both engines agree bit-for-bit.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "nb_lang_classifier",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, lang, (doc_id % 5 <> 0) AS is_tr,
+         unnest(string_split(text, ' ')) AS tok
+  FROM documents
+),
+cc AS (
+  SELECT tok, lang, CAST(count(*) AS BIGINT) AS cws
+  FROM toks WHERE is_tr GROUP BY 1, 2
+),
+cls AS (
+  SELECT lang, CAST(SUM(cws) AS BIGINT) AS ns FROM cc GROUP BY 1
+),
+pri AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS ds
+  FROM documents WHERE doc_id % 5 <> 0 GROUP BY 1
+),
+tot AS (
+  SELECT (SELECT count(DISTINCT tok) FROM cc) AS v,
+         (SELECT CAST(SUM(ds) AS BIGINT) FROM pri) AS d
+),
+dc AS (
+  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS cnt
+  FROM toks WHERE NOT is_tr GROUP BY 1, 2
+),
+sc AS (
+  SELECT dc.doc_id, c.lang,
+         CAST(floor(ln(CAST(COALESCE(cc.cws, 0) + 1 AS DOUBLE)
+                       / CAST(c.ns + t.v AS DOUBLE))
+                    * 1000000.0 + 0.5) AS BIGINT) AS t6,
+         dc.cnt,
+         CAST(floor(ln(CAST(p.ds AS DOUBLE) / CAST(t.d AS DOUBLE))
+                    * 1000000.0 + 0.5) AS BIGINT) AS p6
+  FROM dc
+  CROSS JOIN cls c
+  CROSS JOIN tot t
+  JOIN pri p ON p.lang = c.lang
+  LEFT JOIN cc ON cc.tok = dc.tok AND cc.lang = c.lang
+),
+agg AS (
+  SELECT doc_id, lang,
+         MIN(p6) + CAST(SUM(t6 * cnt) AS BIGINT) AS score_q
+  FROM sc GROUP BY 1, 2
+),
+best AS (
+  SELECT doc_id, lang AS pred, score_q,
+         row_number() OVER (
+             PARTITION BY doc_id ORDER BY score_q DESC, lang ASC
+         ) AS rn
+  FROM agg
+)
+SELECT b.doc_id AS test_doc, d.lang AS actual_lang, b.pred AS pred_lang,
+       (b.pred = d.lang) AS is_correct,
+       CAST(b.score_q AS DOUBLE) / 1000000.0 AS score
+FROM best b JOIN documents d USING (doc_id)
+WHERE rn = 1
+""",
+)
+def nb_lang_classifier(spark, sf_dir):
+    """Held-out language prediction: train on doc_id % 5 != 0,
+    classify the rest; ties break to the smallest class name."""
+    from shmr_spark.functions.nb import nb_classify
+
+    docs = load_table(spark, sf_dir, "documents")
+    pred = nb_classify(docs, "lang", F.col("doc_id") % 5 != 0)
+    return pred.join(
+        docs.select("doc_id", F.col("lang").alias("actual_lang")), "doc_id"
+    ).select(
+        F.col("doc_id").alias("test_doc"),
+        "actual_lang",
+        F.col("pred").alias("pred_lang"),
+        (F.col("pred") == F.col("actual_lang")).alias("is_correct"),
+        "score",
+    )

@@ -344,3 +344,30 @@ def test_dsir_hashed_terms_clear_floor_boundaries(spark, sf_dir):
     assert worst2 > 2e-8, (
         f"an ngram-hashed DSIR term sits {worst2} from a floor boundary"
     )
+
+
+def test_nb_terms_clear_floor_boundaries(spark, sf_dir):
+    """The NB classifier (functions/nb.py) floor-quantizes two ln()
+    populations — the per-(token, class) likelihood and the per-class
+    prior — before the exact int64 score sum, so BOTH must clear
+    floor boundaries by more than the ~2e-9 libm-ulp window (the
+    lm/dsir playbook). Measured worst margins at the gate corpora:
+    likelihood 1.6e-3 (sf0.001, 11.6k terms), 2.0e-3 (sf0.01),
+    1.5e-3 (sf0.1, 116k terms); prior 1.8e-1 / 1.3e-1 / 2.7e-2 —
+    ≥ 7×10⁵ times the window."""
+    from shmr_spark.catalog import load_table
+    from shmr_spark.functions.nb import nb_score_terms
+
+    docs = load_table(spark, sf_dir, "documents")
+    terms = nb_score_terms(docs, "lang", F.col("doc_id") % 5 != 0)
+
+    def margin(col):
+        y = F.col(col) * 1e6 + 0.5
+        return F.least(y - F.floor(y), F.floor(y) + 1 - y)
+
+    row = terms.agg(
+        F.min(margin("lik")).alias("ml"),
+        F.min(margin("prior")).alias("mp"),
+    ).collect()[0]
+    assert row.ml > 2e-8, f"an NB likelihood sits {row.ml} from a boundary"
+    assert row.mp > 2e-8, f"an NB prior sits {row.mp} from a boundary"

@@ -1214,3 +1214,52 @@ def test_select_by_token_fraction_decimal_exact_boundary(spark):
     }
     # exact cut = 7.0: only the doc starting at token 0 survives
     assert kept == {1}
+
+
+def test_grouped_rank_matches_window(spark, sf_dir):
+    """grouped_rank ≡ row_number() OVER (PARTITION BY group ORDER BY
+    key, id) — row-identical to the one-task-per-group window it
+    parallelizes, across groups of different sizes and duplicate
+    keys."""
+    from pyspark.sql import Window
+
+    from shmr_spark.operators.ranking import grouped_rank
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    cols = ["o_orderkey", "o_orderpriority", "o_totalprice", "rank"]
+    got = grouped_rank(
+        orders, ["o_orderpriority"], "o_totalprice", "o_orderkey"
+    ).select(*cols)
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    want = orders.withColumn("rank", F.row_number().over(w)).select(*cols)
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_grouped_ntile_matches_window(spark, sf_dir):
+    """grouped_ntile ≡ ntile(n) OVER (PARTITION BY group ORDER BY
+    key, id) for several n, including n larger than the smallest
+    group (the quota-0 degenerate)."""
+    from pyspark.sql import Window
+
+    from shmr_spark.operators.ranking import grouped_ntile
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    small = orders.filter(F.col("o_orderkey") % 97 == 0)
+    cols = ["o_orderkey", "o_orderpriority", "o_totalprice", "tile"]
+    for df, n in [(orders, 3), (orders, 10), (small, 1000)]:
+        got = grouped_ntile(
+            df, ["o_orderpriority"], "o_totalprice", "o_orderkey", n
+        ).select(*cols)
+        w = Window.partitionBy("o_orderpriority").orderBy(
+            "o_totalprice", "o_orderkey"
+        )
+        want = df.withColumn("tile", F.ntile(n).over(w)).select(*cols)
+        assert got.exceptAll(want).count() == 0, f"n={n}"
+        assert want.exceptAll(got).count() == 0, f"n={n}"

@@ -378,3 +378,85 @@ def test_ngram_decontamination_planted_overlap(spark, monkeypatch, tmp_path):
     assert got[0].n_test_grams == 17 - 13 + 1  # 17 tokens
     assert got[10].n_shared_grams == 1 and got[10].n_test_grams == 1
     assert got[10].contamination_frac == 1.0
+
+
+def test_nb_classifier_matches_python(spark, sf_dir):
+    """nb_classify ≡ a pure-Python multinomial NB with the same
+    add-one smoothing, the same floor-quantized int64 scoring, and
+    the same (score desc, class asc) tie rule, on the same subset."""
+    from shmr_spark.functions.nb import nb_classify
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 60)
+        .select("doc_id", "lang", "text")
+    )
+    rows = {r.doc_id: (r.lang, r.text) for r in docs.collect()}
+    cc: Counter = Counter()  # (tok, lang) -> count
+    pri: Counter = Counter()  # lang -> train docs
+    for doc_id, (lang, text) in rows.items():
+        if doc_id % 5 != 0:
+            pri[lang] += 1
+            for tok in text.split(" "):
+                cc[(tok, lang)] += 1
+    ns = Counter()
+    for (tok, lang), c in cc.items():
+        ns[lang] += c
+    v = len({tok for tok, _ in cc})
+    d = sum(pri.values())
+
+    def score(text, lang):
+        s = math.floor(math.log(pri[lang] / d) * 1e6 + 0.5)
+        for tok, cnt in Counter(text.split(" ")).items():
+            lik = math.log((cc[(tok, lang)] + 1) / (ns[lang] + v))
+            s += math.floor(lik * 1e6 + 0.5) * cnt
+        return s
+
+    want = {}
+    for doc_id, (lang, text) in rows.items():
+        if doc_id % 5 == 0:
+            best = min((-score(text, s), s) for s in sorted(pri))
+            want[doc_id] = (best[1], -best[0] / 1e6)
+
+    got = {
+        r.doc_id: (r.pred, r.score)
+        for r in nb_classify(docs, "lang", F.col("doc_id") % 5 != 0).collect()
+    }
+    assert set(got) == set(want)
+    for doc_id, (pred, score_v) in want.items():
+        assert got[doc_id][0] == pred
+        assert abs(got[doc_id][1] - score_v) < 2e-6
+
+
+def test_nb_classifier_separates_vocab(spark):
+    """Semantic check on a hand corpus with genuinely separated
+    vocabularies: held-out docs written in a class's vocabulary get
+    that class, and the hashed-feature variant (buckets below the
+    vocabulary size, so collisions merge counts) still separates
+    classes whose vocabularies stay distinct after bucketing."""
+    from shmr_spark.functions.nb import nb_classify
+
+    docs = spark.createDataFrame(
+        [
+            (1, "code", "def return import class lambda yield"),
+            (2, "code", "import def lambda return def class"),
+            (6, "prose", "the cat sat on the warm mat"),
+            (7, "prose", "a dog ran across the green field"),
+            (5, "code", "yield lambda import return def"),  # held out
+            (10, "prose", "the cat ran on the field"),  # held out
+        ],
+        ["doc_id", "lang", "text"],
+    )
+    got = {
+        r.doc_id: r.pred
+        for r in nb_classify(docs, "lang", F.col("doc_id") % 5 != 0).collect()
+    }
+    assert got == {5: "code", 10: "prose"}
+
+    hashed = {
+        r.doc_id: r.pred
+        for r in nb_classify(
+            docs, "lang", F.col("doc_id") % 5 != 0, hash_buckets=8
+        ).collect()
+    }
+    assert hashed == {5: "code", 10: "prose"}

@@ -154,23 +154,37 @@ def _retry_gates(sf1: str, gates: dict[str, dict], todo: list[str]) -> list[str]
 def retry() -> None:
     """Re-run an existing artifact's FAIL/missing gates and patch
     PARITY_SF1.json in place (resume path; the main sweep now runs
-    the same pass automatically)."""
+    the same pass automatically). Gates registered AFTER the sweep
+    was taken are swept in too, so registry growth between full
+    sweeps never leaves the artifact silently short."""
+    import sys as _sys
+
+    _sys.path.insert(0, REPO)
+    from shmr_spark.queries import load_all
+
     sf1 = os.path.join(REPO, ".scaled", "sf1")
+    if not os.path.exists(os.path.join(sf1, "_COMPLETE")):
+        raise SystemExit(
+            f"sf1 corpus missing at {sf1} — run tools/make_scaled_sf.py"
+        )
     path = os.path.join(REPO, "PARITY_SF1.json")
     with open(path) as f:
         result = json.load(f)
     gates = result["gates"]
+    registry = list(load_all())
     todo = sorted(
         set(n for n, g in gates.items() if g.get("status") == "FAIL")
         | set(result.get("missing", []))
+        | set(n for n in registry if n not in gates)
     )
     if not todo:
         print("nothing to retry")
         return
     retried = _retry_gates(sf1, gates, todo)
     failures = sum(1 for g in gates.values() if g["status"] == "FAIL")
-    missing = [n for n in result.get("missing", []) if n not in gates]
+    missing = [n for n in registry if n not in gates]
     result.update(
+        gates_total=len(registry),
         gates=dict(sorted(gates.items())),
         hash_matched=sum(
             1 for g in gates.values() if g["status"] == "hash-match"
