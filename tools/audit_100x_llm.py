@@ -113,6 +113,14 @@ def main() -> None:
         # partitionBy write, cold every time) — the corpus-growing
         # exchange the warm probe doesn't have
         "similarity_index_build": _index_build,
+        # r12: NB classifier — train+score in one plan; exchange is
+        # distinct-(doc,token) pairs on both splits plus the
+        # broadcast-sized model; expected byte-linear
+        "nb_lang_classifier": reg["nb_lang_classifier"].fn,
+        # r12: CCNet terciles — grouped two-phase rank; exchange is
+        # the scored docs (one row per doc) plus the bucket-totals
+        # table; expected byte-linear
+        "perplexity_buckets": reg["perplexity_buckets"].fn,
     }
 
     # r12 (verdict task 4): rows measured at a PINNED cache state —
