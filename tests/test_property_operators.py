@@ -635,3 +635,82 @@ def test_dsir_hashed_logweights_match_bruteforce(spark, texts, flags):
             n_tokens, logweight = got[i]
             assert n_tokens == len(t.split(" "))
             assert abs(logweight - s / 1e6) < 2e-6
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(_doc, min_size=2, max_size=10),
+    st.lists(st.booleans(), min_size=10, max_size=10),
+    st.lists(st.integers(min_value=0, max_value=2), min_size=10, max_size=10),
+)
+def test_nb_classifier_matches_bruteforce(spark, texts, train_flags, labels):
+    """On arbitrary unicode corpora with arbitrary class labels and
+    an arbitrary train/held-out split: nb_classify ≡ a brute-force
+    multinomial NB with the same add-one smoothing, floor-quantized
+    int64 scoring, and (score desc, class asc) tie rule — in raw and
+    hashed (B=7, collisions guaranteed) feature modes. Skips the
+    degenerates the operator can't serve (no train docs, or no
+    held-out docs), which hypothesis would otherwise spend examples
+    on."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    from hypothesis import assume
+    from pyspark.sql import functions as F
+
+    from shmr_spark.functions.nb import nb_classify
+
+    rows = [
+        (i, f"c{labels[i]}", bool(train_flags[i]), t)
+        for i, t in enumerate(texts)
+    ]
+    assume(any(tr for _, _, tr, _ in rows))
+    assume(any(not tr for _, _, tr, _ in rows))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, cls string, is_tr boolean, text string"
+    )
+
+    B = 7
+
+    def md5_bucket(feat: str) -> int:
+        return int(hashlib.md5(feat.encode("utf-8")).hexdigest()[:15], 16) % B
+
+    for hash_buckets in (None, B):
+        feat_of = (lambda t: t) if hash_buckets is None else md5_bucket
+        cc: Counter = Counter()
+        pri: Counter = Counter()
+        for _, cls, is_tr, t in rows:
+            if is_tr:
+                pri[cls] += 1
+                for tok in t.split(" "):
+                    cc[(feat_of(tok), cls)] += 1
+        ns: Counter = Counter()
+        for (_, cls), c in cc.items():
+            ns[cls] += c
+        v = len({f for f, _ in cc})
+        d = sum(pri.values())
+
+        def score(t, cls):
+            s = math.floor(math.log(pri[cls] / d) * 1e6 + 0.5)
+            for feat, cnt in Counter(map(feat_of, t.split(" "))).items():
+                lik = math.log((cc[(feat, cls)] + 1) / (ns[cls] + v))
+                s += math.floor(lik * 1e6 + 0.5) * cnt
+            return s
+
+        want = {}
+        for i, _, is_tr, t in rows:
+            if not is_tr:
+                best = min((-score(t, c), c) for c in sorted(pri))
+                want[i] = (best[1], -best[0] / 1e6)
+
+        got = {
+            r.doc_id: (r.pred, r.score)
+            for r in nb_classify(
+                docs, "cls", F.col("is_tr"), hash_buckets=hash_buckets
+            ).collect()
+        }
+        assert set(got) == set(want), f"hash_buckets={hash_buckets}"
+        for i, (pred, sc) in want.items():
+            assert got[i][0] == pred, f"doc {i} hash_buckets={hash_buckets}"
+            assert abs(got[i][1] - sc) < 2e-6, f"doc {i}"
