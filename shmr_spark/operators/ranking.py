@@ -350,6 +350,39 @@ def range_shards(
     )
 
 
+def grouped_range_shards(
+    df: DataFrame,
+    group_cols: list[str],
+    key_col: str,
+    id_col: str,
+    n_shards: int,
+    bucket: Column | None = None,
+) -> DataFrame:
+    """Per-GROUP equal-population, key-contiguous shards — the
+    curriculum-export shape: "write each language's documents into
+    N quality-ordered shards of equal size", so every training shard
+    draws the same corpus fraction from every group regardless of
+    how unbalanced the groups are. Same pure-integer cut as
+    range_shards — ``(rank − 1) · n div group_total`` — applied to
+    each group's own rank/total pair from the grouped two-phase
+    scan, so shard assignment is reproducible across engines and no
+    group funnels through a single window task. Output: input
+    columns + ``shard_id`` (0-based; populations within a group
+    differ by at most 1 row)."""
+    ranked, totals = _grouped_rank_totals(
+        df, group_cols, key_col, id_col, bucket, "__rank"
+    )
+    group_totals = totals.groupBy(*group_cols).agg(
+        F.sum("__bcnt").alias("__total")
+    )
+    shard = F.expr(f"(__rank - 1) * {int(n_shards)} div __total")
+    return (
+        ranked.join(F.broadcast(group_totals), group_cols)
+        .withColumn("shard_id", shard)
+        .drop("__rank", "__total")
+    )
+
+
 def weighted_median(
     df: DataFrame,
     key_cols: list[str],

@@ -1735,3 +1735,41 @@ def nb_lang_classifier(spark, sf_dir):
         (F.col("pred") == F.col("actual_lang")).alias("is_correct"),
         "score",
     )
+
+
+# --------------------------------------------------------------------------
+# Curriculum sharding: each language's documents cut into N
+# quality-ordered, equal-population shards — every training shard
+# draws the same fraction of every language no matter how unbalanced
+# the corpus is (the grouped complement of range_shards_orders).
+# Rides operators/ranking.grouped_range_shards: the pure-integer
+# (rank−1)·n div total cut on the grouped two-phase rank, so shard
+# assignment is engine-reproducible and no language funnels through
+# one window task.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "curriculum_shards",
+    oracle=f"""
+WITH q AS (
+  SELECT doc_id, lang, {sql_quality_score('text')} AS q FROM documents
+)
+SELECT doc_id, lang,
+       CAST((row_number() OVER (PARTITION BY lang ORDER BY q, doc_id) - 1) * 4
+            // (COUNT(*) OVER (PARTITION BY lang)) AS BIGINT) AS shard_id
+FROM q
+""",
+)
+def curriculum_shards(spark, sf_dir):
+    """4 equal-population quality-ordered shards per language;
+    ties broken by doc_id."""
+    from shmr_spark.operators.ranking import grouped_range_shards
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "lang", quality_score("text").alias("q")
+    )
+    return grouped_range_shards(
+        scored, ["lang"], "q", "doc_id", 4
+    ).select("doc_id", "lang", "shard_id")

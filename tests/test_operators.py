@@ -1263,3 +1263,32 @@ def test_grouped_ntile_matches_window(spark, sf_dir):
         want = df.withColumn("tile", F.ntile(n).over(w)).select(*cols)
         assert got.exceptAll(want).count() == 0, f"n={n}"
         assert want.exceptAll(got).count() == 0, f"n={n}"
+
+
+def test_grouped_range_shards_matches_window_formula(spark, sf_dir):
+    """grouped_range_shards ≡ the (row_number−1)·n div count formula
+    over the plain partitioned window, including a shard count larger
+    than the smallest group."""
+    from pyspark.sql import Window
+
+    from shmr_spark.operators.ranking import grouped_range_shards
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    cols = ["o_orderkey", "o_orderpriority", "o_totalprice", "shard_id"]
+    small = orders.filter(F.col("o_orderkey") % 97 == 0)
+    for df, n in [(orders, 4), (small, 1000)]:
+        got = grouped_range_shards(
+            df, ["o_orderpriority"], "o_totalprice", "o_orderkey", n
+        ).select(*cols)
+        w = Window.partitionBy("o_orderpriority").orderBy(
+            "o_totalprice", "o_orderkey"
+        )
+        want = df.withColumn("__rn", F.row_number().over(w)).withColumn(
+            "shard_id",
+            F.expr(f"(__rn - 1) * {n} div count(*) OVER "
+                   f"(PARTITION BY o_orderpriority)"),
+        ).select(*cols)
+        assert got.exceptAll(want).count() == 0, f"n={n}"
+        assert want.exceptAll(got).count() == 0, f"n={n}"
