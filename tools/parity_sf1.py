@@ -66,8 +66,8 @@ def _registry_chunks() -> list[list[str]]:
     """The ENTIRE registry (window order first, then module order),
     minus the flagship chunks above, in chunks of 8 — the r11
     widening took the sweep from the 64-gate driver window to all
-    registered gates (189 as of the hashed-DSIR additions), so the
-    10x oracle decade covers every gate
+    registered gates (192 as of the round-12 classifier/curriculum
+    additions), so the 10x oracle decade covers every gate
     the sf0.1 artifact covers."""
     import sys as _sys
 
