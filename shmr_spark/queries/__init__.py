@@ -60,7 +60,8 @@ def query(name: str, oracle: str | None = None, headline: bool = False):
 # perplexity_buckets, the CCNet head/middle/tail per-language
 # terciles over operators/ranking.grouped_ntile, and
 # curriculum_shards, per-language equal-population quality shards
-# over grouped_range_shards → 192).
+# over grouped_range_shards, and corpus_datacard, the per-source
+# datasheet aggregate → 193).
 # Round-12 window: after round 11 the freshness histogram is 42 gates
 # at r8, 45 at r9, 50 at r10, 50 at r11 — the r8 cohort is the oldest
 # evidence and fills the bulk of the window (the r11 verdict's task
@@ -76,13 +77,14 @@ def query(name: str, oracle: str | None = None, headline: bool = False):
 #      advance the next-oldest evidence. Names absent from this list
 #      keep module registration order after it.
 _PRIORITY: list[str] = [
-    # -- group 1: plans/oracles changed or NEW this round (6; the
-    #    NB classifier, CCNet perplexity-tercile and curriculum-shard
-    #    gates joined mid-round and take canary slots per the
-    #    standing new-plans-first rule)
+    # -- group 1: plans/oracles changed or NEW this round (7; the
+    #    NB classifier, CCNet perplexity-tercile, curriculum-shard
+    #    and corpus-datacard gates joined mid-round and take canary
+    #    slots per the standing new-plans-first rule)
     "nb_lang_classifier",
     "perplexity_buckets",
     "curriculum_shards",
+    "corpus_datacard",
     "dsir_select_ngram_hashed",
     "dsir_select_hashed",
     "dsir_select",
@@ -129,14 +131,13 @@ _PRIORITY: list[str] = [
     "training_subset",
     "unigram_logprob_score",
     "validate_orders",
-    # -- group 3: canaries, module-diverse, from the r9 cohort (2):
-    #    relational-join and TPC-H tiers (the dedup, similarity and
-    #    streaming canaries yielded their slots to the three
+    # -- group 3: canaries, module-diverse, from the r9 cohort (1):
+    #    the relational-join tier (the TPC-H, dedup, similarity and
+    #    streaming canaries yielded their slots to the four
     #    mid-round group-1 gates — those tiers still advance via
-    #    dedup_exact / dedup_semantic / similarity_topk / sessionize
+    #    q9/q10/q14/q18, dedup_exact, similarity_topk and sessionize
     #    in the r8 cohort)
     "join_three_way",
-    "q21_single_fault_suppliers",
 ]
 
 

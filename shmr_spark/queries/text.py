@@ -1773,3 +1773,46 @@ def curriculum_shards(spark, sf_dir):
     return grouped_range_shards(
         scored, ["lang"], "q", "doc_id", 4
     ).select("doc_id", "lang", "shard_id")
+
+
+# --------------------------------------------------------------------------
+# Corpus data card: the per-source datasheet row every training-data
+# release publishes (Gebru et al. 2021 "Datasheets for Datasets";
+# the Dolma/FineWeb report tables) — document/token mass, language
+# breadth, length envelope, quality statistics — as ONE partial-
+# aggregable pass over the corpus. Every statistic is an exact
+# integer count, min/max, or the exact-decimal average (davg), so
+# the row is engine-reproducible without quantization; a p50/p95
+# length sketch belongs to approx_percentiles' tolerance-oracle
+# family, not here.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "corpus_datacard",
+    oracle=f"""
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(len(string_split(text, ' ')) ) AS BIGINT) AS n_tokens,
+       COUNT(DISTINCT lang) AS n_langs,
+       MIN(n_chars) AS min_chars,
+       MAX(n_chars) AS max_chars,
+       {sql_davg('CAST(n_chars AS DOUBLE)')} AS avg_chars,
+       {sql_davg(sql_quality_score('text'))} AS avg_quality
+FROM documents
+GROUP BY source
+""",
+)
+def corpus_datacard(spark, sf_dir):
+    """One datasheet row per source: exact counts/extrema plus
+    exact-decimal averages (summation-order-free)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_count("text")).cast("bigint").alias("n_tokens"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        davg(F.col("n_chars").cast("double")).alias("avg_chars"),
+        davg(quality_score("text")).alias("avg_quality"),
+    )
