@@ -86,11 +86,19 @@ JOIN_LINEAR = [
     # documented cost; the third pass was eliminated, 168 -> 100 MB
     # at 10x). Measured 15.6x for 10x rows
     "perplexity_buckets",
+    # r12: per-language curriculum shards — the grouped two-phase
+    # rank over one compact quality row per doc. Measured 7.08x for
+    # 10x rows (mildly sub-linear: the totals/offsets side is
+    # group-bounded)
+    "curriculum_shards",
 ]
 # ...aggregation-shaped exchanges move group-level payloads — partial
 # aggregation collapses the 10x row growth before the exchange, so
 # bytes must stay ~flat (measured 1.0x / 1.98x; band <= 3x)
-AGG_CONSTANT = ["dedup_exact", "reduce_by_key_q1"]
+# (corpus_datacard is the r12 member: the datasheet aggregate's
+# exchange is one partial-agged row per (source, partition) —
+# measured 0.97x at this step)
+AGG_CONSTANT = ["dedup_exact", "reduce_by_key_q1", "corpus_datacard"]
 # mixed shape: one side linear in docs, the other a distinct set that
 # is CONSTANT on the replicated corpus (13-gram decontamination's
 # train gram set — replication adds no new grams). Measured 4.87x for
