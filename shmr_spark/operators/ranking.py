@@ -250,6 +250,30 @@ def grouped_rank(
     return ranked
 
 
+def _null_safe_broadcast_join(
+    left: DataFrame, right: DataFrame, on: list[str]
+) -> DataFrame:
+    """``left`` inner-joined to ``broadcast(right)`` on ``on`` with
+    NULL-SAFE equality (<=>), keeping only ``left``'s copy of the
+    join columns. A plain ``join(..., on)`` uses null-unsafe ``=``
+    and silently DROPS every row whose group value is NULL —
+    ``row_number() OVER (PARTITION BY group)``, which these
+    operators promise to reproduce, treats NULL as a partition of
+    its own. eqNullSafe keys stay BroadcastHashJoin-eligible."""
+    from functools import reduce
+
+    renamed = right.select(
+        *[F.col(c).alias(f"__r_{c}") for c in on],
+        *[c for c in right.columns if c not in on],
+    )
+    cond = reduce(
+        lambda a, b: a & b,
+        [left[c].eqNullSafe(renamed[f"__r_{c}"]) for c in on],
+    )
+    joined = left.join(F.broadcast(renamed), cond)
+    return joined.drop(*[f"__r_{c}" for c in on])
+
+
 def _grouped_rank_totals(
     df: DataFrame,
     group_cols: list[str],
@@ -280,13 +304,27 @@ def _grouped_rank_totals(
         "__bucket",
         F.coalesce(F.sum("__bcnt").over(w_b), F.lit(0)).alias("__boff"),
     )
-    w_in = Window.partitionBy(*group_cols, "__bucket").orderBy(key_col, id_col)
-    ranked = (
-        rows.join(F.broadcast(offsets), [*group_cols, "__bucket"])
-        .withColumn(rank_col, F.col("__boff") + F.row_number().over(w_in))
-        .drop("__bucket", "__boff")
+    ranked = _null_safe_broadcast_join(
+        rows, offsets, [*group_cols, "__bucket"]
     )
+    w_in = Window.partitionBy(*group_cols, "__bucket").orderBy(key_col, id_col)
+    ranked = ranked.withColumn(
+        rank_col, F.col("__boff") + F.row_number().over(w_in)
+    ).drop("__bucket", "__boff")
     return ranked, totals
+
+
+def _with_group_totals(
+    ranked: DataFrame, totals: DataFrame, group_cols: list[str]
+) -> DataFrame:
+    """``ranked`` plus a per-group ``__total`` derived from the
+    bucket-totals relation (never a third pass over the input) via
+    the null-safe broadcast join — the one shared tail of
+    grouped_ntile and grouped_range_shards."""
+    group_totals = totals.groupBy(*group_cols).agg(
+        F.sum("__bcnt").alias("__total")
+    )
+    return _null_safe_broadcast_join(ranked, group_totals, group_cols)
 
 
 def grouped_ntile(
@@ -315,11 +353,8 @@ def grouped_ntile(
     # full pass over df here inflated the perplexity_buckets exchange
     # (measured 168 MB with df.groupBy(group).count() vs 100 MB via
     # this derivation at the 10x corpus; the LM upstream is 64 MB/pass)
-    group_totals = totals.groupBy(*group_cols).agg(
-        F.sum("__bcnt").alias("__total")
-    )
     return (
-        ranked.join(F.broadcast(group_totals), group_cols)
+        _with_group_totals(ranked, totals, group_cols)
         .withColumn(tile_col, _ntile_case(n))
         .drop("__rank", "__total")
     )
@@ -372,12 +407,9 @@ def grouped_range_shards(
     ranked, totals = _grouped_rank_totals(
         df, group_cols, key_col, id_col, bucket, "__rank"
     )
-    group_totals = totals.groupBy(*group_cols).agg(
-        F.sum("__bcnt").alias("__total")
-    )
     shard = F.expr(f"(__rank - 1) * {int(n_shards)} div __total")
     return (
-        ranked.join(F.broadcast(group_totals), group_cols)
+        _with_group_totals(ranked, totals, group_cols)
         .withColumn("shard_id", shard)
         .drop("__rank", "__total")
     )

@@ -1225,8 +1225,16 @@ def test_grouped_rank_matches_window(spark, sf_dir):
 
     from shmr_spark.operators.ranking import grouped_rank
 
+    # NULL groups included: PARTITION BY treats NULL as a partition
+    # of its own, and a null-unsafe group join silently dropped those
+    # rows (caught in the r12 review) — every identity below must
+    # hold for them too
     orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderpriority", "o_totalprice"
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 7 != 0, F.col("o_orderpriority")).alias(
+            "o_orderpriority"
+        ),
+        "o_totalprice",
     )
     cols = ["o_orderkey", "o_orderpriority", "o_totalprice", "rank"]
     got = grouped_rank(
@@ -1248,8 +1256,16 @@ def test_grouped_ntile_matches_window(spark, sf_dir):
 
     from shmr_spark.operators.ranking import grouped_ntile
 
+    # NULL groups included: PARTITION BY treats NULL as a partition
+    # of its own, and a null-unsafe group join silently dropped those
+    # rows (caught in the r12 review) — every identity below must
+    # hold for them too
     orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderpriority", "o_totalprice"
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 7 != 0, F.col("o_orderpriority")).alias(
+            "o_orderpriority"
+        ),
+        "o_totalprice",
     )
     small = orders.filter(F.col("o_orderkey") % 97 == 0)
     cols = ["o_orderkey", "o_orderpriority", "o_totalprice", "tile"]
@@ -1273,8 +1289,16 @@ def test_grouped_range_shards_matches_window_formula(spark, sf_dir):
 
     from shmr_spark.operators.ranking import grouped_range_shards
 
+    # NULL groups included: PARTITION BY treats NULL as a partition
+    # of its own, and a null-unsafe group join silently dropped those
+    # rows (caught in the r12 review) — every identity below must
+    # hold for them too
     orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderpriority", "o_totalprice"
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 7 != 0, F.col("o_orderpriority")).alias(
+            "o_orderpriority"
+        ),
+        "o_totalprice",
     )
     cols = ["o_orderkey", "o_orderpriority", "o_totalprice", "shard_id"]
     small = orders.filter(F.col("o_orderkey") % 97 == 0)

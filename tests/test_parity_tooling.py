@@ -77,3 +77,18 @@ def test_retry_timeout_keeps_synthesized_fail(monkeypatch):
     )
     parity_sf1._retry_gates("/nonexistent", gates, ["alpha"])
     assert "single-gate retry exceeded" in gates["alpha"]["detail"]
+
+
+def test_prune_stale_drops_unregistered_entries():
+    """A renamed/removed gate's artifact entry must be pruned, not
+    retried — a retry of a nonexistent gate can never produce a
+    verdict, so a stale FAIL would wedge the artifact permanently
+    (r12 review finding)."""
+    gates = {
+        "alpha": {"status": "hash-match", "rows": 3},
+        "renamed_away": {"status": "FAIL", "detail": "chunk 2 exceeded"},
+        "beta": {"status": "rows-only", "rows": 9},
+    }
+    stale = parity_sf1._prune_stale(gates, ["alpha", "beta", "gamma"])
+    assert stale == ["renamed_away"]
+    assert set(gates) == {"alpha", "beta"}

@@ -66,9 +66,8 @@ def _registry_chunks() -> list[list[str]]:
     """The ENTIRE registry (window order first, then module order),
     minus the flagship chunks above, in chunks of 8 — the r11
     widening took the sweep from the 64-gate driver window to all
-    registered gates (192 as of the round-12 classifier/curriculum
-    additions), so the 10x oracle decade covers every gate
-    the sf0.1 artifact covers."""
+    registered gates (193 as of round 12), so the 10x oracle decade
+    covers every gate the sf0.1 artifact covers."""
     import sys as _sys
 
     _sys.path.insert(0, REPO)
@@ -151,12 +150,26 @@ def _retry_gates(sf1: str, gates: dict[str, dict], todo: list[str]) -> list[str]
     return todo
 
 
+def _prune_stale(gates: dict[str, dict], registry: list[str]) -> list[str]:
+    """Drop artifact entries whose gate is no longer registered
+    (renamed/removed since the sweep). Left in place, a stale FAIL
+    would join the retry todo, the single-gate re-run would produce
+    no verdict for a nonexistent gate, and the artifact would wedge
+    in a permanently-failing state no re-run could clear."""
+    stale = [n for n in gates if n not in registry]
+    for n in stale:
+        del gates[n]
+    return stale
+
+
 def retry() -> None:
     """Re-run an existing artifact's FAIL/missing gates and patch
     PARITY_SF1.json in place (resume path; the main sweep now runs
     the same pass automatically). Gates registered AFTER the sweep
     was taken are swept in too, so registry growth between full
-    sweeps never leaves the artifact silently short."""
+    sweeps never leaves the artifact silently short, and entries for
+    gates that have LEFT the registry are pruned rather than
+    retried into a wedged FAIL."""
     import sys as _sys
 
     _sys.path.insert(0, REPO)
@@ -172,15 +185,19 @@ def retry() -> None:
         result = json.load(f)
     gates = result["gates"]
     registry = list(load_all())
+    stale = _prune_stale(gates, registry)
+    if stale:
+        print(f"[retry] pruned {len(stale)} unregistered gate entries: "
+              f"{stale}", file=sys.stderr)
     todo = sorted(
         set(n for n, g in gates.items() if g.get("status") == "FAIL")
-        | set(result.get("missing", []))
+        | set(n for n in result.get("missing", []) if n in registry)
         | set(n for n in registry if n not in gates)
     )
-    if not todo:
+    if not todo and not stale:
         print("nothing to retry")
         return
-    retried = _retry_gates(sf1, gates, todo)
+    retried = _retry_gates(sf1, gates, todo) if todo else []
     failures = sum(1 for g in gates.values() if g["status"] == "FAIL")
     missing = [n for n in registry if n not in gates]
     result.update(
@@ -191,7 +208,10 @@ def retry() -> None:
         ),
         failures=failures + len(missing),
         missing=missing,
-        retried=sorted(set(result.get("retried", [])) | set(retried)),
+        retried=sorted(
+            set(n for n in result.get("retried", []) if n in registry)
+            | set(retried)
+        ),
     )
     line = json.dumps(result)
     print(line)
