@@ -181,3 +181,49 @@ def nb_classify(
             (-F.col("__best.__neg")).cast("double") / F.lit(_SCALE)
         ).alias("score"),
     )
+
+
+def nb_margin_select(
+    docs: DataFrame,
+    is_target: Column,
+    is_train: Column,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_buckets: int | None = None,
+) -> DataFrame:
+    """Classifier-based data selection — the FineWeb-Edu/Llama filter
+    step: train target-vs-rest on the labeled split, score every
+    held-out document, keep the top-k by classifier margin
+    score(target) − score(rest). Output: (id_col, margin DOUBLE),
+    ordered (margin desc, id asc). Both classes must appear in the
+    training split (otherwise the margin degenerates to the single
+    trained class's score).
+
+    The margin is a difference of two 10⁶-quantized int64 scores —
+    exact integer arithmetic end to end, so the cut is
+    engine-reproducible (the generative cousin, DSIR's importance
+    log-ratio, lives in functions/dsir.py; this is the
+    discriminative member: per-class conditionals + priors instead
+    of target-vs-pool marginals). Fixed k keeps the plan at
+    TakeOrdered — no global sort."""
+    labeled = docs.withColumn(
+        "__cls", F.when(is_target, F.lit("target")).otherwise(F.lit("rest"))
+    )
+    scores = nb_class_scores(
+        labeled, "__cls", is_train, id_col, text_col, hash_buckets
+    )
+    margin_q = F.sum(
+        F.when(F.col("__cls") == "target", F.col("score_q")).otherwise(
+            -F.col("score_q")
+        )
+    )
+    per_doc = scores.groupBy(id_col).agg(
+        F.count("*").alias("__n_cls"),
+        (margin_q.cast("double") / F.lit(_SCALE)).alias("margin"),
+    )
+    return (
+        per_doc.drop("__n_cls")
+        .orderBy(F.desc("margin"), F.asc(id_col))
+        .limit(k)
+    )

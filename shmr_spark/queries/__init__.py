@@ -60,8 +60,9 @@ def query(name: str, oracle: str | None = None, headline: bool = False):
 # perplexity_buckets, the CCNet head/middle/tail per-language
 # terciles over operators/ranking.grouped_ntile, and
 # curriculum_shards, per-language equal-population quality shards
-# over grouped_range_shards, and corpus_datacard, the per-source
-# datasheet aggregate → 193).
+# over grouped_range_shards, corpus_datacard, the per-source
+# datasheet aggregate, and nb_target_select, the FineWeb-Edu-style
+# classifier-margin selection → 194).
 # Round-12 window: after round 11 the freshness histogram is 42 gates
 # at r8, 45 at r9, 50 at r10, 50 at r11 — the r8 cohort is the oldest
 # evidence and fills the bulk of the window (the r11 verdict's task
@@ -77,10 +78,14 @@ def query(name: str, oracle: str | None = None, headline: bool = False):
 #      advance the next-oldest evidence. Names absent from this list
 #      keep module registration order after it.
 _PRIORITY: list[str] = [
-    # -- group 1: plans/oracles changed or NEW this round (7; the
-    #    NB classifier, CCNet perplexity-tercile, curriculum-shard
-    #    and corpus-datacard gates joined mid-round and take canary
-    #    slots per the standing new-plans-first rule)
+    # -- group 1: plans/oracles changed or NEW this round (8; the
+    #    NB classifier/selector, CCNet perplexity-tercile,
+    #    curriculum-shard and corpus-datacard gates joined mid-round
+    #    and take the canary slots per the standing new-plans-first
+    #    rule — the r8 cohort is untouched, and every tier the
+    #    displaced canaries covered still advances via its r8
+    #    members)
+    "nb_target_select",
     "nb_lang_classifier",
     "perplexity_buckets",
     "curriculum_shards",
@@ -131,13 +136,6 @@ _PRIORITY: list[str] = [
     "training_subset",
     "unigram_logprob_score",
     "validate_orders",
-    # -- group 3: canaries, module-diverse, from the r9 cohort (1):
-    #    the relational-join tier (the TPC-H, dedup, similarity and
-    #    streaming canaries yielded their slots to the four
-    #    mid-round group-1 gates — those tiers still advance via
-    #    q9/q10/q14/q18, dedup_exact, similarity_topk and sessionize
-    #    in the r8 cohort)
-    "join_three_way",
 ]
 
 

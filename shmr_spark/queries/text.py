@@ -1816,3 +1816,86 @@ def corpus_datacard(spark, sf_dir):
         davg(F.col("n_chars").cast("double")).alias("avg_chars"),
         davg(quality_score("text")).alias("avg_quality"),
     )
+
+
+# --------------------------------------------------------------------------
+# Classifier-based selection (functions/nb.py nb_margin_select): the
+# FineWeb-Edu / Llama filter step — target-vs-rest NB margin, top-k.
+# The discriminative complement of dsir_select: per-class smoothed
+# conditionals + priors instead of target-vs-pool marginals; the cut
+# compares exact int64 margins so both engines agree bit-for-bit.
+# --------------------------------------------------------------------------
+
+_NBSEL_K = 25
+
+
+@query(
+    "nb_target_select",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN lang = 'en' THEN 'target' ELSE 'rest' END AS cls,
+         (doc_id % 5 <> 0) AS is_tr,
+         unnest(string_split(text, ' ')) AS tok
+  FROM documents
+),
+cc AS (
+  SELECT tok, cls, CAST(count(*) AS BIGINT) AS cws
+  FROM toks WHERE is_tr GROUP BY 1, 2
+),
+clsn AS (
+  SELECT cls, CAST(SUM(cws) AS BIGINT) AS ns FROM cc GROUP BY 1
+),
+pri AS (
+  SELECT CASE WHEN lang = 'en' THEN 'target' ELSE 'rest' END AS cls,
+         CAST(count(*) AS BIGINT) AS ds
+  FROM documents WHERE doc_id % 5 <> 0 GROUP BY 1
+),
+tot AS (
+  SELECT (SELECT count(DISTINCT tok) FROM cc) AS v,
+         (SELECT CAST(SUM(ds) AS BIGINT) FROM pri) AS d
+),
+dc AS (
+  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS cnt
+  FROM toks WHERE NOT is_tr GROUP BY 1, 2
+),
+sc AS (
+  SELECT dc.doc_id, c.cls,
+         CAST(floor(ln(CAST(COALESCE(cc.cws, 0) + 1 AS DOUBLE)
+                       / CAST(c.ns + t.v AS DOUBLE))
+                    * 1000000.0 + 0.5) AS BIGINT) AS t6,
+         dc.cnt,
+         CAST(floor(ln(CAST(p.ds AS DOUBLE) / CAST(t.d AS DOUBLE))
+                    * 1000000.0 + 0.5) AS BIGINT) AS p6
+  FROM dc
+  CROSS JOIN clsn c
+  CROSS JOIN tot t
+  JOIN pri p ON p.cls = c.cls
+  LEFT JOIN cc ON cc.tok = dc.tok AND cc.cls = c.cls
+),
+agg AS (
+  SELECT doc_id, cls,
+         MIN(p6) + CAST(SUM(t6 * cnt) AS BIGINT) AS score_q
+  FROM sc GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(CAST(SUM(CASE WHEN cls = 'target' THEN score_q
+                          ELSE -score_q END) AS BIGINT) AS DOUBLE)
+           / 1000000.0 AS margin
+FROM agg GROUP BY doc_id
+ORDER BY margin DESC, doc_id
+LIMIT {_NBSEL_K}
+""",
+)
+def nb_target_select(spark, sf_dir):
+    """Top-{k} held-out documents by target-vs-rest NB margin
+    (target = lang 'en'; train split doc_id % 5 != 0)."""
+    from shmr_spark.functions.nb import nb_margin_select
+
+    docs = load_table(spark, sf_dir, "documents")
+    return nb_margin_select(
+        docs,
+        F.col("lang") == "en",
+        F.col("doc_id") % 5 != 0,
+        k=_NBSEL_K,
+    )

@@ -371,3 +371,32 @@ def test_nb_terms_clear_floor_boundaries(spark, sf_dir):
     ).collect()[0]
     assert row.ml > 2e-8, f"an NB likelihood sits {row.ml} from a boundary"
     assert row.mp > 2e-8, f"an NB prior sits {row.mp} from a boundary"
+
+
+def test_nb_binary_terms_clear_floor_boundaries(spark, sf_dir):
+    """The target-vs-rest relabeling (nb_target_select) merges class
+    counts into a NEW pair of ln() populations — margins re-measured,
+    not inherited from the 5-class gate. Measured worst: likelihood
+    5.6e-3 (sf0.001), 2.1e-2 (sf0.01), 5.6e-4 (sf0.1); prior
+    2.4e-1 / 2.8e-1 / 1.1e-2 — ≥ 2.8×10⁵ times the ~2e-9 window."""
+    from shmr_spark.catalog import load_table
+    from shmr_spark.functions.nb import nb_score_terms
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "__cls",
+        F.when(F.col("lang") == "en", F.lit("target")).otherwise(
+            F.lit("rest")
+        ),
+    )
+    terms = nb_score_terms(docs, "__cls", F.col("doc_id") % 5 != 0)
+
+    def margin(col):
+        y = F.col(col) * 1e6 + 0.5
+        return F.least(y - F.floor(y), F.floor(y) + 1 - y)
+
+    row = terms.agg(
+        F.min(margin("lik")).alias("ml"),
+        F.min(margin("prior")).alias("mp"),
+    ).collect()[0]
+    assert row.ml > 2e-8, f"a binary-NB likelihood sits {row.ml} from a boundary"
+    assert row.mp > 2e-8, f"a binary-NB prior sits {row.mp} from a boundary"

@@ -81,6 +81,9 @@ JOIN_LINEAR = [
     # 24.6x for 10x rows: above 10x for the same partial-agg
     # saturation reason as lm_perplexity's 16.8x, inside the band
     "nb_lang_classifier",
+    # r12: the binary-margin selector shares the shape (S=2, fixed-k
+    # TakeOrdered finish) — measured 17.3x for 10x rows
+    "nb_target_select",
     # r12: CCNet terciles — the LM-score exchange (linear) plus one
     # extra upstream pass for the bucket totals (the two-phase rank's
     # documented cost; the third pass was eliminated, 168 -> 100 MB

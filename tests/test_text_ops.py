@@ -460,3 +460,28 @@ def test_nb_classifier_separates_vocab(spark):
         ).collect()
     }
     assert hashed == {5: "code", 10: "prose"}
+
+
+def test_nb_margin_select_prefers_target_vocab(spark):
+    """Hand corpus with separated vocabularies: the top-margin
+    held-out document is the one written in the target class's
+    vocabulary, k bounds the output, and order is (margin desc,
+    id asc)."""
+    from shmr_spark.functions.nb import nb_margin_select
+
+    docs = spark.createDataFrame(
+        [
+            (1, "en", "alpha beta alpha gamma beta"),
+            (2, "en", "alpha beta delta gamma"),
+            (3, "fr", "omega psi chi phi"),
+            (4, "fr", "psi omega phi chi chi"),
+            (5, "en", "alpha beta gamma delta"),  # held out, target-like
+            (10, "fr", "omega psi phi"),  # held out, rest-like
+        ],
+        ["doc_id", "lang", "text"],
+    )
+    got = nb_margin_select(
+        docs, F.col("lang") == "en", F.col("doc_id") % 5 != 0, k=2
+    ).collect()
+    assert [r.doc_id for r in got] == [5, 10]
+    assert got[0].margin > 0 > got[1].margin
