@@ -62,7 +62,8 @@ def query(name: str, oracle: str | None = None, headline: bool = False):
 # curriculum_shards, per-language equal-population quality shards
 # over grouped_range_shards, corpus_datacard, the per-source
 # datasheet aggregate, and nb_target_select, the FineWeb-Edu-style
-# classifier-margin selection → 194).
+# classifier-margin selection → 194, then q2/q11/q12/q20 — the last
+# four TPC-H query shapes, completing all 22 → 198).
 # Round-12 window: after round 11 the freshness histogram is 42 gates
 # at r8, 45 at r9, 50 at r10, 50 at r11 — the r8 cohort is the oldest
 # evidence and fills the bulk of the window (the r11 verdict's task

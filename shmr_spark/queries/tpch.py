@@ -1,9 +1,22 @@
-"""TPC-H query-shape completion — the 11 dbgen query shapes not yet
-in the registry (Q4, Q7, Q8, Q9, Q13, Q15, Q16, Q17, Q19, Q21, Q22),
-adapted to this corpus's reduced schema (no partsupp table, no
-commit/receipt dates, no phone/comment columns — see TESTDATA.md).
-Together with reduce_by_key_q1 (Q1), q3/q5/q6/q10/q14/q18 in
-relational.py, this covers all 22 TPC-H query *shapes*:
+"""TPC-H query-shape completion — the 15 dbgen query shapes not in
+relational.py (Q2, Q4, Q7, Q8, Q9, Q11, Q12, Q13, Q15, Q16, Q17,
+Q19, Q20, Q21, Q22), adapted to this corpus's reduced schema (no
+partsupp table, no commit/receipt dates, no phone/comment columns —
+see TESTDATA.md). Together with reduce_by_key_q1 (Q1),
+q3/q5/q6/q10/q14/q18 in relational.py, this covers ALL 22 TPC-H
+query *shapes*:
+
+- Q2  — correlated per-group MIN (min-cost supplier join-back;
+        partsupp proxied by distinct observed (part, supplier) pairs
+        with cost := min unit price)
+- Q11 — HAVING against a scalar fraction of the global total
+        (threshold self-normalized to k× the mean per-part value so
+        the gate is non-vacuous at every SF decade)
+- Q12 — binary-priority conditional counts per category
+        (l_returnflag plays l_shipmode; shipdate−orderdate lateness
+        plays the commit/receipt predicate)
+- Q20 — nested correlated aggregate threshold (dominant supplier:
+        2·q > total in exact scaled int64) reduced to a supplier list
 
 - Q4  — EXISTS-gated group-count (semi join)
 - Q7  — two-sided dimension pair (supplier nation × customer nation)
@@ -39,7 +52,8 @@ from pyspark.sql import functions as F
 
 from shmr_spark.catalog import load_table
 from shmr_spark.dataset import bounded_sort
-from shmr_spark.functions.numeric import dsum, sql_dsum
+from shmr_spark.functions.numeric import dsum, dsum_partial, sql_dsum
+from shmr_spark.functions.scalars import with_scalars
 from shmr_spark.queries import query
 
 _VOLUME = "l_extendedprice * (1 - l_discount)"
@@ -684,3 +698,292 @@ def q22_dormant_customers(spark, sf_dir):
         .agg(F.count("*").alias("numcust"), dsum("c_acctbal").alias("totacctbal"))
     )
     return bounded_sort(agg, "nationkey")  # ≤ 7 target nations
+
+
+# --------------------------------------------------------------------------
+# Q2 — minimum-cost supplier: for each qualifying part, the EUROPE
+# supplier(s) offering it at the lowest unit cost. partsupp is proxied
+# by the DISTINCT (l_partkey, l_suppkey) pairs observed in lineitem
+# with ps_supplycost := MIN(l_extendedprice / l_quantity) — a per-row
+# double division (identical IEEE op on both engines) so the MIN and
+# the min-equality join-back are hash-stable. The correlated MIN
+# subquery becomes a grouped aggregate broadcast-joined back (the q15
+# scalar-max pattern, per-part instead of global).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q2_min_cost_supplier",
+    oracle="""
+WITH ps AS (
+  SELECT l_partkey, l_suppkey, MIN(l_extendedprice / l_quantity) AS cost
+  FROM lineitem GROUP BY l_partkey, l_suppkey),
+eu AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier
+  JOIN nation ON n_nationkey = s_nationkey
+  JOIN region ON r_regionkey = n_regionkey
+  WHERE r_name = 'EUROPE'),
+f AS (
+  SELECT ps.l_partkey, p_name, ps.l_suppkey, s_name, s_acctbal, n_name, cost
+  FROM ps
+  JOIN eu   ON eu.s_suppkey = ps.l_suppkey
+  JOIN part ON p_partkey = ps.l_partkey
+  WHERE p_size = 15 AND p_type = 'STANDARD'),
+m AS (SELECT l_partkey, MIN(cost) AS mc FROM f GROUP BY l_partkey)
+SELECT f.l_partkey AS p_partkey, p_name, l_suppkey AS s_suppkey,
+       s_name, s_acctbal, n_name, cost AS min_cost
+FROM f JOIN m ON f.l_partkey = m.l_partkey AND f.cost = m.mc
+ORDER BY p_partkey, s_suppkey
+""",
+)
+def q2_min_cost_supplier(spark, sf_dir):
+    """nation/region broadcast (fixed 25/5 rows at any SF); the
+    partsupp proxy shuffles once on (l_partkey, l_suppkey) with
+    map-side partial MIN; the per-part minimum relation is tiny after
+    the part filter (≤ |filtered parts| rows) and broadcasts back, so
+    the correlated subquery costs no second fact shuffle. cost equality
+    compares identical doubles (same per-row division both engines)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("cost")
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu_nations = F.broadcast(
+        nation.join(
+            F.broadcast(region), nation.n_regionkey == region.r_regionkey
+        ).select("n_nationkey", "n_name")
+    )
+    eu = (
+        load_table(spark, sf_dir, "supplier")
+        .join(eu_nations, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    parts = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
+    ).select("p_partkey", "p_name")
+    f = (
+        ps.join(eu, ps.l_suppkey == eu.s_suppkey)
+        .join(parts, ps.l_partkey == parts.p_partkey)
+        .select("l_partkey", "p_name", "l_suppkey", "s_name", "s_acctbal", "n_name", "cost")
+    )
+    m = f.groupBy("l_partkey").agg(F.min("cost").alias("__mc"))
+    out = (
+        f.join(
+            F.broadcast(m).withColumnRenamed("l_partkey", "__pk"),
+            (f.l_partkey == F.col("__pk")) & (f.cost == F.col("__mc")),
+        )
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            "p_name",
+            F.col("l_suppkey").alias("s_suppkey"),
+            "s_name",
+            "s_acctbal",
+            "n_name",
+            F.col("cost").alias("min_cost"),
+        )
+    )
+    # a handful of (part, min-supplier) pairs after the size/type filter
+    return bounded_sort(out, "p_partkey", "s_suppkey")
+
+
+# --------------------------------------------------------------------------
+# Q11 — important stock: parts whose EUROPE-supplied value exceeds a
+# threshold of the whole EUROPE-supplied total. Q11's fixed fraction
+# is SF-dependent (dbgen uses 0.0001/SF); here the threshold is
+# self-normalizing — k × the mean per-part value — so the gate is
+# non-vacuous at every decade without knowing SF. The scalar pair
+# (total, part count) rides a 1-row broadcast cross join.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q11_important_parts",
+    oracle=f"""
+WITH scope AS (
+  SELECT l_partkey, l_extendedprice * (1 - l_discount) AS v
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation   ON n_nationkey = s_nationkey
+  JOIN region   ON r_regionkey = n_regionkey
+  WHERE r_name = 'EUROPE'),
+pv AS (SELECT l_partkey, {sql_dsum('v')} AS part_value
+       FROM scope GROUP BY l_partkey),
+t AS (SELECT {sql_dsum('v')} AS tot,
+             COUNT(DISTINCT l_partkey) AS np FROM scope)
+SELECT l_partkey AS partkey, part_value
+FROM pv CROSS JOIN t
+WHERE part_value > CAST(1.5 AS DOUBLE) * (tot / np)
+ORDER BY partkey
+""",
+)
+def q11_important_parts(spark, sf_dir):
+    """One shuffle on l_partkey serves the per-part aggregate; the
+    HAVING-against-global-total scalar subquery is a second pass over
+    the SAME pruned scope reduced to one row (dsum total + distinct
+    part count), broadcast to the filter. Both sides of the `>` are
+    exact-scaled-int64-derived doubles, so the comparison never
+    straddles a float divergence; tot/np divides identical operands."""
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu_nations = F.broadcast(
+        nation.join(
+            F.broadcast(region), nation.n_regionkey == region.r_regionkey
+        ).select("n_nationkey")
+    )
+    eu_supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(eu_nations, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", _volume().alias("v")
+    )
+    scope = li.join(eu_supp, li.l_suppkey == eu_supp.s_suppkey).select("l_partkey", "v")
+    pv = scope.groupBy("l_partkey").agg(dsum("v").alias("part_value"))
+    scalars = scope.agg(
+        dsum("v").alias("__tot"), F.count_distinct("l_partkey").alias("__np")
+    )
+    out = (
+        with_scalars(pv, scalars)
+        .filter(
+            F.col("part_value")
+            > F.lit(1.5).cast("double") * (F.col("__tot") / F.col("__np"))
+        )
+        .select(F.col("l_partkey").alias("partkey"), "part_value")
+    )
+    return out
+
+
+# --------------------------------------------------------------------------
+# Q12 — late-shipment priority mix: of lineitems shipped in 1997 more
+# than 90 days after their order date, how many belong to critical
+# (URGENT/HIGH) vs other orders, per return flag. l_returnflag plays
+# l_shipmode (no shipmode column in this corpus) and shipdate − 90d >
+# orderdate plays the commit/receipt lateness predicate (no
+# commit/receipt dates) — the shape (fact join + conditional two-way
+# counts over a category) is Q12's.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q12_late_priority_mix",
+    oracle="""
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def q12_late_priority_mix(spark, sf_dir):
+    """The year window is pushed to the lineitem scan (PushedFilters);
+    the lateness predicate needs both sides so it runs post-join; the
+    two conditional counts are one partial-aggregable pass (no second
+    join, no pivot)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00"))
+    ).select("l_orderkey", "l_returnflag", "l_shipdate")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    agg = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(hi, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+    )
+    return bounded_sort(agg, "l_returnflag")  # fixed 3-value flag domain
+
+
+# --------------------------------------------------------------------------
+# Q20 — dominant promo suppliers: ASIA suppliers who shipped more than
+# half of some PROMO part's total 1996 quantity. Q20's availqty >
+# ½·shipped correlated threshold becomes a two-level aggregate
+# (per-(part,supplier) vs per-part quantity) compared in RAW SCALED
+# INT64 space (2·q > total is an exact integer compare — no float
+# anywhere near the threshold), then a semi-reduction to suppliers.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q20_dominant_promo_suppliers",
+    oracle="""
+WITH sq AS (
+  SELECT l_partkey, l_suppkey,
+         SUM(CAST(floor(l_quantity * 1000000 + 0.5) AS BIGINT)) AS qs
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_type = 'PROMO'
+    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  GROUP BY l_partkey, l_suppkey),
+pt AS (SELECT l_partkey, SUM(qs) AS tqs FROM sq GROUP BY l_partkey),
+dom AS (
+  SELECT sq.l_suppkey, sq.l_partkey
+  FROM sq JOIN pt ON sq.l_partkey = pt.l_partkey
+  WHERE 2 * sq.qs > pt.tqs)
+SELECT s_suppkey, s_name,
+       CAST(COUNT(*) AS BIGINT) AS n_parts_dominated
+FROM dom
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation   ON n_nationkey = s_nationkey
+JOIN region   ON r_regionkey = n_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY s_suppkey, s_name
+ORDER BY s_suppkey
+""",
+)
+def q20_dominant_promo_suppliers(spark, sf_dir):
+    """The part/date filters prune the fact scan before any shuffle;
+    the two aggregate levels re-use one exchange (pt re-aggregates the
+    already-collapsed sq relation, ≤ |part×supplier| rows, on a key
+    it is already clustered by); dominance is 2·qs > tqs in exact
+    int64 — engine-invariant with zero boundary hazard. The per-part
+    totals relation is bounded by |filtered parts| and broadcasts."""
+    promo = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "PROMO"
+    ).select("p_partkey")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00"))
+    ).select("l_partkey", "l_suppkey", "l_quantity")
+    sq = (
+        li.join(promo, li.l_partkey == promo.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(dsum_partial("l_quantity").alias("qs"))
+    )
+    pt = sq.groupBy("l_partkey").agg(F.sum("qs").alias("tqs"))
+    dom = sq.join(
+        F.broadcast(pt).withColumnRenamed("l_partkey", "__pk"),
+        sq.l_partkey == F.col("__pk"),
+    ).filter(F.lit(2) * F.col("qs") > F.col("tqs")).select("l_suppkey", "l_partkey")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asia_nations = F.broadcast(
+        nation.join(
+            F.broadcast(region), nation.n_regionkey == region.r_regionkey
+        ).select("n_nationkey")
+    )
+    asia_supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(asia_nations, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name")
+    )
+    agg = (
+        dom.join(asia_supp, dom.l_suppkey == asia_supp.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count("*").cast("long").alias("n_parts_dominated"))
+    )
+    return bounded_sort(agg, "s_suppkey")  # dominated-part suppliers: sparse

@@ -130,3 +130,51 @@ def test_q22_anti_join_and_scalar_broadcast(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q22_dormant_customers")
     assert "LeftAnti" in plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_q2_min_joinback_is_broadcast(spark, sf_dir):
+    """The correlated per-part MIN must come back as a broadcast hash
+    join (the per-part minimum relation is tiny after the part
+    filter), never a cartesian/nested-loop pairing, and the partsupp
+    proxy must aggregate before any dimension join multiplies rows."""
+    plan = _plan(spark, sf_dir, "q2_min_cost_supplier")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q2_all_rows_achieve_their_parts_min(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "q2_min_cost_supplier")
+    by_part = {}
+    for r in rows:
+        by_part.setdefault(r.p_partkey, []).append(r.min_cost)
+    for costs in by_part.values():
+        assert len(set(costs)) == 1  # every returned supplier ties the min
+
+
+def test_q11_scalar_rides_one_broadcast(spark, sf_dir):
+    """The HAVING-vs-global-total threshold must be a 1-row broadcast
+    (BroadcastNestedLoopJoin over a single-row frame is the expected
+    physical form of the scalar cross join), not a Window over an
+    unpartitioned frame and not a re-shuffle of the scope."""
+    plan = _plan(spark, sf_dir, "q11_important_parts")
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_q12_year_window_pushed_to_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q12_late_priority_mix")
+    pushed = plan.split("PushedFilters:")[1].splitlines()[0]
+    assert "l_shipdate" in pushed
+    rows = _rows(spark, sf_dir, "q12_late_priority_mix")
+    assert {r.l_returnflag for r in rows} <= {"A", "N", "R"}
+
+
+def test_q20_dominance_is_exact_integer_compare(spark, sf_dir):
+    """2·qs > tqs must survive into the plan as an integer comparison
+    (no doubles near the threshold) and the per-part totals join must
+    broadcast."""
+    plan = _plan(spark, sf_dir, "q20_dominant_promo_suppliers")
+    assert "BroadcastHashJoin" in plan
+    # dominance can credit at most one supplier per part
+    rows = _rows(spark, sf_dir, "q20_dominant_promo_suppliers")
+    assert all(r.n_parts_dominated >= 1 for r in rows)
