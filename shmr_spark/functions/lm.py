@@ -183,3 +183,70 @@ def repetition_metrics(
             F.lit(0.0),
         ).alias("top_bigram_frac"),
     )
+
+
+def source_unigram_kl_terms(docs: DataFrame, group_col: str = "source") -> DataFrame:
+    """Per-(group, token) KL-divergence contribution terms for
+    ``source_unigram_kl`` — KL(P_group ‖ P_corpus) over whitespace
+    unigrams, the standard corpus-mixing diagnostic (how far each
+    source's token distribution sits from the blend it feeds).
+
+    Returns one row per distinct (group, token) with:
+    - ``c``    — token count within the group (int64),
+    - ``n``    — group token total (int64),
+    - ``term`` — ln((c·N) / (n·ct)) as double (N = corpus total,
+      ct = corpus-wide token count): the log likelihood ratio whose
+      p_group-weighted sum is the group's KL divergence,
+    - ``q``    — ``term`` floor-quantized once to int64 (the
+      functions/numeric discipline), so downstream sums are exact and
+      order-free on both engines.
+
+    No smoothing is needed: every (group, token) term has ct ≥ c ≥ 1
+    by construction, so the ratio is finite and positive.
+
+    Scale (100 TB): the explode collapses through map-side partial
+    aggregation — exchange bytes are bounded by DISTINCT
+    (group, token) pairs, not token instances. The corpus-count join
+    shuffles on the token key (linear in distinct tokens); the group
+    totals relation is |groups| rows and broadcasts; the corpus total
+    is a 1-row scalar cross join. Group counts c·N and n·ct stay in
+    int64→double casts that are correctly rounded in both engines
+    (functions/numeric.py, verified to 2⁶²).
+    """
+    e = docs.select(F.col(group_col).alias("grp"), F.explode(tokens("text")).alias("tok"))
+    stc = e.groupBy("grp", "tok").agg(F.count("*").alias("c"))
+    tc = stc.groupBy("tok").agg(F.sum("c").alias("ct"))
+    ns = stc.groupBy("grp").agg(F.sum("c").alias("n"))
+    tot = stc.agg(F.sum("c").alias("__nn"))
+    term = with_scalars(stc.join(tc, "tok").join(F.broadcast(ns), "grp"), tot)
+    ratio = (F.col("c").cast("double") * F.col("__nn").cast("double")) / (
+        F.col("n").cast("double") * F.col("ct").cast("double")
+    )
+    return (
+        term.withColumn("term", F.log(ratio))
+        .withColumn("q", _scaled_long(F.col("term")))
+        .drop("__nn", "ct")
+    )
+
+
+def source_unigram_kl(docs: DataFrame, group_col: str = "source") -> DataFrame:
+    """Per-group unigram KL divergence vs the whole corpus, plus the
+    group's token total and vocabulary size. Output is |groups| rows;
+    the KL is Σ (c/n)·term ≈ Σ c·q / (n·10⁶) — an exact int64
+    weighted sum divided once, identical on both engines."""
+    t = source_unigram_kl_terms(docs, group_col)
+    agg = t.groupBy("grp").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count("*").alias("vocab_size"),
+        F.sum(F.col("c") * F.col("q")).alias("__sq"),
+    )
+    return agg.select(
+        F.col("grp").alias(group_col),
+        "n_tokens",
+        "vocab_size",
+        (
+            F.col("__sq").cast("double")
+            / 1000000.0
+            / F.col("n_tokens").cast("double")
+        ).alias("kl_vs_corpus"),
+    )

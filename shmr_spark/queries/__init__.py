@@ -63,7 +63,11 @@ def query(name: str, oracle: str | None = None, headline: bool = False):
 # over grouped_range_shards, corpus_datacard, the per-source
 # datasheet aggregate, and nb_target_select, the FineWeb-Edu-style
 # classifier-margin selection → 194, then q2/q11/q12/q20 — the last
-# four TPC-H query shapes, completing all 22 → 198).
+# four TPC-H query shapes, completing all 22 → 198, and finally the
+# corpus-diagnostics tier: distinct_ngram_diversity (Li et al. 2016
+# distinct-n), source_unigram_kl (per-source KL vs the corpus blend,
+# the DoReMi-style mixing diagnostic), and cross_source_overlap (the
+# shared 8-gram source matrix) → 201).
 # Round-12 window: after round 11 the freshness histogram is 42 gates
 # at r8, 45 at r9, 50 at r10, 50 at r11 — the r8 cohort is the oldest
 # evidence and fills the bulk of the window (the r11 verdict's task

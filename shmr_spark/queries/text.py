@@ -27,6 +27,7 @@ from shmr_spark.functions.text import (
     sql_token_count_re,
     token_count,
     token_count_re,
+    tokens,
     LANG_MARKERS,
 )
 from shmr_spark.queries import query
@@ -1898,4 +1899,197 @@ def nb_target_select(spark, sf_dir):
         F.col("lang") == "en",
         F.col("doc_id") % 5 != 0,
         k=_NBSEL_K,
+    )
+
+
+# --------------------------------------------------------------------------
+# Corpus diagnostics tier: the three standard "what is in this blend"
+# measurements a training-data pipeline runs before mixing sources —
+# per-document n-gram diversity (distinct-n, Li et al. 2016, the
+# degeneration/templated-text signal), per-source unigram KL vs the
+# corpus blend (the mixing diagnostic DoReMi-style reweighting starts
+# from), and the cross-source shared-n-gram matrix (which sources
+# duplicate each other's content — boilerplate and syndication show
+# up here long before pairwise doc dedup runs).
+# --------------------------------------------------------------------------
+
+
+def _sql_gram_list(n: int) -> str:
+    """DuckDB list expression: distinct token n-grams of `text` with
+    the shingle_ngrams short-doc rule (docs shorter than n tokens
+    yield their full token sequence as one gram)."""
+    s = "string_split(text, ' ')"
+    chain = " || ' ' || ".join(f"{s}[i+{k}]" if k else f"{s}[i]" for k in range(n))
+    return (
+        f"CASE WHEN len({s}) >= {n} THEN list_distinct(list_transform("
+        f"generate_series(1, len({s}) - {n - 1}), i -> {chain})) "
+        f"ELSE [text] END"
+    )
+
+
+@query(
+    "distinct_ngram_diversity",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         {_sql_gram_list(2)} AS g2,
+         {_sql_gram_list(3)} AS g3
+  FROM documents)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(toks)) AS DOUBLE)
+           / CAST(len(toks) AS DOUBLE) AS distinct_1,
+       CAST(len(g2) AS DOUBLE)
+           / CAST(CASE WHEN len(toks) >= 2 THEN len(toks) - 1 ELSE 1 END
+                  AS DOUBLE) AS distinct_2,
+       CAST(len(g3) AS DOUBLE)
+           / CAST(CASE WHEN len(toks) >= 3 THEN len(toks) - 2 ELSE 1 END
+                  AS DOUBLE) AS distinct_3
+FROM t
+""",
+)
+def distinct_ngram_diversity(spark, sf_dir):
+    """Per-document distinct-n ratios for n = 1, 2, 3: distinct
+    n-grams over total n-gram slots (L − n + 1). Low values flag
+    degenerate/repetitive text (the complement of repetition_metrics'
+    top-share view). Pure per-row expression work — scan + project,
+    no shuffle, no UDF; every ratio divides two exact integers cast
+    to double, so the values are engine-invariant. Docs shorter than
+    n tokens follow the shingle_ngrams short-doc rule (one whole-text
+    gram over a denominator of 1 → ratio 1.0)."""
+    from shmr_spark.dedup.minhash import shingle_ngrams
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+
+    def ratio(num, den):
+        return num.cast("double") / den.cast("double")
+
+    return docs.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        ratio(F.size(F.array_distinct(toks)), n).alias("distinct_1"),
+        ratio(
+            F.size(shingle_ngrams(F.col("text"), 2)),
+            F.when(n >= 2, n - 1).otherwise(F.lit(1)),
+        ).alias("distinct_2"),
+        ratio(
+            F.size(shingle_ngrams(F.col("text"), 3)),
+            F.when(n >= 3, n - 2).otherwise(F.lit(1)),
+        ).alias("distinct_3"),
+    )
+
+
+@query(
+    "source_unigram_kl",
+    oracle="""
+WITH e AS (
+  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
+stc AS (SELECT source, tok, COUNT(*) AS c FROM e GROUP BY 1, 2),
+tc  AS (SELECT tok, CAST(SUM(c) AS BIGINT) AS ct FROM stc GROUP BY 1),
+ns  AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM stc GROUP BY 1),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS nn FROM stc),
+term AS (
+  SELECT stc.source, stc.c, ns.n,
+         CAST(floor(ln((CAST(stc.c AS DOUBLE) * CAST(tot.nn AS DOUBLE))
+                       / (CAST(ns.n AS DOUBLE) * CAST(tc.ct AS DOUBLE)))
+                    * 1000000.0 + 0.5) AS BIGINT) AS q
+  FROM stc
+  JOIN tc USING (tok)
+  JOIN ns USING (source)
+  CROSS JOIN tot)
+SELECT source,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS vocab_size,
+       CAST(CAST(SUM(c * q) AS BIGINT) AS DOUBLE) / 1000000.0
+           / CAST(CAST(SUM(c) AS BIGINT) AS DOUBLE) AS kl_vs_corpus
+FROM term GROUP BY source
+""",
+)
+def source_unigram_kl(spark, sf_dir):
+    """KL(P_source ‖ P_corpus) over whitespace unigrams, one row per
+    source — the corpus-mixing diagnostic (functions/lm.py
+    source_unigram_kl). Exchange bytes bounded by distinct
+    (source, token) pairs; the ln is quantized ONCE per term and
+    summed exactly in int64 (weighted by the exact count), so both
+    engines divide identical operands at the end."""
+    from shmr_spark.functions.lm import source_unigram_kl
+
+    docs = load_table(spark, sf_dir, "documents")
+    return source_unigram_kl(docs)
+
+
+_OVERLAP_N = 8
+
+
+@query(
+    "cross_source_overlap",
+    oracle=f"""
+WITH g AS (
+  SELECT source, {_sql_gram_list(_OVERLAP_N)} AS grams FROM documents),
+E AS (SELECT DISTINCT source, md5(unnest(grams)) AS h FROM g),
+sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS sz FROM E GROUP BY 1),
+pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM E a JOIN E b ON a.h = b.h AND a.source < b.source
+  GROUP BY 1, 2)
+SELECT source_a, source_b, n_shared,
+       sa.sz AS n_grams_a, sb.sz AS n_grams_b,
+       CAST(n_shared AS DOUBLE)
+           / CAST(sa.sz + sb.sz - n_shared AS DOUBLE) AS jaccard
+FROM pairs
+JOIN sz sa ON sa.source = source_a
+JOIN sz sb ON sb.source = source_b
+""",
+)
+def cross_source_overlap(spark, sf_dir):
+    """Shared token {n}-gram matrix between sources: for every source
+    pair with ≥ 1 shared distinct {n}-gram, the shared count, each
+    side's distinct-gram total, and the set Jaccard. Scale shape: the
+    per-source distinct gram-hash relation E is linear in corpus
+    tokens (md5 keys, 32 bytes, through ONE exchange); the pair join
+    is an equi-join on the hash whose fan-out per gram is the number
+    of sources containing it (≤ |sources|, a fixed catalog constant —
+    never a document cross product); sizes broadcast (|sources|
+    rows). Jaccard divides exact int64 counts — engine-invariant."""
+    from shmr_spark.dedup.minhash import shingle_ngrams
+
+    docs = load_table(spark, sf_dir, "documents")
+    E = (
+        docs.select(
+            "source", F.explode(shingle_ngrams(F.col("text"), _OVERLAP_N)).alias("g")
+        )
+        .select("source", F.md5("g").alias("h"))
+        .distinct()
+    )
+    sz = E.groupBy("source").agg(F.count("*").alias("sz"))
+    a, b = E.alias("a"), E.alias("b")
+    pairs = (
+        a.join(b, "h")
+        .filter(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+        )
+        .agg(F.count("*").alias("n_shared"))
+    )
+    sa = F.broadcast(sz.select(F.col("source").alias("__sa"), F.col("sz").alias("n_grams_a")))
+    sb = F.broadcast(sz.select(F.col("source").alias("__sb"), F.col("sz").alias("n_grams_b")))
+    return (
+        pairs.join(sa, pairs.source_a == F.col("__sa"))
+        .join(sb, pairs.source_b == F.col("__sb"))
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            "n_grams_a",
+            "n_grams_b",
+            (
+                F.col("n_shared").cast("double")
+                / (
+                    F.col("n_grams_a") + F.col("n_grams_b") - F.col("n_shared")
+                ).cast("double")
+            ).alias("jaccard"),
+        )
     )

@@ -346,6 +346,28 @@ def test_dsir_hashed_terms_clear_floor_boundaries(spark, sf_dir):
     )
 
 
+def test_kl_terms_clear_floor_boundaries(spark, sf_dir):
+    """The source-KL gate (functions/lm.py source_unigram_kl)
+    floor-quantizes one SIGNED ln() population — the per-
+    (source, token) log likelihood ratio ln(c·N / (n·ct)) — before
+    the count-weighted exact int64 sum, so it must clear floor
+    boundaries like every other quantized transcendental (the
+    lm/dsir playbook above). Measured worst margins at the gate
+    corpora: 9.1e-5 (sf0.001, 617 terms), 3.1e-3 (sf0.01),
+    2.6e-4 (sf0.1, 620 terms) — ≥ 4×10⁴ times the ~2e-9 ulp-drift
+    window."""
+    from shmr_spark.catalog import load_table
+    from shmr_spark.functions.lm import source_unigram_kl_terms
+
+    docs = load_table(spark, sf_dir, "documents")
+    y = F.col("term") * 1e6 + 0.5
+    dist = F.least(y - F.floor(y), F.floor(y) + 1 - y)
+    worst = (
+        source_unigram_kl_terms(docs).agg(F.min(dist).alias("d")).collect()[0].d
+    )
+    assert worst > 2e-8, f"a KL term sits {worst} from a floor boundary"
+
+
 def test_nb_terms_clear_floor_boundaries(spark, sf_dir):
     """The NB classifier (functions/nb.py) floor-quantizes two ln()
     populations — the per-(token, class) likelihood and the per-class

@@ -485,3 +485,150 @@ def test_nb_margin_select_prefers_target_vocab(spark):
     ).collect()
     assert [r.doc_id for r in got] == [5, 10]
     assert got[0].margin > 0 > got[1].margin
+
+
+def test_distinct_ngram_diversity_hand_corpus(spark, monkeypatch):
+    """Per-doc distinct-n ratios on crafted docs, covering the
+    fully-repetitive, all-distinct, alternating, and sub-n short-doc
+    edges (the shingle_ngrams whole-text rule gives short docs
+    ratio 1.0 over a denominator of 1)."""
+    import shmr_spark.queries.text as qt
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a a"),  # 1 distinct token, grams {"a a"}, {"a a a"}
+            (2, "a b c d"),  # everything distinct
+            (3, "x"),  # shorter than every n
+            (4, "a b a b"),  # bigrams {a b, b a}, trigrams {a b a, b a b}
+        ],
+        "doc_id long, text string",
+    )
+    monkeypatch.setattr(qt, "load_table", lambda s, d, t: docs)
+    got = {r.doc_id: r for r in qt.distinct_ngram_diversity(spark, "unused").collect()}
+    assert (got[1].n_tokens, got[1].distinct_1) == (4, 0.25)
+    assert got[1].distinct_2 == 1.0 / 3.0 and got[1].distinct_3 == 0.5
+    assert (got[2].distinct_1, got[2].distinct_2, got[2].distinct_3) == (1.0, 1.0, 1.0)
+    assert (got[3].n_tokens, got[3].distinct_1) == (1, 1.0)
+    assert (got[3].distinct_2, got[3].distinct_3) == (1.0, 1.0)
+    assert (got[4].distinct_1, got[4].distinct_2, got[4].distinct_3) == (
+        0.5,
+        2.0 / 3.0,
+        1.0,
+    )
+
+
+def test_source_unigram_kl_hand_corpus_exact(spark):
+    """Hand-computable two-source corpus: A = 'a a b', B = 'a b b'
+    (corpus a=3 b=3, N=6). Each source's KL is the exact quantized
+    weighted sum (2·q(ln 4/3) + q(ln 2/3)) / 3e6 — identical for both
+    by symmetry. A balanced corpus (both sources 'a b') gives every
+    term ln(1) = 0, hence KL exactly 0.0."""
+    from shmr_spark.functions.lm import source_unigram_kl
+
+    docs = spark.createDataFrame(
+        [(1, "a a b", "A"), (2, "a b b", "B")],
+        "doc_id long, text string, source string",
+    )
+    got = {r.source: r for r in source_unigram_kl(docs).collect()}
+    q_hi = math.floor(math.log(4.0 / 3.0) * 1e6 + 0.5)
+    q_lo = math.floor(math.log(2.0 / 3.0) * 1e6 + 0.5)
+    want = (2 * q_hi + q_lo) / 1e6 / 3.0
+    for src in ("A", "B"):
+        assert (got[src].n_tokens, got[src].vocab_size) == (3, 2)
+        assert got[src].kl_vs_corpus == want
+    assert want > 0
+
+    flat = spark.createDataFrame(
+        [(1, "a b", "A"), (2, "a b", "B")],
+        "doc_id long, text string, source string",
+    )
+    for r in source_unigram_kl(flat).collect():
+        assert r.kl_vs_corpus == 0.0
+
+
+def test_source_unigram_kl_matches_python(spark, sf_dir):
+    """Exact cross-check vs a pure-Python mirror of the quantized
+    pipeline on the real corpus (the margin test in
+    test_edge_cases.py proves the ln() quantization is safely clear
+    of floor boundaries, so Python libm and JVM StrictMath floor to
+    identical int64 terms)."""
+    from shmr_spark.functions.lm import source_unigram_kl
+
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    by_src: dict[str, Counter] = {}
+    for r in docs.collect():
+        by_src.setdefault(r.source, Counter()).update(r.text.split(" "))
+    corpus = Counter()
+    for c in by_src.values():
+        corpus.update(c)
+    nn = sum(corpus.values())
+    got = {r.source: r for r in source_unigram_kl(docs).collect()}
+    assert set(got) == set(by_src)
+    for src, cnt in by_src.items():
+        n = sum(cnt.values())
+        sq = sum(
+            c * math.floor(math.log((c * nn) / (n * corpus[t])) * 1e6 + 0.5)
+            for t, c in cnt.items()
+        )
+        r = got[src]
+        assert (r.n_tokens, r.vocab_size) == (n, len(cnt))
+        assert r.kl_vs_corpus == sq / 1e6 / n
+
+
+def test_cross_source_overlap_hand_corpus(spark, monkeypatch):
+    """Planted 8-gram overlap: s1's 9-token doc has two 8-grams, s2's
+    8-token doc is s1's first 8-gram verbatim -> exactly one shared
+    gram, Jaccard 1/(2+1-1) = 0.5. s3 (a short doc, whole-text gram)
+    shares nothing and must not appear in any pair."""
+    import shmr_spark.queries.text as qt
+
+    w = [f"w{i}" for i in range(9)]
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(w), "s1"),
+            (2, " ".join(w[:8]), "s2"),
+            (3, "short doc", "s3"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    monkeypatch.setattr(qt, "load_table", lambda s, d, t: docs)
+    rows = qt.cross_source_overlap(spark, "unused").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.source_a, r.source_b) == ("s1", "s2")
+    assert (r.n_shared, r.n_grams_a, r.n_grams_b) == (1, 2, 1)
+    assert r.jaccard == 0.5
+
+
+def test_cross_source_overlap_matches_python(spark, sf_dir):
+    """Exact cross-check vs pure-Python per-source distinct 8-gram
+    sets on the real corpus (exact int counts; Jaccard divides the
+    same two int64s on both sides)."""
+    import shmr_spark.queries.text as qt
+    from itertools import combinations
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams: dict[str, set] = {}
+    for r in docs.select("source", "text").collect():
+        toks = r.text.split(" ")
+        g = (
+            {" ".join(toks[i : i + 8]) for i in range(len(toks) - 7)}
+            if len(toks) >= 8
+            else {r.text}
+        )
+        grams.setdefault(r.source, set()).update(g)
+    want = {}
+    for a, b in combinations(sorted(grams), 2):
+        shared = len(grams[a] & grams[b])
+        if shared:
+            want[(a, b)] = (
+                shared,
+                len(grams[a]),
+                len(grams[b]),
+                shared / (len(grams[a]) + len(grams[b]) - shared),
+            )
+    got = {
+        (r.source_a, r.source_b): (r.n_shared, r.n_grams_a, r.n_grams_b, r.jaccard)
+        for r in qt.cross_source_overlap(spark, sf_dir).collect()
+    }
+    assert got == want and len(got) > 0
