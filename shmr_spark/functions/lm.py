@@ -204,21 +204,33 @@ def source_unigram_kl_terms(docs: DataFrame, group_col: str = "source") -> DataF
     No smoothing is needed: every (group, token) term has ct ≥ c ≥ 1
     by construction, so the ratio is finite and positive.
 
-    Scale (100 TB): the explode collapses through map-side partial
-    aggregation — exchange bytes are bounded by DISTINCT
-    (group, token) pairs, not token instances. The corpus-count join
-    shuffles on the token key (linear in distinct tokens); the group
-    totals relation is |groups| rows and broadcasts; the corpus total
-    is a 1-row scalar cross join. Group counts c·N and n·ct stay in
-    int64→double casts that are correctly rounded in both engines
-    (functions/numeric.py, verified to 2⁶²).
+    Scale (100 TB): ONE documents scan. The explode collapses through
+    map-side partial aggregation — the first exchange is bounded by
+    DISTINCT (group, token) pairs, not token instances. The corpus
+    total per token is then folded INTO the relation by a second
+    token-keyed aggregation that carries each token's per-group
+    counts as a ≤|groups|-struct list (groups are a fixed catalog
+    constant), so there is NO token-keyed join and no re-scan: the
+    group-totals and corpus-total branches hang off the same exchange
+    and execute as ReusedExchange (plan-pinned in tests/test_plans.py
+    — the naive stc⋈tc formulation re-ran the explode scan). The
+    group totals relation is |groups| rows and broadcasts; the corpus
+    total is a 1-row scalar cross join. Group counts c·N and n·ct
+    stay in int64→double casts that are correctly rounded in both
+    engines (functions/numeric.py, verified to 2⁶²).
     """
     e = docs.select(F.col(group_col).alias("grp"), F.explode(tokens("text")).alias("tok"))
     stc = e.groupBy("grp", "tok").agg(F.count("*").alias("c"))
-    tc = stc.groupBy("tok").agg(F.sum("c").alias("ct"))
-    ns = stc.groupBy("grp").agg(F.sum("c").alias("n"))
-    tot = stc.agg(F.sum("c").alias("__nn"))
-    term = with_scalars(stc.join(tc, "tok").join(F.broadcast(ns), "grp"), tot)
+    g = stc.groupBy("tok").agg(
+        F.sum("c").alias("ct"),
+        F.collect_list(F.struct("grp", "c")).alias("__per"),
+    )
+    gx = g.select("tok", "ct", F.explode("__per").alias("__p")).select(
+        "tok", "ct", F.col("__p.grp").alias("grp"), F.col("__p.c").alias("c")
+    )
+    ns = gx.groupBy("grp").agg(F.sum("c").alias("n"))
+    tot = gx.agg(F.sum("c").alias("__nn"))
+    term = with_scalars(gx.join(F.broadcast(ns), "grp"), tot)
     ratio = (F.col("c").cast("double") * F.col("__nn").cast("double")) / (
         F.col("n").cast("double") * F.col("ct").cast("double")
     )

@@ -2047,30 +2047,52 @@ JOIN sz sb ON sb.source = source_b
 def cross_source_overlap(spark, sf_dir):
     """Shared token {n}-gram matrix between sources: for every source
     pair with ≥ 1 shared distinct {n}-gram, the shared count, each
-    side's distinct-gram total, and the set Jaccard. Scale shape: the
-    per-source distinct gram-hash relation E is linear in corpus
-    tokens (md5 keys, 32 bytes, through ONE exchange); the pair join
-    is an equi-join on the hash whose fan-out per gram is the number
-    of sources containing it (≤ |sources|, a fixed catalog constant —
-    never a document cross product); sizes broadcast (|sources|
-    rows). Jaccard divides exact int64 counts — engine-invariant."""
+    side's distinct-gram total, and the set Jaccard.
+
+    Scale shape: ONE documents scan builds the per-gram source-set
+    relation G = (h → collect_set(source)) — the exchange carries
+    partially-merged (md5, set) rows, bounded by distinct
+    (gram, source) pairs, and partial aggregation collapses replicas
+    map-side (measured byte-constant, 1.06×, at the 10×→100× step).
+    Pairs are then GENERATED from each gram's sorted source set (an
+    array expression — fan-out ≤ C(|sources|, 2), a fixed catalog
+    constant, never a self-join re-scan and never a document cross
+    product), and the per-source gram totals explode out of the SAME
+    relation, which Catalyst de-duplicates into a ReusedExchange (the
+    naive E⋈E self-join formulation re-scanned the corpus four
+    times — plan-pinned in tests/test_plans.py). Sizes broadcast
+    (|sources| rows). Jaccard divides exact int64 counts —
+    engine-invariant."""
     from shmr_spark.dedup.minhash import shingle_ngrams
 
     docs = load_table(spark, sf_dir, "documents")
-    E = (
+    G = (
         docs.select(
             "source", F.explode(shingle_ngrams(F.col("text"), _OVERLAP_N)).alias("g")
         )
         .select("source", F.md5("g").alias("h"))
-        .distinct()
+        .groupBy("h")
+        .agg(F.array_sort(F.collect_set("source")).alias("srcs"))
     )
-    sz = E.groupBy("source").agg(F.count("*").alias("sz"))
-    a, b = E.alias("a"), E.alias("b")
+    sz = (
+        G.select(F.explode("srcs").alias("source"))
+        .groupBy("source")
+        .agg(F.count("*").alias("sz"))
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            "srcs",
+            lambda x, i: F.transform(
+                F.slice(F.col("srcs"), i + 2, F.size("srcs")),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
     pairs = (
-        a.join(b, "h")
-        .filter(F.col("a.source") < F.col("b.source"))
+        G.filter(F.size("srcs") >= 2)
+        .select(F.explode(pair_structs).alias("p"))
         .groupBy(
-            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+            F.col("p.a").alias("source_a"), F.col("p.b").alias("source_b")
         )
         .agg(F.count("*").alias("n_shared"))
     )

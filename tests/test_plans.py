@@ -493,3 +493,56 @@ def test_pq_gate_queries_never_collect_the_corpus():
         assert "degenerate_codebook_df" in src, (
             f"{fn.__name__} no longer builds its codebook in-plan"
         )
+
+
+def test_distinct_ngram_diversity_is_scan_project_only(spark, sf_dir):
+    """The distinct-n diversity gate is pure per-row expression work:
+    the physical plan must be a parquet scan + project — zero
+    exchanges, zero generates (the n-gram ratios are array
+    expressions, not explodes)."""
+    plan = _plan(spark, sf_dir, "distinct_ngram_diversity")
+    tree = _tree(plan)
+    assert "Exchange" not in tree
+    assert "Generate" not in tree
+    assert tree.count("Scan parquet") == 1
+
+
+def test_cross_source_overlap_reuses_the_gram_relation(spark, sf_dir):
+    """The overlap gate derives pairs AND per-source totals from ONE
+    per-gram source-set relation: after AQE materializes stages, the
+    two repeat subtrees must be ReusedExchange nodes (the naive E⋈E
+    self-join formulation re-scanned the corpus four times — this
+    pins the one-scan shape), and the pair fan-out must be an array
+    Generate, never a hash self-join of the gram relation."""
+    df = load_all()["cross_source_overlap"].fn(spark, sf_dir)
+    df.collect()
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    tree = _tree(df._jdf.queryExecution().explainString(jmode))
+    # the executed AQE tree carries both sections; assert on the
+    # Final Plan (what actually ran), not the pre-reuse Initial Plan
+    tree = tree.split("== Initial Plan ==")[0]
+    assert tree.count("ReusedExchange") == 2
+    assert tree.count("Scan parquet") == 1
+    # both remaining joins are the |sources|-row size broadcasts
+    assert tree.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in tree
+
+
+def test_source_unigram_kl_single_scan(spark, sf_dir):
+    """The KL gate folds the corpus token totals INTO the (group,
+    token) relation (per-token struct list, bounded by the source
+    catalog) instead of joining two aggregates of the same explode:
+    the executed plan must read the corpus ONCE, with the group-total
+    and corpus-total branches running as ReusedExchange."""
+    df = load_all()["source_unigram_kl"].fn(spark, sf_dir)
+    df.collect()
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    tree = _tree(df._jdf.queryExecution().explainString(jmode))
+    tree = tree.split("== Initial Plan ==")[0]
+    assert tree.count("ReusedExchange") == 2
+    assert tree.count("Scan parquet") == 1
+    assert "SortMergeJoin" not in tree

@@ -101,7 +101,20 @@ JOIN_LINEAR = [
 # (corpus_datacard is the r12 member: the datasheet aggregate's
 # exchange is one partial-agged row per (source, partition) —
 # measured 0.97x at this step)
-AGG_CONSTANT = ["dedup_exact", "reduce_by_key_q1", "corpus_datacard"]
+AGG_CONSTANT = [
+    "dedup_exact",
+    "reduce_by_key_q1",
+    "corpus_datacard",
+    # r12 corpus diagnostics: both gates' exchanges are bounded by
+    # DISTINCT (source, token) / (gram, source-set) pairs, which the
+    # key-shifted replication leaves unchanged — measured 1.05x
+    # (source KL; single-scan collect_list shape, 146 KB at 10x) and
+    # 1.00x (overlap; the per-gram source-set relation is built once
+    # and ReusedExchange-d, so the repeat is byte-identical, 77 MB
+    # at 10x) at this step
+    "source_unigram_kl",
+    "cross_source_overlap",
+]
 # mixed shape: one side linear in docs, the other a distinct set that
 # is CONSTANT on the replicated corpus (13-gram decontamination's
 # train gram set — replication adds no new grams). Measured 4.87x for
