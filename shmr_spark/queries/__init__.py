@@ -82,6 +82,13 @@ def query(name: str, oracle: str | None = None, headline: bool = False):
 #      across modules/tiers, drawn from the r9 cohort so they also
 #      advance the next-oldest evidence. Names absent from this list
 #      keep module registration order after it.
+# The seven gates added AFTER this round's window was frozen
+# (q2_min_cost_supplier, q11_important_parts, q12_late_priority_mix,
+# q20_dominant_promo_suppliers, distinct_ngram_diversity,
+# source_unigram_kl, cross_source_overlap) could not displace the
+# r8 cohort without breaking the r11 verdict's all-42 rotation task;
+# they carry three-decade local oracle evidence this round and HEAD
+# THE R13 WINDOW by the standing new-plans-first rule.
 _PRIORITY: list[str] = [
     # -- group 1: plans/oracles changed or NEW this round (8; the
     #    NB classifier/selector, CCNet perplexity-tercile,
