@@ -714,3 +714,102 @@ def test_nb_classifier_matches_bruteforce(spark, texts, train_flags, labels):
         for i, (pred, sc) in want.items():
             assert got[i][0] == pred, f"doc {i} hash_buckets={hash_buckets}"
             assert abs(got[i][1] - sc) < 2e-6, f"doc {i}"
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(_doc, min_size=2, max_size=10),
+    st.lists(st.integers(min_value=0, max_value=3), min_size=10, max_size=10),
+)
+def test_source_unigram_kl_matches_bruteforce(spark, texts, srcs):
+    """On arbitrary unicode corpora with arbitrary source labels:
+    source_unigram_kl ≡ the brute-force quantized KL (same
+    floor-quantized int64 term sum and exact final division), and
+    every KL is ≥ −(one quantum) with the single-source case exactly
+    0 (every term ln(1) → q = 0)."""
+    import math
+    from collections import Counter
+
+    from shmr_spark.functions.lm import source_unigram_kl
+
+    rows = [(i, f"s{srcs[i]}", t) for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+    by_src: dict = {}
+    for _, src, t in rows:
+        by_src.setdefault(src, Counter()).update(t.split(" "))
+    corpus: Counter = Counter()
+    for c in by_src.values():
+        corpus.update(c)
+    nn = sum(corpus.values())
+
+    got = {r.source: r for r in source_unigram_kl(docs).collect()}
+    assert set(got) == set(by_src)
+    for src, cnt in by_src.items():
+        n = sum(cnt.values())
+        sq = sum(
+            c * math.floor(math.log((c * nn) / (n * corpus[t])) * 1e6 + 0.5)
+            for t, c in cnt.items()
+        )
+        r = got[src]
+        assert (r.n_tokens, r.vocab_size) == (n, len(cnt))
+        assert abs(r.kl_vs_corpus - sq / 1e6 / n) < 2e-6
+        assert r.kl_vs_corpus >= -1e-6
+        if len(by_src) == 1:
+            assert r.kl_vs_corpus == 0.0
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(_doc, min_size=2, max_size=8),
+    st.lists(st.integers(min_value=0, max_value=2), min_size=8, max_size=8),
+)
+def test_cross_source_overlap_matches_bruteforce(spark, texts, srcs):
+    """On arbitrary unicode corpora with arbitrary source labels:
+    cross_source_overlap ≡ brute-force per-source distinct-8-gram set
+    intersections (short docs contribute their whole text as one
+    gram), with exact counts and Jaccard. Patches the query module's
+    load_table by hand — hypothesis forbids the function-scoped
+    monkeypatch fixture."""
+    from itertools import combinations
+
+    import shmr_spark.queries.text as qt
+
+    rows = [(i, f"s{srcs[i]}", t) for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+    grams: dict = {}
+    for _, src, t in rows:
+        toks = t.split(" ")
+        g = (
+            {" ".join(toks[i : i + 8]) for i in range(len(toks) - 7)}
+            if len(toks) >= 8
+            else {t}
+        )
+        grams.setdefault(src, set()).update(g)
+    want = {}
+    for a, b in combinations(sorted(grams), 2):
+        shared = len(grams[a] & grams[b])
+        if shared:
+            want[(a, b)] = (
+                shared,
+                len(grams[a]),
+                len(grams[b]),
+                shared / (len(grams[a]) + len(grams[b]) - shared),
+            )
+
+    orig = qt.load_table
+    qt.load_table = lambda s, d, t: docs
+    try:
+        got = {
+            (r.source_a, r.source_b): (
+                r.n_shared,
+                r.n_grams_a,
+                r.n_grams_b,
+                r.jaccard,
+            )
+            for r in qt.cross_source_overlap(spark, "unused").collect()
+        }
+    finally:
+        qt.load_table = orig
+    assert got == want
