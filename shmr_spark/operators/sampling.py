@@ -109,3 +109,45 @@ def leakage_safe_split(
         F.lit("train")
     )
     return grouped.withColumn("split", side)
+
+
+def weighted_sample(
+    df: DataFrame,
+    key: str,
+    weight: Column | str,
+    k: int,
+    buckets: int = 1_048_576,
+) -> DataFrame:
+    """Efraimidis–Spirakis (2006) weighted sampling WITHOUT
+    replacement: draw an exact-size sample of ``k`` rows with
+    inclusion chances proportional to ``weight`` — the standard tool
+    for "keep k documents, preferring high quality" where Bernoulli
+    acceptance can't hit an exact size and a temperature mix operates
+    on groups, not rows.
+
+    A-ES assigns each row the key u^(1/w) (u uniform) and keeps the
+    top k. This implementation is fully DETERMINISTIC and
+    cross-engine: u = (md5-bucket(key) + 0.5) / buckets (the repo's
+    hash-uniform idiom — bit-identical in DuckDB), compared in log
+    space as ln(u)/w, floor-quantized ONCE to int64 (`es_q`,
+    functions/numeric discipline) with (es_q DESC, key ASC) as the
+    total order, so both engines cut the same k rows.
+
+    Scale (100 TB): one scan; the weight/key math is per-row
+    expression work and the fixed-k selection is TakeOrdered
+    (per-partition heap + driver merge of k·partitions rows) — NO
+    global sort, no shuffle of the corpus. ``buckets`` bounds the
+    u-granularity: collisions in u are broken by the key column, and
+    k ≪ corpus makes the (2e-9-wide) quantize-boundary risk a
+    measured-margin property like every other transcendental gate
+    (tests/test_edge_cases.py)."""
+    from shmr_spark.functions.numeric import _scaled_long
+
+    w = F.col(weight) if isinstance(weight, str) else weight
+    u = (hash_split_col_md5(key, buckets) + F.lit(0.5)) / F.lit(float(buckets))
+    es_q = _scaled_long(F.log(u) / w.cast("double"))
+    return (
+        df.withColumn("es_q", es_q)
+        .orderBy(F.col("es_q").desc(), F.col(key).asc())
+        .limit(k)
+    )

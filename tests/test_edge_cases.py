@@ -422,3 +422,21 @@ def test_nb_binary_terms_clear_floor_boundaries(spark, sf_dir):
     ).collect()[0]
     assert row.ml > 2e-8, f"a binary-NB likelihood sits {row.ml} from a boundary"
     assert row.mp > 2e-8, f"a binary-NB prior sits {row.mp} from a boundary"
+
+
+def test_weighted_sample_keys_clear_floor_boundaries(spark, sf_dir):
+    """The Efraimidis–Spirakis gate quantizes ln(u)/w per row (u the
+    md5-uniform, w = n_chars) — one more transcendental population
+    through the floor-boundary check. Measured worst margins at the
+    gate corpora: 3.2e-4 (sf0.001), 3.3e-4 (sf0.01), 1.6e-4
+    (sf0.1) — ≥ 7×10⁴ times the ~2e-9 ulp-drift window."""
+    from shmr_spark.catalog import load_table
+    from shmr_spark.operators.sampling import hash_split_col_md5
+
+    docs = load_table(spark, sf_dir, "documents")
+    u = (hash_split_col_md5("doc_id", 1_048_576) + F.lit(0.5)) / F.lit(1048576.0)
+    key = F.log(u) / F.col("n_chars").cast("double")
+    y = key * 1e6 + 0.5
+    dist = F.least(y - F.floor(y), F.floor(y) + 1 - y)
+    worst = docs.agg(F.min(dist).alias("d")).collect()[0].d
+    assert worst > 2e-8, f"an E-S key sits {worst} from a floor boundary"

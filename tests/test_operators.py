@@ -1316,3 +1316,37 @@ def test_grouped_range_shards_matches_window_formula(spark, sf_dir):
         ).select(*cols)
         assert got.exceptAll(want).count() == 0, f"n={n}"
         assert want.exceptAll(got).count() == 0, f"n={n}"
+
+
+def test_weighted_sample_matches_python_and_prefers_heavy(spark, sf_dir):
+    """weighted_sample ≡ a pure-Python replay of the md5-uniform +
+    ln(u)/w + floor-quantize + (es_q desc, key) top-k on the real
+    corpus; and on a crafted corpus where ten rows carry 10⁶× the
+    weight, the top-10 is exactly the heavy rows (A-ES semantics:
+    weight-proportional inclusion)."""
+    import hashlib
+    import math
+
+    from shmr_spark.catalog import load_table
+    from shmr_spark.operators.sampling import weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").cast("long").alias("n_chars")
+    )
+
+    def es_q(key: int, w: float) -> int:
+        b = int(hashlib.md5(str(key).encode()).hexdigest()[:15], 16) % 1_048_576
+        return math.floor(math.log((b + 0.5) / 1_048_576.0) / w * 1e6 + 0.5)
+
+    rows = [(r.doc_id, r.n_chars) for r in docs.collect()]
+    want = sorted(rows, key=lambda t: (-es_q(t[0], t[1]), t[0]))[:100]
+    got = weighted_sample(docs, "doc_id", "n_chars", k=100).collect()
+    assert [(r.doc_id, r.n_chars) for r in got] == want
+    assert all(r.es_q == es_q(r.doc_id, r.n_chars) for r in got)
+
+    skewed = spark.createDataFrame(
+        [(i, 1_000_000.0 if i < 10 else 1.0) for i in range(1000)],
+        "id long, w double",
+    )
+    top = weighted_sample(skewed, "id", "w", k=10).collect()
+    assert sorted(r.id for r in top) == list(range(10))

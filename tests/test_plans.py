@@ -546,3 +546,14 @@ def test_source_unigram_kl_single_scan(spark, sf_dir):
     assert tree.count("ReusedExchange") == 2
     assert tree.count("Scan parquet") == 1
     assert "SortMergeJoin" not in tree
+
+
+def test_weighted_sample_take_ordered_single_scan(spark, sf_dir):
+    """The E-S weighted sample is per-row expression work + a fixed-k
+    cut: must plan as TakeOrderedAndProject over one scan — never a
+    global Sort materialization or an exchange of the corpus."""
+    plan = _plan(spark, sf_dir, "weighted_sample_quality")
+    tree = _tree(plan)
+    assert "TakeOrderedAndProject" in tree
+    assert tree.count("Scan parquet") == 1
+    assert "Sort " not in tree

@@ -813,3 +813,39 @@ def test_cross_source_overlap_matches_bruteforce(spark, texts, srcs):
     finally:
         qt.load_table = orig
     assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=1, max_value=10_000),
+        min_size=1,
+        max_size=20,
+        unique=True,
+    ),
+    st.data(),
+)
+def test_weighted_sample_matches_bruteforce(spark, ids, data):
+    """On arbitrary id sets with arbitrary positive weights:
+    weighted_sample ≡ the brute-force A-ES replay (md5-uniform,
+    ln(u)/w, floor-quantize, (es_q desc, id) top-k) at every k from
+    1 to beyond the corpus size."""
+    import hashlib
+    import math
+
+    from shmr_spark.operators.sampling import weighted_sample
+
+    ws = [
+        data.draw(st.floats(min_value=0.01, max_value=1e6)) for _ in ids
+    ]
+    rows = list(zip(ids, ws))
+    df = spark.createDataFrame(rows, "id long, w double")
+
+    def es_q(key: int, w: float) -> int:
+        b = int(hashlib.md5(str(key).encode()).hexdigest()[:15], 16) % 1_048_576
+        return math.floor(math.log((b + 0.5) / 1_048_576.0) / w * 1e6 + 0.5)
+
+    ranked = sorted(rows, key=lambda t: (-es_q(t[0], t[1]), t[0]))
+    for k in (1, len(rows) // 2 or 1, len(rows) + 5):
+        got = weighted_sample(df, "id", "w", k=k).collect()
+        assert [(r.id, r.w) for r in got] == ranked[:k]
