@@ -244,13 +244,21 @@ def source_unigram_kl_terms(docs: DataFrame, group_col: str = "source") -> DataF
 def source_unigram_kl(docs: DataFrame, group_col: str = "source") -> DataFrame:
     """Per-group unigram KL divergence vs the whole corpus, plus the
     group's token total and vocabulary size. Output is |groups| rows;
-    the KL is Σ (c/n)·term ≈ Σ c·q / (n·10⁶) — an exact int64
-    weighted sum divided once, identical on both engines."""
+    the KL is Σ (c/n)·term ≈ Σ c·q / (n·10⁶) — an exact weighted sum
+    divided once, identical on both engines. The weighted sum runs in
+    DECIMAL(38,0), not int64: |q| reaches ~ln(N)·10⁶ ≈ 3×10⁷ at a
+    10¹³-token corpus, so a single c·q product can pass 2⁶³ for a
+    source past ~3×10¹¹ tokens — int64 would wrap silently in Spark
+    while DuckDB promotes to HUGEINT, breaking parity exactly at the
+    scale the operator targets. Decimal headroom is ~10³⁸ vs a
+    worst-case Σ|c·q| ≲ 10²¹ per group; the final decimal→double cast
+    is correctly rounded in both engines at scale 0
+    (functions/numeric.py)."""
     t = source_unigram_kl_terms(docs, group_col)
     agg = t.groupBy("grp").agg(
         F.sum("c").alias("n_tokens"),
         F.count("*").alias("vocab_size"),
-        F.sum(F.col("c") * F.col("q")).alias("__sq"),
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("q")).alias("__sq"),
     )
     return agg.select(
         F.col("grp").alias(group_col),

@@ -127,27 +127,41 @@ def weighted_sample(
 
     A-ES assigns each row the key u^(1/w) (u uniform) and keeps the
     top k. This implementation is fully DETERMINISTIC and
-    cross-engine: u = (md5-bucket(key) + 0.5) / buckets (the repo's
-    hash-uniform idiom — bit-identical in DuckDB), compared in log
-    space as ln(u)/w, floor-quantized ONCE to int64 (`es_q`,
-    functions/numeric discipline) with (es_q DESC, key ASC) as the
-    total order, so both engines cut the same k rows.
+    cross-engine, compared in log space as ln(u)/w in two exact
+    steps: u = (md5-bucket(key) + 0.5) / buckets (the repo's
+    hash-uniform idiom — bit-identical in DuckDB) is floor-quantized
+    ONCE as q = floor(ln(u)·10⁶ + 0.5) over a FIXED population — the
+    2²⁰ bucket midpoints, whose minimum floor-boundary distance is an
+    exhaustively-measured design constant (1.33e-7, 41× the ulp-drift
+    window; pinned in tests/test_edge_cases.py), not a per-corpus
+    property — then divided by the RAW weight as one int64→double
+    cast + IEEE division, both correctly rounded in either engine
+    (functions/numeric.py). Dividing the quantized integer (instead
+    of quantizing the quotient) keeps full double resolution at ANY
+    weight scale: quantizing ln(u)/w itself collapses every row to
+    es_key 0 once w ≳ 10⁶·|ln u| and silently degrades A-ES into
+    ascending-key order. (es_key DESC, key ASC) is the total order,
+    so both engines cut the same k rows.
+
+    Weights must be > 0 (ln(u)/w flips sign for negative w and is
+    engine-divergent for w = 0): enforced per-row IN the key
+    expression via raise_error, so a bad weight fails loudly instead
+    of silently corrupting the sample.
 
     Scale (100 TB): one scan; the weight/key math is per-row
     expression work and the fixed-k selection is TakeOrdered
     (per-partition heap + driver merge of k·partitions rows) — NO
-    global sort, no shuffle of the corpus. ``buckets`` bounds the
-    u-granularity: collisions in u are broken by the key column, and
-    k ≪ corpus makes the (2e-9-wide) quantize-boundary risk a
-    measured-margin property like every other transcendental gate
-    (tests/test_edge_cases.py)."""
+    global sort, no shuffle of the corpus."""
     from shmr_spark.functions.numeric import _scaled_long
 
-    w = F.col(weight) if isinstance(weight, str) else weight
+    w = (F.col(weight) if isinstance(weight, str) else weight).cast("double")
     u = (hash_split_col_md5(key, buckets) + F.lit(0.5)) / F.lit(float(buckets))
-    es_q = _scaled_long(F.log(u) / w.cast("double"))
+    q = _scaled_long(F.log(u))
+    es_key = F.when(w > 0, q.cast("double") / w).otherwise(
+        F.expr("raise_error('weighted_sample: weight must be > 0')").cast("double")
+    )
     return (
-        df.withColumn("es_q", es_q)
-        .orderBy(F.col("es_q").desc(), F.col(key).asc())
+        df.withColumn("es_key", es_key)
+        .orderBy(F.col("es_key").desc(), F.col(key).asc())
         .limit(k)
     )

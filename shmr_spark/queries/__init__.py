@@ -91,7 +91,10 @@ def query(name: str, oracle: str | None = None, headline: bool = False):
 # could not displace the
 # r8 cohort without breaking the r11 verdict's all-42 rotation task;
 # they carry three-decade local oracle evidence this round and HEAD
-# THE R13 WINDOW by the standing new-plans-first rule.
+# THE R13 WINDOW by the standing new-plans-first rule — along with
+# ngram_decontamination, whose oracle text changed late in r12 (the
+# gram-SQL helper dedup; semantics identical, re-hash-matched at
+# sf0.001-0.1).
 _PRIORITY: list[str] = [
     # -- group 1: plans/oracles changed or NEW this round (8; the
     #    NB classifier/selector, CCNet perplexity-tercile,

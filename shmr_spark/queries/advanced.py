@@ -424,22 +424,24 @@ def train_test_split_q(spark, sf_dir):
     oracle="""
 WITH s AS (
   SELECT doc_id, n_chars,
-         CAST(floor(ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
-                             AS BIGINT) % 1048576 + 0.5) / 1048576.0)
-                    / CAST(n_chars AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS es_q
+         CAST(CAST(floor(ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                                  AS BIGINT) % 1048576 + 0.5) / 1048576.0)
+                         * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE)
+             / CAST(n_chars AS DOUBLE) AS es_key
   FROM documents)
-SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, es_q
-FROM s ORDER BY es_q DESC, doc_id LIMIT 100
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, es_key
+FROM s ORDER BY es_key DESC, doc_id LIMIT 100
 """,
 )
 def weighted_sample_quality(spark, sf_dir):
     """Efraimidis–Spirakis exact-size weighted sample: keep 100
     documents with inclusion chances proportional to length
     (operators/sampling.weighted_sample) — deterministic md5-uniform
-    u, ln(u)/w keys floor-quantized once, fixed-k TakeOrdered. The
-    oracle replays the identical integer/ln pipeline; the quantize
-    boundary margins are measured and pinned in
-    tests/test_edge_cases.py."""
+    u, ln(u) floor-quantized ONCE over its fixed 2^20-value
+    population, divided by the raw weight in full double precision,
+    fixed-k TakeOrdered. The oracle replays the identical
+    integer/ln/divide pipeline; the fixed population's exhaustive
+    boundary margin is pinned in tests/test_edge_cases.py."""
     from shmr_spark.operators.sampling import weighted_sample
 
     docs = load_table(spark, sf_dir, "documents").select(

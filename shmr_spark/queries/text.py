@@ -1484,16 +1484,22 @@ def dsir_select_ngram_hashed(spark, sf_dir):
 _DECON_N = 13
 
 
-def _decon_gram_sql() -> str:
+def _sql_gram_list(n: int) -> str:
+    """DuckDB list expression: distinct token n-grams of `text` with
+    the shingle_ngrams short-doc rule (docs shorter than n tokens
+    yield their full token sequence as one gram)."""
     s = "string_split(text, ' ')"
-    chain = " || ' ' || ".join(f"{s}[i+{k}]" if k else f"{s}[i]" for k in range(_DECON_N))
+    chain = " || ' ' || ".join(f"{s}[i+{k}]" if k else f"{s}[i]" for k in range(n))
+    return (
+        f"CASE WHEN len({s}) >= {n} THEN list_distinct(list_transform("
+        f"generate_series(1, len({s}) - {n - 1}), i -> {chain})) "
+        f"ELSE [text] END"
+    )
+
+
+def _decon_gram_sql() -> str:
     return f"""
-  SELECT doc_id,
-         CASE WHEN len({s}) >= {_DECON_N}
-              THEN list_distinct(list_transform(
-                     generate_series(1, len({s}) - {_DECON_N - 1}),
-                     i -> {chain}))
-              ELSE [text] END AS grams
+  SELECT doc_id, {_sql_gram_list(_DECON_N)} AS grams
   FROM documents"""
 
 
@@ -1914,19 +1920,6 @@ def nb_target_select(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 
-def _sql_gram_list(n: int) -> str:
-    """DuckDB list expression: distinct token n-grams of `text` with
-    the shingle_ngrams short-doc rule (docs shorter than n tokens
-    yield their full token sequence as one gram)."""
-    s = "string_split(text, ' ')"
-    chain = " || ' ' || ".join(f"{s}[i+{k}]" if k else f"{s}[i]" for k in range(n))
-    return (
-        f"CASE WHEN len({s}) >= {n} THEN list_distinct(list_transform("
-        f"generate_series(1, len({s}) - {n - 1}), i -> {chain})) "
-        f"ELSE [text] END"
-    )
-
-
 @query(
     "distinct_ngram_diversity",
     oracle=f"""
@@ -2002,7 +1995,7 @@ term AS (
 SELECT source,
        CAST(SUM(c) AS BIGINT) AS n_tokens,
        CAST(COUNT(*) AS BIGINT) AS vocab_size,
-       CAST(CAST(SUM(c * q) AS BIGINT) AS DOUBLE) / 1000000.0
+       CAST(SUM(CAST(c AS DECIMAL(38,0)) * q) AS DOUBLE) / 1000000.0
            / CAST(CAST(SUM(c) AS BIGINT) AS DOUBLE) AS kl_vs_corpus
 FROM term GROUP BY source
 """,

@@ -424,19 +424,27 @@ def test_nb_binary_terms_clear_floor_boundaries(spark, sf_dir):
     assert row.mp > 2e-8, f"a binary-NB prior sits {row.mp} from a boundary"
 
 
-def test_weighted_sample_keys_clear_floor_boundaries(spark, sf_dir):
-    """The Efraimidis–Spirakis gate quantizes ln(u)/w per row (u the
-    md5-uniform, w = n_chars) — one more transcendental population
-    through the floor-boundary check. Measured worst margins at the
-    gate corpora: 3.2e-4 (sf0.001), 3.3e-4 (sf0.01), 1.6e-4
-    (sf0.1) — ≥ 7×10⁴ times the ~2e-9 ulp-drift window."""
-    from shmr_spark.catalog import load_table
-    from shmr_spark.operators.sampling import hash_split_col_md5
+def test_weighted_sample_ln_population_clears_floor_boundaries():
+    """The Efraimidis–Spirakis operator quantizes ln(u) over a FIXED
+    population — the 2²⁰ md5-bucket midpoints — before the
+    full-precision divide by the weight, so its boundary margin is a
+    design CONSTANT checked exhaustively over every possible u, not
+    a per-corpus measurement: minimum distance 1.33e-7 (at bucket
+    741242), 41× the ~3.2e-9 ulp-drift window for |ln u|·10⁶ ≤
+    1.46e7. (Quantizing ln(u)/w instead would make the margin
+    corpus-dependent AND collapse key resolution for large weights —
+    the defect the fixed-population design removes.) Spot-checks a
+    deterministic stratified subsample here; the exhaustive Python
+    sweep that produced the constant is cheap to re-run if the
+    bucket count ever changes."""
+    import math
 
-    docs = load_table(spark, sf_dir, "documents")
-    u = (hash_split_col_md5("doc_id", 1_048_576) + F.lit(0.5)) / F.lit(1048576.0)
-    key = F.log(u) / F.col("n_chars").cast("double")
-    y = key * 1e6 + 0.5
-    dist = F.least(y - F.floor(y), F.floor(y) + 1 - y)
-    worst = docs.agg(F.min(dist).alias("d")).collect()[0].d
-    assert worst > 2e-8, f"an E-S key sits {worst} from a floor boundary"
+    B = 1 << 20
+    worst = 1.0
+    # every 97th bucket + the known-worst bucket: 10,8k points, <0.1s
+    for b in list(range(0, B, 97)) + [741242]:
+        y = math.log((b + 0.5) / B) * 1e6 + 0.5
+        d = min(y - math.floor(y), math.floor(y) + 1 - y)
+        worst = min(worst, d)
+    assert worst == min(worst, 1.3347016647458076e-07)
+    assert worst > 1.3e-7, f"ln-population margin regressed: {worst}"

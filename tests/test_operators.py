@@ -1320,12 +1320,18 @@ def test_grouped_range_shards_matches_window_formula(spark, sf_dir):
 
 def test_weighted_sample_matches_python_and_prefers_heavy(spark, sf_dir):
     """weighted_sample ≡ a pure-Python replay of the md5-uniform +
-    ln(u)/w + floor-quantize + (es_q desc, key) top-k on the real
-    corpus; and on a crafted corpus where ten rows carry 10⁶× the
-    weight, the top-10 is exactly the heavy rows (A-ES semantics:
-    weight-proportional inclusion)."""
+    quantized-ln(u) / w + (es_key desc, key) top-k on the real
+    corpus; on a crafted corpus where the LAST ten ids carry 10⁶×
+    the weight (so the doc_id tie-break works AGAINST them — a
+    heavy-rows-first layout would mask a broken key), all ten heavy
+    rows win the top-10 (A-ES weight-proportional inclusion: a
+    weight-1 row outranks a weight-10⁶ row only with u in the top
+    ~1.5e-5 tail); and non-positive weights raise instead of
+    silently corrupting the sample."""
     import hashlib
     import math
+
+    import pytest
 
     from shmr_spark.catalog import load_table
     from shmr_spark.operators.sampling import weighted_sample
@@ -1334,19 +1340,23 @@ def test_weighted_sample_matches_python_and_prefers_heavy(spark, sf_dir):
         "doc_id", F.col("n_chars").cast("long").alias("n_chars")
     )
 
-    def es_q(key: int, w: float) -> int:
+    def es_key(key: int, w: float) -> float:
         b = int(hashlib.md5(str(key).encode()).hexdigest()[:15], 16) % 1_048_576
-        return math.floor(math.log((b + 0.5) / 1_048_576.0) / w * 1e6 + 0.5)
+        return math.floor(math.log((b + 0.5) / 1_048_576.0) * 1e6 + 0.5) / w
 
     rows = [(r.doc_id, r.n_chars) for r in docs.collect()]
-    want = sorted(rows, key=lambda t: (-es_q(t[0], t[1]), t[0]))[:100]
+    want = sorted(rows, key=lambda t: (-es_key(t[0], t[1]), t[0]))[:100]
     got = weighted_sample(docs, "doc_id", "n_chars", k=100).collect()
     assert [(r.doc_id, r.n_chars) for r in got] == want
-    assert all(r.es_q == es_q(r.doc_id, r.n_chars) for r in got)
+    assert all(r.es_key == es_key(r.doc_id, r.n_chars) for r in got)
 
     skewed = spark.createDataFrame(
-        [(i, 1_000_000.0 if i < 10 else 1.0) for i in range(1000)],
+        [(i, 1_000_000.0 if i >= 990 else 1.0) for i in range(1000)],
         "id long, w double",
     )
     top = weighted_sample(skewed, "id", "w", k=10).collect()
-    assert sorted(r.id for r in top) == list(range(10))
+    assert sorted(r.id for r in top) == list(range(990, 1000))
+
+    bad = spark.createDataFrame([(1, 1.0), (2, 0.0)], "id long, w double")
+    with pytest.raises(Exception, match="weight must be > 0"):
+        weighted_sample(bad, "id", "w", k=1).collect()

@@ -826,26 +826,28 @@ def test_cross_source_overlap_matches_bruteforce(spark, texts, srcs):
     st.data(),
 )
 def test_weighted_sample_matches_bruteforce(spark, ids, data):
-    """On arbitrary id sets with arbitrary positive weights:
+    """On arbitrary id sets with arbitrary positive weights spanning
+    nine orders of magnitude (including weights far past the scale
+    where quantizing the QUOTIENT would collapse every key to 0):
     weighted_sample ≡ the brute-force A-ES replay (md5-uniform,
-    ln(u)/w, floor-quantize, (es_q desc, id) top-k) at every k from
-    1 to beyond the corpus size."""
+    floor-quantized ln(u), full-precision divide, (es_key desc, id)
+    top-k) at every k from 1 to beyond the corpus size."""
     import hashlib
     import math
 
     from shmr_spark.operators.sampling import weighted_sample
 
     ws = [
-        data.draw(st.floats(min_value=0.01, max_value=1e6)) for _ in ids
+        data.draw(st.floats(min_value=0.01, max_value=1e9)) for _ in ids
     ]
     rows = list(zip(ids, ws))
     df = spark.createDataFrame(rows, "id long, w double")
 
-    def es_q(key: int, w: float) -> int:
+    def es_key(key: int, w: float) -> float:
         b = int(hashlib.md5(str(key).encode()).hexdigest()[:15], 16) % 1_048_576
-        return math.floor(math.log((b + 0.5) / 1_048_576.0) / w * 1e6 + 0.5)
+        return math.floor(math.log((b + 0.5) / 1_048_576.0) * 1e6 + 0.5) / w
 
-    ranked = sorted(rows, key=lambda t: (-es_q(t[0], t[1]), t[0]))
+    ranked = sorted(rows, key=lambda t: (-es_key(t[0], t[1]), t[0]))
     for k in (1, len(rows) // 2 or 1, len(rows) + 5):
         got = weighted_sample(df, "id", "w", k=k).collect()
         assert [(r.id, r.w) for r in got] == ranked[:k]
