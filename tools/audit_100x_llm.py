@@ -121,6 +121,12 @@ def main() -> None:
         # the scored docs (one row per doc) plus the bucket-totals
         # table; expected byte-linear
         "perplexity_buckets": reg["perplexity_buckets"].fn,
+        # r12: corpus diagnostics — both exchanges are bounded by
+        # DISTINCT (source, token) / per-gram source-set pairs, which
+        # replication leaves unchanged; expected byte-CONSTANT
+        # (1.05x / 1.00x pinned in test_scaling_100x.py)
+        "source_unigram_kl": reg["source_unigram_kl"].fn,
+        "cross_source_overlap": reg["cross_source_overlap"].fn,
     }
 
     # r12 (verdict task 4): rows measured at a PINNED cache state —
