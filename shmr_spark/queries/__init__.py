@@ -69,7 +69,9 @@ def query(name: str, oracle: str | None = None, headline: bool = False):
 # the DoReMi-style mixing diagnostic), and cross_source_overlap (the
 # shared 8-gram source matrix) → 201, and weighted_sample_quality —
 # deterministic Efraimidis–Spirakis exact-size weighted sampling
-# without replacement → 202).
+# without replacement → 202, and zipf_slope — the Zipf power-law
+# exponent over the two-phase global rank, the Heaps-curve
+# companion → 203).
 # Round-12 window: after round 11 the freshness histogram is 42 gates
 # at r8, 45 at r9, 50 at r10, 50 at r11 — the r8 cohort is the oldest
 # evidence and fills the bulk of the window (the r11 verdict's task
@@ -84,11 +86,11 @@ def query(name: str, oracle: str | None = None, headline: bool = False):
 #      across modules/tiers, drawn from the r9 cohort so they also
 #      advance the next-oldest evidence. Names absent from this list
 #      keep module registration order after it.
-# The eight gates added AFTER this round's window was frozen
+# The nine gates added AFTER this round's window was frozen
 # (q2_min_cost_supplier, q11_important_parts, q12_late_priority_mix,
 # q20_dominant_promo_suppliers, distinct_ngram_diversity,
-# source_unigram_kl, cross_source_overlap, weighted_sample_quality)
-# could not displace the
+# source_unigram_kl, cross_source_overlap, weighted_sample_quality,
+# zipf_slope) could not displace the
 # r8 cohort without breaking the r11 verdict's all-42 rotation task;
 # they carry three-decade local oracle evidence this round and HEAD
 # THE R13 WINDOW by the standing new-plans-first rule — along with

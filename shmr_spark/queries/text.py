@@ -2108,3 +2108,70 @@ def cross_source_overlap(spark, sf_dir):
             ).alias("jaccard"),
         )
     )
+
+
+@query(
+    "zipf_slope",
+    oracle="""
+WITH f AS (
+  SELECT tok, COUNT(*) AS c
+  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+  GROUP BY 1),
+r AS (
+  SELECT c,
+         ln(CAST(ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS DOUBLE)) AS x,
+         ln(CAST(c AS DOUBLE)) AS y
+  FROM f),
+s AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(c) AS BIGINT) AS n_tokens,
+         (CAST(CAST(SUM(CAST(floor(CAST((x) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1000000.0) AS sx,
+         (CAST(CAST(SUM(CAST(floor(CAST((y) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1000000.0) AS sy,
+         (CAST(CAST(SUM(CAST(floor(CAST((x * y) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1000000.0) AS sxy,
+         (CAST(CAST(SUM(CAST(floor(CAST((x * x) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1000000.0) AS sxx
+  FROM r)
+SELECT CAST(n AS BIGINT) AS vocab_size, n_tokens,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope
+FROM s
+""",
+)
+def zipf_slope(spark, sf_dir):
+    """Zipf law fit: OLS slope of ln(frequency) against ln(rank) over
+    the corpus token-frequency table — the power-law exponent
+    (≈ −1 for natural language; deviations flag synthetic or
+    templated corpora). The companion of vocab_growth's Heaps curve.
+
+    Scale shape: the frequency table is vocabulary-sized (Heaps-
+    bounded); the rank is operators/ranking.global_rank — the
+    two-phase bucketed rank, NO single-task global window — ordered
+    by (count desc, token). Sums follow the regression_price_qty
+    template exactly: dsum's quantized exact summation + one final
+    round(6), so engine summation order can't move the hash."""
+    from shmr_spark.functions.numeric import dmul, dsum
+    from shmr_spark.operators.ranking import global_rank
+
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+    )
+    ranked = global_rank(
+        freq.withColumn("__negc", -F.col("c")), "__negc", "tok", rank_col="rank"
+    )
+    x = F.log(F.col("rank").cast("double"))
+    y = F.log(F.col("c").cast("double"))
+    s = ranked.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("c").alias("n_tokens"),
+        dsum(x).alias("sx"),
+        dsum(y).alias("sy"),
+        dsum(dmul(x, y)).alias("sxy"),
+        dsum(dmul(x, x)).alias("sxx"),
+    )
+    n, sx, sy, sxy, sxx = (F.col(c) for c in ("n", "sx", "sy", "sxy", "sxx"))
+    return s.select(
+        n.cast("long").alias("vocab_size"),
+        "n_tokens",
+        F.round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6).alias("zipf_slope"),
+    )

