@@ -229,3 +229,22 @@ def dsum_merge(partial_col: Column | str) -> Column:
     must stay under INT64_SAFE_ABS_SUM."""
     p = F.col(partial_col) if isinstance(partial_col, str) else partial_col
     return (F.sum(p).cast("double") / F.lit(_SCALE)).cast("double")
+
+
+def sql_dsum_partial(expr: str) -> str:
+    """SQL twin of dsum_partial (parses identically in Spark SQL and
+    DuckDB): the exact scaled-int64 partial sum, still in BIGINT
+    space. Merge with sql_dsum_merge. Same DOUBLE-cast rule as
+    sql_dsum."""
+    return (
+        f"CAST(SUM(CAST(floor(CAST(({expr}) AS DOUBLE) * 1000000.0 + 0.5)"
+        f" AS BIGINT)) AS BIGINT)"
+    )
+
+
+def sql_dsum_merge(col: str) -> str:
+    """SQL twin of dsum_merge: summing sql_dsum_partial buckets in
+    int64 space reproduces sql_dsum bit-for-bit (int64 addition is
+    associative across any split; the int64→double conversion and the
+    /10⁶ division see identical operands)."""
+    return f"(CAST(CAST(SUM({col}) AS BIGINT) AS DOUBLE) / 1000000.0)"

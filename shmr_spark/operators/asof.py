@@ -53,12 +53,23 @@ def asof_join(
     # lefts (side 0 < 1) ⇒ a right at ts == left_ts is visible ⇒ <=.
     left_side, right_side = (1, 0) if inclusive else (0, 1)
 
+    # the key and timestamp already cross the shuffle as __k/__ts —
+    # carrying them again inside the __left payload struct widens every
+    # left row for no information (UnsafeRow spends 8 bytes per field);
+    # the final projection reconstructs them from __k/__ts instead.
+    carry_cols = [c for c in left.columns if c not in (on, left_ts)]
+    # a left of exactly (key, ts) has no payload to carry; struct()
+    # with zero fields is not constructible, so mark rather than carry
+    left_payload = (
+        F.struct(*carry_cols) if carry_cols else F.lit(True)
+    ).alias("__left")
+
     lt = left.select(
         F.col(on).alias("__k"),
         F.col(left_ts).alias("__ts"),
         F.lit(left_side).alias("__side"),
         F.lit(None).cast("long").alias("__tb"),
-        F.struct(*left.columns).alias("__left"),
+        left_payload,
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_cols],
     )
     tb = (
@@ -86,6 +97,8 @@ def asof_join(
     )
     carried = lt.unionByName(rt).select(
         "__side",
+        "__k",
+        "__ts",
         "__left",
         *[
             F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__c_{c}")
@@ -93,7 +106,15 @@ def asof_join(
         ],
     )
     is_left = F.col("__side") == left_side
+
+    def _left_out(c: str) -> F.Column:
+        if c == on:
+            return F.col("__k").alias(c)
+        if c == left_ts:
+            return F.col("__ts").alias(c)
+        return F.col(f"__left.{c}").alias(c)
+
     return carried.filter(is_left).select(
-        *[F.col(f"__left.{c}").alias(c) for c in left.columns],
+        *[_left_out(c) for c in left.columns],
         *[F.col(f"__c_{c}").alias(f"{c}{suffix}") for c in right_cols],
     )

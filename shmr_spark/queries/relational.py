@@ -363,18 +363,38 @@ ORDER BY c.c_mktsegment
 )
 def join_three_way(spark, sf_dir):
     """Fact ⋈ fact ⋈ dim with aggregation — the bench-critical join
-    path: lineitem⋈orders shuffles on orderkey, customer broadcasts."""
+    path: lineitem⋈orders shuffles on orderkey, customer broadcasts.
+
+    Optimization (r12, guide §2.3 "aggregate before you shuffle"):
+    every output depends on lineitem only through per-order revenue
+    partials, so lineitem is reduced to one row per l_orderkey BEFORE
+    the fact-fact exchange — the group-by keys the same column the
+    sort-merge join needs, so the pre-aggregation ADDS no exchange, it
+    just collapses ~4 line items into one (orderkey, partial, count)
+    row ahead of the shuffle (~4× fewer exchanged bytes on the
+    dominant leg). dsum_partial/dsum_merge keep the exact scaled-int64
+    discipline end-to-end, so revenue is bit-identical to the single
+    level dsum (int64 addition is associative across any split)."""
+    from shmr_spark.functions.numeric import dsum_merge, dsum_partial
+
     li = Dataset(load_table(spark, sf_dir, "lineitem"))
     orders = Dataset(load_table(spark, sf_dir, "orders"))
     cust = Dataset(load_table(spark, sf_dir, "customer"))
-    j = li.join(
-        orders, on=li.df.l_orderkey == orders.df.o_orderkey, merge_other=True
+    li_per_order = li.reduce_by_key(
+        ["l_orderkey"],
+        dsum_partial(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "__rev_part"
+        ),
+        F.count("*").alias("__n_items"),
+    )
+    j = li_per_order.join(
+        orders, on=F.col("l_orderkey") == orders.df.o_orderkey, merge_other=True
     ).join(cust, on=F.col("o_custkey") == cust.df.c_custkey)
     return (
         j.reduce_by_key(
             ["c_mktsegment"],
-            F.count("*").alias("n_items"),
-            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.sum("__n_items").alias("n_items"),
+            dsum_merge("__rev_part").alias("revenue"),
         )
         # 5 market segments at any SF: bounded sort
         .sort_small("c_mktsegment")
@@ -537,7 +557,7 @@ ORDER BY revenue DESC, n.n_name
     headline=True,
 )
 def sql_q5_region_revenue(spark, sf_dir):
-    from shmr_spark.functions.numeric import sql_dsum as _d
+    from shmr_spark.functions.numeric import sql_dsum_merge, sql_dsum_partial
 
     from shmr_spark.dataset import bounded_sort
 
@@ -545,15 +565,26 @@ def sql_q5_region_revenue(spark, sf_dir):
     # register_views pays 10 parquet footer reads per invocation)
     for t in ("region", "nation", "customer", "orders", "lineitem"):
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    # r12 (guide §2.3): lineitem contributes only per-order revenue
+    # partials, so it is reduced to one row per l_orderkey BEFORE the
+    # fact-fact exchange. The GROUP BY keys the same column the MERGE
+    # join needs, so the pre-aggregation adds no exchange — it
+    # collapses ~4 line items into one (orderkey, partial, count) row
+    # ahead of the dominant shuffle leg. sql_dsum_partial/_merge keep
+    # the scaled-int64 sum exact end-to-end → revenue bit-identical.
     agg = spark.sql(f"""
         SELECT /*+ BROADCAST(r, n), MERGE(o, l) */ n.n_name,
-               {_d('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
-               COUNT(*) AS n_items
+               {sql_dsum_merge('l.__rev')} AS revenue,
+               SUM(l.__cnt) AS n_items
         FROM region r
         JOIN nation n ON n.n_regionkey = r.r_regionkey
         JOIN customer c ON c.c_nationkey = n.n_nationkey
         JOIN orders o ON o.o_custkey = c.c_custkey
-        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN (SELECT l_orderkey,
+                     {sql_dsum_partial('l_extendedprice * (1 - l_discount)')} AS __rev,
+                     COUNT(*) AS __cnt
+              FROM lineitem GROUP BY l_orderkey) l
+          ON l.l_orderkey = o.o_orderkey
         WHERE r.r_name = 'ASIA'
         GROUP BY n.n_name
     """)

@@ -57,7 +57,10 @@ def text_stats(spark, sf_dir):
             F.sum("n_chars").cast("long").alias("total_chars"),
             davg(token_count("text").cast("double")).alias("avg_tokens"),
         )
-        .sort("lang")
+        # one row per language (bounded domain) at any SF: bounded
+        # sort — orderBy would add a range-partitioning exchange plus
+        # its bounds-sampling job for a handful of rows
+        .sort_small("lang")
         .df
     )
 

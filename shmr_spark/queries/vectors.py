@@ -49,10 +49,26 @@ def similarity_topk(spark, sf_dir):
     """Brute-force cosine top-k against a probe vector. The probe is a
     1-row broadcast cross join — no collect, no driver loop — and the
     top-k is TakeOrdered. This is the baseline ANN path; the LSH-bucket
-    scale path is similarity_lsh_topk."""
+    scale path is similarity_lsh_topk.
+
+    The probe's norm is computed ONCE inside the 1-row broadcast
+    relation (Catalyst cannot hoist a loop-invariant subexpression out
+    of a per-row projection itself, so an inlined cosine_similarity
+    re-aggregates the probe array for every corpus row — ~1/3 of the
+    per-row flops for a constant). Same IEEE operations per row as
+    before — dot/(sqrt(Σa²)·sqrt(Σp²)) with identical operand order —
+    so results are bit-identical."""
+    from shmr_spark.functions.vectors import dot, l2_norm
+
     emb = load_table(spark, sf_dir, "embeddings")
-    probe = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("p"))
-    sim = F.round(cosine_similarity(F.col("embedding"), F.col("p")), 6)
+    probe = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("p"), l2_norm("embedding").alias("__p_norm")
+    )
+    sim = F.round(
+        dot(F.col("embedding"), F.col("p"))
+        / (l2_norm(F.col("embedding")) * F.col("__p_norm")),
+        6,
+    )
     return (
         emb.filter(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(probe))
