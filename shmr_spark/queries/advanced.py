@@ -7,6 +7,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from shmr_spark.catalog import load_table
+from shmr_spark.dataset import bounded_sort
 from shmr_spark.functions.numeric import dsum, sql_dquant, sql_dsum
 from shmr_spark.operators import asof_join, salted_agg
 from shmr_spark.queries import query
@@ -120,7 +121,8 @@ def json_extract_props(spark, sf_dir):
     return (
         ev.groupBy("event_type")
         .agg(F.sum(k).cast("long").alias("sum_k"), F.count("*").alias("n"))
-        .orderBy("event_type")
+        # a handful of event types at any SF: bounded sort
+        .transform(bounded_sort, "event_type")
     )
 
 
@@ -156,7 +158,8 @@ def salted_agg_revenue(spark, sf_dir):
         },
         num_salts=8,
     )
-    return out.orderBy("l_returnflag")
+    # 3 return flags at any SF: bounded sort (no range exchange)
+    return bounded_sort(out, "l_returnflag")
 
 
 # --------------------------------------------------------------------------
@@ -492,7 +495,9 @@ def histogram(spark, sf_dir):
             F.floor(F.col("o_totalprice") / F.lit(50000.0)).cast("long").alias("bin")
         )
         .agg(F.count("*").alias("n"))
-        .orderBy("bin")
+        # bin count is bounded by the price domain (~a dozen 50k-wide
+        # bins at any SF): bounded sort (no range exchange)
+        .transform(bounded_sort, "bin")
     )
 
 
@@ -1355,7 +1360,8 @@ def bloom_semi_join_revenue(spark, sf_dir):
     return (
         kept.groupBy("l_returnflag")
         .agg(F.count("*").alias("n_items"), dsum(rev).alias("revenue"))
-        .orderBy("l_returnflag")
+        # 3 return flags at any SF: bounded sort (no range exchange)
+        .transform(bounded_sort, "l_returnflag")
     )
 
 
@@ -1395,5 +1401,6 @@ def bloom_anti_join_revenue(spark, sf_dir):
     return (
         kept.groupBy("l_returnflag")
         .agg(F.count("*").alias("n_items"), dsum(rev).alias("revenue"))
-        .orderBy("l_returnflag")
+        # 3 return flags at any SF: bounded sort (no range exchange)
+        .transform(bounded_sort, "l_returnflag")
     )

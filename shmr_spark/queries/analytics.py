@@ -173,7 +173,8 @@ def pivot_agg(spark, sf_dir):
             F.col("O").alias("qty_O"),
             F.col("F").alias("qty_F"),
         )
-        .orderBy("l_returnflag")
+        # 3 return flags at any SF: bounded sort (no range exchange)
+        .transform(bounded_sort, "l_returnflag")
     )
 
 
@@ -240,7 +241,8 @@ def percentiles(spark, sf_dir):
             F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
             F.expr("percentile(l_extendedprice, 0.75)").alias("p75"),
         )
-        .orderBy("l_returnflag")
+        # 3 return flags at any SF: bounded sort (no range exchange)
+        .transform(bounded_sort, "l_returnflag")
     )
 
 
@@ -477,7 +479,9 @@ def monthly_trend(spark, sf_dir):
             F.date_trunc("month", "o_orderdate").cast("date").alias("month")
         )
         .agg(F.count("*").alias("n_orders"), dsum("o_totalprice").alias("revenue"))
-        .orderBy("month")
+        # one row per calendar month of order history (O(years·12) at
+        # any SF): bounded sort (no range exchange)
+        .transform(bounded_sort, "month")
     )
 
 
@@ -532,7 +536,8 @@ def correlation(spark, sf_dir):
     return (
         li.groupBy("l_returnflag")
         .agg(corr.cast("double").alias("corr_qty_price"))
-        .orderBy("l_returnflag")
+        # 3 return flags at any SF: bounded sort (no range exchange)
+        .transform(bounded_sort, "l_returnflag")
     )
 
 
@@ -628,9 +633,10 @@ def approx_percentiles(spark, sf_dir):
     ok = F.lit(True)
     for i in range(len(qs)):
         ok = ok & (F.col("qa")[i] >= F.col("qlo")[i]) & (F.col("qa")[i] <= F.col("qhi")[i])
-    return agg.select(
-        "l_returnflag", "n", ok.alias("within_bound")
-    ).orderBy("l_returnflag")
+    return bounded_sort(
+        agg.select("l_returnflag", "n", ok.alias("within_bound")),
+        "l_returnflag",
+    )
 
 
 # --------------------------------------------------------------------------
@@ -1832,9 +1838,12 @@ def regression_price_qty(spark, sf_dir):
     )
     n, sx, sy, sxy, sxx = (F.col(c) for c in ("n", "sx", "sy", "sxy", "sxx"))
     slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
-    return s.select(
+    return bounded_sort(
+        s.select(
+            "l_returnflag",
+            n.cast("long").alias("n"),
+            F.round(slope, 6).alias("slope"),
+            F.round((sy - slope * sx) / n, 6).alias("intercept"),
+        ),
         "l_returnflag",
-        n.cast("long").alias("n"),
-        F.round(slope, 6).alias("slope"),
-        F.round((sy - slope * sx) / n, 6).alias("intercept"),
-    ).orderBy("l_returnflag")
+    )

@@ -427,7 +427,8 @@ def split_by_key_buckets(spark, sf_dir):
             F.min("c_custkey").alias("min_key"),
             F.max("c_custkey").alias("max_key"),
         )
-        .sort("bucket")
+        # 8 buckets at any SF: bounded sort (no range exchange)
+        .sort_small("bucket")
         .df
     )
 
