@@ -37,13 +37,25 @@ from pyspark.sql import functions as F
 def _gram_hashes(text: Column | str, n: int) -> Column:
     """array<long> of xxhash64 over each overlapping n-token gram of
     ``text`` (space tokenization), empty when the doc has < n tokens.
-    Pure expression — evaluated inside the scan stage."""
+    Pure expression — evaluated inside the scan stage.
+
+    Built as a zip_with concat chain over shifted copies of the token
+    array (the shingle_ngrams construction, dedup/minhash.py) rather
+    than transform(sequence)+slice+array_join: the chain concatenates
+    incrementally instead of re-slicing and re-joining n tokens per
+    position (r12 measurement at sf0.1, n=13: 1.24 → 1.12 s for the
+    gram pass, identical rows). Null tails from zip_with's padding are
+    dropped by array_compact before hashing — token strings from
+    split() are never null, so no interior element is removed."""
     c = F.col(text) if isinstance(text, str) else text
     toks = F.split(c, " ")
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - F.lit(n)),
-        lambda i: F.xxhash64(F.array_join(F.slice(toks, i + 1, n), " ")),
-    )
+    grams = toks
+    for i in range(1, n):
+        shifted = F.slice(toks, i + 1, 2_000_000_000)
+        grams = F.zip_with(
+            grams, shifted, lambda a, b: F.concat(a, F.lit(" "), b)
+        )
+    grams = F.transform(F.array_compact(grams), lambda g: F.xxhash64(g))
     return F.when(F.size(toks) >= n, grams).otherwise(
         F.array().cast("array<bigint>")
     )
