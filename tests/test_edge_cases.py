@@ -65,6 +65,30 @@ def test_asof_empty_left(spark, sf_dir):
     assert out.collect() == []
 
 
+def test_asof_left_with_only_key_and_ts(spark, sf_dir):
+    """r12: the carried left payload excludes key/ts (they already
+    cross the shuffle as __k/__ts) — a left of EXACTLY (key, ts) has
+    an empty payload and must still reconstruct both output columns
+    and match the full-frame join on the shared rows."""
+    ev = load_table(spark, sf_dir, "events")
+    right = ev.select("user_id", "ts", "event_id", "value")
+    left = ev.select("user_id", "ts")
+    out = asof_join(
+        left, right, on="user_id",
+        left_ts="ts", right_ts="ts", right_cols=["value"],
+        tiebreak="event_id", inclusive=False,
+    )
+    assert out.columns == ["user_id", "ts", "value_asof"]
+    full = asof_join(
+        ev.select("event_id", "user_id", "ts"), right,
+        on="user_id", left_ts="ts", right_ts="ts",
+        right_cols=["value"], tiebreak="event_id", inclusive=False,
+    ).select("user_id", "ts", "value_asof")
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+
+
 def test_salted_agg_empty(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem").filter(F.lit(False))
     out = salted_agg(li, ["l_returnflag"], {"n": ("count", "l_orderkey")})

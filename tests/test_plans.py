@@ -548,6 +548,58 @@ def test_source_unigram_kl_single_scan(spark, sf_dir):
     assert "SortMergeJoin" not in tree
 
 
+# --------------------------------------------------------------------
+# Round-12 optimization pins.
+# --------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("name", ["join_three_way", "sql_q5_region_revenue"])
+def test_fact_fact_preagg_before_exchange(spark, sf_dir, name):
+    """r12 (§2.3 aggregate-before-shuffle): lineitem is reduced to one
+    row per l_orderkey BEFORE the fact-fact sort-merge exchange — the
+    plan must show a HashAggregate keyed by l_orderkey feeding the
+    join, and the pre-aggregation must not have added an exchange
+    (it reuses the join's: 2 hash exchanges under the SMJ side plus
+    the final agg's, same as the un-aggregated plan had)."""
+    plan = _plan(spark, sf_dir, name)
+    flat = plan.replace(" ", "")
+    assert "Keys[1]:[l_orderkey" in flat, f"{name}: lineitem pre-agg lost"
+    assert "SortMergeJoin" in plan
+    # shuffle-exchange budget unchanged vs the pre-optimization plan
+    tree = _tree(plan)
+    hash_exchanges = tree.count("Exchange") - tree.count("BroadcastExchange")
+    assert hash_exchanges <= (3 if name == "join_three_way" else 5), plan
+
+
+BOUNDED_SORT_GATES = [
+    # gates whose final global order is over a provably bounded
+    # aggregate output; r12 converted their orderBy (range exchange +
+    # bounds-sampling job) to bounded_sort (coalesce-1 in-partition
+    # sort). A reintroduced rangepartitioning is the regression.
+    "text_stats",
+    "pivot_agg",
+    "percentiles",
+    "monthly_trend",
+    "correlation",
+    "approx_percentiles",
+    "regression_price_qty",
+    "histogram",
+    "salted_agg_revenue",
+    "bloom_semi_join_revenue",
+    "bloom_anti_join_revenue",
+    "json_extract_props",
+    "split_by_key_buckets",
+]
+
+
+def test_bounded_domain_gates_plan_no_range_exchange(spark, sf_dir):
+    for name in BOUNDED_SORT_GATES:
+        plan = _plan(spark, sf_dir, name)
+        assert "rangepartitioning" not in plan, (
+            f"{name}: bounded-domain sort regressed to a range exchange"
+        )
+
+
 def test_weighted_sample_take_ordered_single_scan(spark, sf_dir):
     """The E-S weighted sample is per-row expression work + a fixed-k
     cut: must plan as TakeOrderedAndProject over one scan — never a
