@@ -28,6 +28,16 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def score_bucket(score_col: str, score_buckets: int):
+    """The non-auto-scaled bucket expression, shared between the
+    in-plan operators and driver-side bucket-total folds
+    (``select_by_token_fraction_from_totals``): callers that
+    pre-aggregate per-bucket token totals in their own action must
+    group by EXACTLY this expression or the offsets they derive key a
+    different partition of the rows."""
+    return F.floor(F.col(score_col) * F.lit(score_buckets))
+
+
 def select_by_token_budget(
     df: DataFrame,
     budget: int,
@@ -96,9 +106,7 @@ def select_by_token_budget(
             scaled.alias("__bucket"),
         )
     else:
-        bucket = F.floor(F.col(score_col) * F.lit(score_buckets)).alias(
-            "__bucket"
-        )
+        bucket = score_bucket(score_col, score_buckets).alias("__bucket")
         rows = df.select(
             F.col(id_col), F.col(score_col), F.col(tokens_col), bucket
         )
@@ -175,6 +183,87 @@ def select_by_token_fraction(
         annotated.crossJoin(F.broadcast(total))
         .filter(F.col("start_tok") < cut)
         .drop("__total_tok")
+    )
+
+
+def select_by_token_fraction_from_totals(
+    df: DataFrame,
+    bucket_totals: list[tuple[int, int]],
+    fraction: float,
+    score_col: str = "quality",
+    tokens_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    score_buckets: int = 1000,
+) -> DataFrame:
+    """``select_by_token_fraction`` for callers that ALREADY hold the
+    per-bucket token totals from a driver-side action of their own —
+    ``bucket_totals`` is [(bucket, token_total), ...] grouped by
+    exactly ``score_bucket(score_col, score_buckets)`` over the
+    non-NULL-score rows of ``df``.
+
+    Identical output, cheaper plan: the bucket-offset relation and the
+    total-token scalar that ``select_by_token_fraction`` computes
+    IN-PLAN (one groupBy+exchange+single-partition-window sub-plan
+    plus one full aggregate, re-executed by EVERY action over the
+    result) become a driver-built ≤(score_buckets+1)-row local
+    relation and a literal integer budget. The training pipeline uses
+    this to fold the selection's offsets into the one survivor-stats
+    action it already takes at its materialization point.
+
+    The cut boundary replicates the in-plan decimal arithmetic
+    digit-for-digit so the kept set is bit-identical (asserted in
+    tests): fraction goes through the shortest-repr double→
+    decimal(19,18) HALF_UP cast, the decimal(19,0)·decimal(19,18)
+    product is rounded HALF_UP to the decimal(38,17) Spark assigns
+    it, and the integer keep rule start_tok < cut becomes
+    start_tok < ceil(cut) (equivalent for integral start_tok whether
+    or not cut is itself integral)."""
+    from decimal import ROUND_CEILING, ROUND_HALF_UP, Decimal
+
+    df = df.filter(F.col(score_col).isNotNull())
+
+    run = 0
+    boffs: list[tuple[int, int]] = []
+    # higher bucket = higher score = earlier in the ranking
+    for b, t in sorted(bucket_totals, key=lambda r: -r[0]):
+        boffs.append((int(b), run))
+        run += int(t)
+    total = run
+
+    frac = Decimal(repr(float(fraction))).quantize(
+        Decimal("1e-18"), rounding=ROUND_HALF_UP
+    )
+    cut = (Decimal(total) * frac).quantize(
+        Decimal("1e-17"), rounding=ROUND_HALF_UP
+    )
+    budget = int(cut.to_integral_value(rounding=ROUND_CEILING))
+
+    offsets = df.sparkSession.createDataFrame(
+        boffs, schema="__bucket long, __boff long"
+    )
+    rows = df.select(
+        F.col(id_col),
+        F.col(score_col),
+        F.col(tokens_col),
+        score_bucket(score_col, score_buckets).alias("__bucket"),
+    )
+    w_in = (
+        Window.partitionBy("__bucket")
+        .orderBy(F.desc(score_col), F.asc(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        rows.join(F.broadcast(offsets), "__bucket")
+        .select(
+            F.col(id_col),
+            F.col(score_col),
+            F.col(tokens_col),
+            (
+                F.col("__boff")
+                + F.coalesce(F.sum(tokens_col).over(w_in), F.lit(0))
+            ).cast("long").alias("start_tok"),
+        )
+        .filter(F.col("start_tok") < F.lit(budget))
     )
 
 

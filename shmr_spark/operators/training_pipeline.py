@@ -12,9 +12,12 @@ so the bench can time it end-to-end at scale and the tests can assert
 the cross-stage invariant chain (counts only shrink, survivors are
 near-dup-free, packing conserves tokens, shards are balanced). The
 composition introduces no new shuffles; its only driver-side action
-is one scalar aggregate over the persisted survivor projection (the
+is one bounded aggregate over the persisted survivor projection (the
 token total and max doc id that size the pack/shard bucket widths —
-round 11 folded both into the one action) — taken at the same
+round 11 folded both into the one action; round 12 folded the
+quality-mode selection's per-bucket token totals into it too, so the
+budget cut's offsets ride the plan as a driver-built local relation
+instead of two extra per-action passes) — taken at the same
 materialization point a production build writes to storage.
 """
 
@@ -34,7 +37,11 @@ from shmr_spark.dedup.exact import dedup_exact_keep_first
 from shmr_spark.functions.text import quality_score, token_count, tokens
 from shmr_spark.operators.packing import pack_sequences
 from shmr_spark.operators.ranking import range_shards
-from shmr_spark.operators.selection import select_by_token_fraction
+from shmr_spark.operators.selection import (
+    score_bucket,
+    select_by_token_fraction,
+    select_by_token_fraction_from_totals,
+)
 
 # Survivor caches from previous invocations, keyed by (session,
 # corpus, params) and REPLACED when the same invocation repeats (the
@@ -251,7 +258,11 @@ def training_pipeline(
         ).join(scored.select("doc_id", "quality"), "doc_id")
         slot_frames = (exact, scored, ranked)
     else:
-        sel = select_by_token_fraction(scored, fraction=budget_fraction)
+        # Quality-mode selection is built AFTER the survivor-stats
+        # action below, which also collects the per-bucket token
+        # totals its cut needs (r12 optimization: the in-plan
+        # offsets/total sub-plans re-executed per action).
+        sel = None
         slot_frames = (exact, scored)
 
     # pop+insert under ONE lock hold: a pop-then-reacquire window
@@ -318,11 +329,48 @@ def training_pipeline(
     # any corpus size. (Survivor doc_ids/token totals are dense,
     # non-outlier domains, so fixed-width cells cannot collapse —
     # the skew caveat on prefix_sum's bucket contract.)
-    agg = scored.agg(
-        F.sum("n_tokens").alias("t"), F.max("doc_id").alias("m")
-    ).collect()[0]
-    total_tokens = agg["t"] or 0
-    max_doc_id = agg["m"] or 0
+    if dsir_target is not None:
+        agg = scored.agg(
+            F.sum("n_tokens").alias("t"), F.max("doc_id").alias("m")
+        ).collect()[0]
+        total_tokens = agg["t"] or 0
+        max_doc_id = agg["m"] or 0
+    else:
+        # Quality mode folds the selection's bucket-offset relation
+        # into this SAME action (optimization round 12): grouping the
+        # survivor stats by the selection's exact score-bucket
+        # expression yields the per-bucket token totals (≤1001 rows
+        # collected — bounded at any corpus size), from which
+        # select_by_token_fraction_from_totals derives the offsets as
+        # a driver-built local relation and the cut as a literal
+        # integer budget. Every subsequent action over the pipeline
+        # output then skips the two extra passes over the persisted
+        # survivors (the offsets groupBy+window and the total-token
+        # aggregate) that the in-plan fraction cut re-executed each
+        # time. Output is bit-identical (the decimal cut arithmetic
+        # is replicated digit-for-digit; asserted in tests). DSIR
+        # mode keeps the in-plan auto-scaled cut: its bucketing
+        # depends on an in-plan min/max that cannot join this action
+        # without adding a second one.
+        bucket_rows = (
+            scored.groupBy(
+                score_bucket("quality", 1000).alias("__bucket")
+            )
+            .agg(
+                F.sum("n_tokens").alias("__btot"),
+                F.max("doc_id").alias("__bmax"),
+            )
+            .collect()
+        )
+        total_tokens = sum(int(r["__btot"]) for r in bucket_rows)
+        max_doc_id = max(
+            (int(r["__bmax"]) for r in bucket_rows), default=0
+        )
+        sel = select_by_token_fraction_from_totals(
+            scored,
+            [(r["__bucket"], r["__btot"]) for r in bucket_rows],
+            fraction=budget_fraction,
+        )
     id_width = max(1, int(max_doc_id) // 4096 + 1)
     doc_bucket = F.floor(F.col("doc_id") / F.lit(id_width)).cast("long")
 

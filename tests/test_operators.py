@@ -1216,6 +1216,78 @@ def test_select_by_token_fraction_decimal_exact_boundary(spark):
     assert kept == {1}
 
 
+def test_select_by_token_fraction_from_totals_equals_in_plan(spark):
+    """The driver-side variant (bucket totals pre-collected, offsets
+    as a local relation, integer-literal budget — the r12
+    training-pipeline fold) keeps EXACTLY the rows select_by_token_
+    fraction keeps, with identical start_toks: the decimal cut
+    arithmetic is replicated digit-for-digit. Covers NULL scores,
+    several fractions including the double-vs-decimal boundary pair
+    (0.07 of a 100-token mass), and the empty-input degenerate."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from shmr_spark.operators.selection import (
+        score_bucket,
+        select_by_token_fraction,
+        select_by_token_fraction_from_totals,
+    )
+
+    rng = random.Random(23)
+    rows = [
+        (i, None if i % 53 == 0 else round(rng.random(), 3), rng.randrange(1, 300))
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, quality double, n_tokens long"
+    ).repartition(8)
+    totals = [
+        (r["__bucket"], r["__btot"])
+        for r in df.filter(F.col("quality").isNotNull())
+        .groupBy(score_bucket("quality", 1000).alias("__bucket"))
+        .agg(F.sum("n_tokens").alias("__btot"))
+        .collect()
+    ]
+    for frac in (0.07, 0.3, 0.5, 1.0):
+        want = {
+            (r.doc_id, r.start_tok)
+            for r in select_by_token_fraction(df, fraction=frac).collect()
+        }
+        got = {
+            (r.doc_id, r.start_tok)
+            for r in select_by_token_fraction_from_totals(
+                df, totals, fraction=frac
+            ).collect()
+        }
+        assert got == want, f"fraction={frac}"
+
+    # the decimal boundary pair from the test above: cut must be
+    # exactly 7.0, excluding the doc that starts at token 7
+    bdf = spark.createDataFrame(
+        [(1, 0.9, 7), (2, 0.5, 93)],
+        "doc_id long, quality double, n_tokens long",
+    )
+    btot = [
+        (r["__bucket"], r["__btot"])
+        for r in bdf.groupBy(score_bucket("quality", 1000).alias("__bucket"))
+        .agg(F.sum("n_tokens").alias("__btot"))
+        .collect()
+    ]
+    assert {
+        r.doc_id
+        for r in select_by_token_fraction_from_totals(
+            bdf, btot, fraction=0.07
+        ).collect()
+    } == {1}
+
+    empty = bdf.filter(F.lit(False))
+    assert (
+        select_by_token_fraction_from_totals(empty, [], fraction=0.5).count()
+        == 0
+    )
+
+
 def test_grouped_rank_matches_window(spark, sf_dir):
     """grouped_rank ≡ row_number() OVER (PARTITION BY group ORDER BY
     key, id) — row-identical to the one-task-per-group window it
