@@ -214,6 +214,17 @@ def main() -> None:
             # plans carry measured 10x evidence like the pipeline ops
             "q21_single_fault_suppliers",
             "q9_profit_by_nation",
+            # round 12 (optimization): the corpus-statistics
+            # composites — the heaviest registry plans with no timed
+            # row until now (perplexity_buckets composes the bigram-LM
+            # scorer with the grouped-ntile machinery, ~2.4 s at
+            # sf0.1 / ~10 s at 10x, ratio ~4x = sublinear-healthy;
+            # the NB pair shares the train/score split). Added so
+            # optimization round 2 starts from hard numbers instead
+            # of the plan-only OK in the r12 checklist.
+            "perplexity_buckets",
+            "nb_lang_classifier",
+            "nb_target_select",
         )
         if n in registry
     }
