@@ -84,6 +84,11 @@ ACTION_RUNNING: dict[str, str] = {
     # deliberate design, dedup/minhash.py band_rows docstring)
     "dedup_minhash": "AQE stage materialization at banding checkpoints",
     "leakage_safe_split": "banding checkpoints + component rounds",
+    # r12 optimization: the scored frame is lazily checkpointed so
+    # grouped_ntile's three passes stop re-inlining the bigram-LM
+    # sub-plan (158 -> 26 Exchange); AQE materializes the checkpoint
+    # stages at plan build, same as dedup_minhash above
+    "perplexity_buckets": "AQE stage materialization at LM checkpoint",
     # scatter-write + in-place compaction + bounded (<=3 row) collect;
     # the scratch dir is removed before return so the result must be
     # materialized inside the body (queries/pipeline.py)
