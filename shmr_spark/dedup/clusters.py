@@ -53,21 +53,23 @@ def connected_components(
             .groupBy("u")
             .agg(F.min("comp").alias("nmin"))
         )
-        new_labels = (
+        # carry the round's old label alongside the new one so the
+        # convergence check is a filter over THIS round's (eager)
+        # checkpoint — the previous new⋈old labels join per round
+        # shuffled the label table twice per iteration just to count
+        # changes (measured at sf0.1 pipeline pairs: 1.10 → 0.90 s
+        # min over the whole CC, r12 optimization)
+        staged = (
             labels.join(neighbor_min, labels.node == neighbor_min.u, "left")
             .select(
                 "node",
+                F.col("comp").alias("__prev"),
                 F.least(F.col("comp"), F.coalesce("nmin", F.col("comp"))).alias("comp"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
-        labels = new_labels
+        changed = staged.filter(F.col("comp") != F.col("__prev")).count()
+        labels = staged.select("node", "comp")
         if changed == 0:
             break
     return labels

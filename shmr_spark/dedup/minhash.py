@@ -249,11 +249,24 @@ def verify_jaccard_pairs(
     meet the other's costs 8 bytes per shingle."""
     a = sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a"))
     b = sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b"))
+    sa = F.size("sh_a").cast("double")
+    sb = F.size("sh_b").cast("double")
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
     return (
         cands.join(a, "id_a")
         .join(b, "id_b")
+        # EXACT size-ratio prune before the O(|A|+|B|) set ops:
+        # |A∩B| ≤ min(|A|,|B|) and |A∪B| ≥ max(|A|,|B|), so
+        # j ≤ min/max — a pair failing min ≥ t·max cannot reach the
+        # threshold and skips intersect/union entirely. No result
+        # change (the bound is an inequality on the same hashed
+        # sets); measured at sf0.1: neutral in the 16-band prod shape
+        # (candidates ≈ true pairs, nothing to prune) and −39% wall
+        # in the wide-banding gate shape (496k candidates → 233k
+        # survive the size test, 256 verify). At corpus scale this is
+        # the candidates-vs-true-pairs gap banding always has.
+        .filter(F.least(sa, sb) >= F.lit(threshold) * F.greatest(sa, sb))
         .select("id_a", "id_b", (inter / union).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )

@@ -57,6 +57,50 @@ def test_minhash_finds_planted_near_dups(spark, sf_dir):
         assert r.jaccard >= 0.5
 
 
+def test_verify_size_prefilter_is_exact(spark, sf_dir):
+    """The size-ratio prune inside verify_jaccard_pairs is an
+    inequality on the same hashed sets (j ≤ min/max), so the output
+    must be ROW-IDENTICAL to the unfiltered Jaccard over every
+    candidate — checked in the wide-banding shape (bands=num_hashes),
+    where candidates far outnumber true pairs and the prune actually
+    fires (and is the measured −39% wall win, r12 optimization)."""
+    from shmr_spark.dedup.minhash import (
+        minhash_candidate_pairs,
+        verify_jaccard_pairs,
+    )
+
+    df = _docs_with_planted_dups(spark, sf_dir)
+    sh, cands = minhash_candidate_pairs(df, bands=64)
+    n_cands = cands.count()
+
+    a = sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a"))
+    b = sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    unfiltered = (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", (inter / union).alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.5)
+    )
+
+    got = sorted(map(tuple, verify_jaccard_pairs(sh, cands, 0.5).collect()))
+    want = sorted(map(tuple, unfiltered.collect()))
+    assert got == want
+    # the prune must actually have had something to prune in this shape
+    sa = sh.select(F.col("__id").alias("id_a"), F.size("__sh").alias("sza"))
+    sb = sh.select(F.col("__id").alias("id_b"), F.size("__sh").alias("szb"))
+    survivors = (
+        cands.join(sa, "id_a").join(sb, "id_b")
+        .filter(
+            F.least("sza", "szb").cast("double")
+            >= 0.5 * F.greatest("sza", "szb").cast("double")
+        )
+        .count()
+    )
+    assert survivors < n_cands
+
+
 def test_minhash_signature_shape(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").limit(5)
     sig = docs.select(
