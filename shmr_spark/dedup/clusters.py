@@ -59,6 +59,10 @@ def connected_components(
         # shuffled the label table twice per iteration just to count
         # changes (measured at sf0.1 pipeline pairs: 1.10 → 0.90 s
         # min over the whole CC, r12 optimization)
+        # lazy checkpoint + count: the convergence count's job is what
+        # materializes the round's checkpoint (localCheckpoint persists
+        # partitions on first computation), so each round runs ONE job
+        # instead of an eager-checkpoint job plus a count job
         staged = (
             labels.join(neighbor_min, labels.node == neighbor_min.u, "left")
             .select(
@@ -66,7 +70,7 @@ def connected_components(
                 F.col("comp").alias("__prev"),
                 F.least(F.col("comp"), F.coalesce("nmin", F.col("comp"))).alias("comp"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         changed = staged.filter(F.col("comp") != F.col("__prev")).count()
         labels = staged.select("node", "comp")
