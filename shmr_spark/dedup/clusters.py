@@ -54,8 +54,8 @@ def connected_components(
             .agg(F.min("comp").alias("nmin"))
         )
         # carry the round's old label alongside the new one so the
-        # convergence check is a filter over THIS round's (eager)
-        # checkpoint — the previous new⋈old labels join per round
+        # convergence check is a filter over THIS round's checkpoint
+        # — the previous new⋈old labels join per round
         # shuffled the label table twice per iteration just to count
         # changes (measured at sf0.1 pipeline pairs: 1.10 → 0.90 s
         # min over the whole CC, r12 optimization)

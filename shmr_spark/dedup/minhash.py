@@ -257,7 +257,13 @@ def verify_jaccard_pairs(
     jaccard ≥ threshold). Ships shingle arrays only for candidate ids
     (semi-join pruned), not the whole corpus — and the arrays are
     longs, so the pair-side exchange that carries one doc's set to
-    meet the other's costs 8 bytes per shingle."""
+    meet the other's costs 8 bytes per shingle.
+
+    Precondition: the ``__sh`` arrays must be DUPLICATE-FREE (as
+    every in-repo producer guarantees via array_distinct) — the
+    size-ratio prune below compares size() counts against
+    deduplicating set ops, so repeated elements could make it drop a
+    true-positive pair."""
     a = sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a"))
     b = sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b"))
     sa = F.size("sh_a").cast("double")

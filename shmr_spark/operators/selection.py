@@ -38,6 +38,41 @@ def score_bucket(score_col: str, score_buckets: int):
     return F.floor(F.col(score_col) * F.lit(score_buckets))
 
 
+def auto_scaled_bucket(
+    score_col: str, smin, smax, score_buckets: int
+):
+    """The ``auto_scale_score`` bucket expression with the min/max as
+    driver-collected LITERALS — the expression tree mirrors the
+    in-plan affine map operation for operation (subtract, divide,
+    multiply, floor, least, the span>0 guard), so on the same doubles
+    it floors to the identical bucket: collected doubles round-trip
+    bit-exactly and Catalyst's constant folding uses the same IEEE
+    arithmetic the runtime would. Callers that collect per-bucket
+    token totals for ``select_by_token_fraction_from_totals`` must
+    group by EXACTLY this expression (same smin/smax literals).
+
+    ``smin``/``smax`` of None (empty or all-NULL-score input)
+    degenerate to bucket 0, like the span-0 branch."""
+    if smin is None or smax is None:
+        return F.lit(0).cast("long")
+    span = F.lit(float(smax)) - F.lit(float(smin))
+    return (
+        F.when(
+            span > 0,
+            F.least(
+                F.floor(
+                    (F.col(score_col) - F.lit(float(smin)))
+                    / span
+                    * F.lit(score_buckets)
+                ),
+                F.lit(score_buckets - 1),
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+
+
 def select_by_token_budget(
     df: DataFrame,
     budget: int,
@@ -194,12 +229,17 @@ def select_by_token_fraction_from_totals(
     tokens_col: str = "n_tokens",
     id_col: str = "doc_id",
     score_buckets: int = 1000,
+    bucket_expr=None,
 ) -> DataFrame:
     """``select_by_token_fraction`` for callers that ALREADY hold the
     per-bucket token totals from a driver-side action of their own —
     ``bucket_totals`` is [(bucket, token_total), ...] grouped by
     exactly ``score_bucket(score_col, score_buckets)`` over the
-    non-NULL-score rows of ``df``.
+    non-NULL-score rows of ``df``; callers on the auto-scaled path
+    pass the SAME ``auto_scaled_bucket(...)`` Column they grouped by
+    as ``bucket_expr`` (it overrides the static bucketing — the
+    two-step driver fold of ``auto_scale_score``: min/max collected
+    first, bucket totals grouped by the literal affine map second).
 
     Identical output, cheaper plan: the bucket-offset relation and the
     total-token scalar that ``select_by_token_fraction`` computes
@@ -241,11 +281,16 @@ def select_by_token_fraction_from_totals(
     offsets = df.sparkSession.createDataFrame(
         boffs, schema="__bucket long, __boff long"
     )
+    bucket = (
+        bucket_expr
+        if bucket_expr is not None
+        else score_bucket(score_col, score_buckets)
+    )
     rows = df.select(
         F.col(id_col),
         F.col(score_col),
         F.col(tokens_col),
-        score_bucket(score_col, score_buckets).alias("__bucket"),
+        bucket.alias("__bucket"),
     )
     w_in = (
         Window.partitionBy("__bucket")

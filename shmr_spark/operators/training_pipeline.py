@@ -17,8 +17,11 @@ token total and max doc id that size the pack/shard bucket widths —
 round 11 folded both into the one action; round 12 folded the
 quality-mode selection's per-bucket token totals into it too, so the
 budget cut's offsets ride the plan as a driver-built local relation
-instead of two extra per-action passes) — taken at the same
-materialization point a production build writes to storage.
+instead of two extra per-action passes; round 13 gave the DSIR-mode
+auto-scaled cut the same treatment via a two-step action — min/max
+first, bucket totals grouped by the literal affine map second) —
+taken at the same materialization point a production build writes to
+storage.
 """
 
 from __future__ import annotations
@@ -38,8 +41,8 @@ from shmr_spark.functions.text import quality_score, token_count, tokens
 from shmr_spark.operators.packing import pack_sequences
 from shmr_spark.operators.ranking import range_shards
 from shmr_spark.operators.selection import (
+    auto_scaled_bucket,
     score_bucket,
-    select_by_token_fraction,
     select_by_token_fraction_from_totals,
 )
 
@@ -220,16 +223,14 @@ def training_pipeline(
         #   measured at sf0.1), so a static floor(score·K) against
         #   the ±32 worst-case bound populated only a handful of
         #   buckets and the per-bucket cumulative window ran large
-        #   corpus fractions in single tasks. auto_scale_score maps
-        #   the score affinely from its in-plan min/max into
-        #   [0, 1024) buckets, so populated-bucket count tracks the
-        #   observed spread at any corpus size while the offsets
-        #   relation stays ≤ 1024 rows (output unchanged — the
-        #   prefix sum is exact under any order-preserving
-        #   bucketing, asserted in tests);
-        # - the ranked frame is PERSISTED before the cut:
-        #   select_by_token_fraction references its input twice and
-        #   the pack/quality joins re-reference the selection, so an
+        #   corpus fractions in single tasks. The affine map from the
+        #   observed min/max into [0, 1024) buckets keeps the
+        #   populated-bucket count tracking the observed spread at
+        #   any corpus size while the offsets relation stays ≤ 1024
+        #   rows (output unchanged — the prefix sum is exact under
+        #   any order-preserving bucketing, asserted in tests);
+        # - the ranked frame is PERSISTED before the cut: the
+        #   pack/quality joins re-reference the selection, so an
         #   unpersisted DSIR lineage would re-run the (doc, token)
         #   explode + aggregations several times per action. It joins
         #   the cache slot below so eviction tracks it.
@@ -249,13 +250,13 @@ def training_pipeline(
                 "doc_id",
             ).persist(StorageLevel.MEMORY_AND_DISK)
         )
-        sel = select_by_token_fraction(
-            ranked,
-            fraction=budget_fraction,
-            score_col="dsir_score",
-            score_buckets=1024,
-            auto_scale_score=True,
-        ).join(scored.select("doc_id", "quality"), "doc_id")
+        # DSIR-mode selection is built AFTER the survivor-stats
+        # action below (optimization round 13, the quality-mode r12
+        # fold's twin): the auto-scaled cut's min/max, bucket offsets
+        # and token total all become driver-side literals via a
+        # two-step action instead of in-plan sub-plans re-executed by
+        # every downstream action.
+        sel = None
         slot_frames = (exact, scored, ranked)
     else:
         # Quality-mode selection is built AFTER the survivor-stats
@@ -330,11 +331,52 @@ def training_pipeline(
     # non-outlier domains, so fixed-width cells cannot collapse —
     # the skew caveat on prefix_sum's bucket contract.)
     if dsir_target is not None:
-        agg = scored.agg(
-            F.sum("n_tokens").alias("t"), F.max("doc_id").alias("m")
+        # DSIR mode folds the auto-scaled selection cut into TWO
+        # bounded driver actions over the persisted ranked frame
+        # (optimization round 13; the r12 quality-mode fold could not
+        # cover this because the bucketing needs the score min/max
+        # before the totals can be grouped):
+        #   1. min/max of dsir_score + the survivor stats (ranked has
+        #      exactly the survivor doc set — dsir_logweights emits
+        #      every document of its input once and the join keys the
+        #      scored projection — so sum(n_tokens)/max(doc_id) here
+        #      equal the scored-frame aggregate they replace);
+        #   2. per-bucket token totals grouped by the LITERAL affine
+        #      bucket map (auto_scaled_bucket — bit-identical floors
+        #      to the in-plan broadcast min/max form, see its
+        #      docstring), ≤1024 rows collected.
+        # select_by_token_fraction_from_totals then derives the
+        # offsets as a driver-built local relation and the cut as a
+        # literal integer budget (the decimal arithmetic replicated
+        # digit-for-digit, asserted in tests), so downstream actions
+        # stop re-executing the min/max aggregate, the offsets
+        # groupBy+single-partition-window and the total-token
+        # aggregate that the in-plan auto-scaled cut re-inlined at
+        # every reference.
+        stats = ranked.agg(
+            F.min("dsir_score").alias("lo"),
+            F.max("dsir_score").alias("hi"),
+            F.sum("n_tokens").alias("t"),
+            F.max("doc_id").alias("m"),
         ).collect()[0]
-        total_tokens = agg["t"] or 0
-        max_doc_id = agg["m"] or 0
+        total_tokens = stats["t"] or 0
+        max_doc_id = stats["m"] or 0
+        dsir_bucket = auto_scaled_bucket(
+            "dsir_score", stats["lo"], stats["hi"], 1024
+        )
+        bucket_rows = (
+            ranked.groupBy(dsir_bucket.alias("__bucket"))
+            .agg(F.sum("n_tokens").alias("__btot"))
+            .collect()
+        )
+        sel = select_by_token_fraction_from_totals(
+            ranked,
+            [(r["__bucket"], r["__btot"]) for r in bucket_rows],
+            fraction=budget_fraction,
+            score_col="dsir_score",
+            score_buckets=1024,
+            bucket_expr=dsir_bucket,
+        ).join(scored.select("doc_id", "quality"), "doc_id")
     else:
         # Quality mode folds the selection's bucket-offset relation
         # into this SAME action (optimization round 12): grouping the

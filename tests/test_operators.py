@@ -1288,6 +1288,114 @@ def test_select_by_token_fraction_from_totals_equals_in_plan(spark):
     )
 
 
+def test_select_from_totals_auto_scaled_bucket_equals_in_plan(spark):
+    """The two-step driver fold of the AUTO-SCALED cut (r13
+    training-pipeline DSIR fold): collect the score min/max first,
+    group bucket totals by the literal affine map second, then
+    select_by_token_fraction_from_totals with that same bucket_expr —
+    must keep EXACTLY the rows the in-plan auto_scale_score path
+    keeps, with identical start_toks. Uses the DSIR score shape
+    (signed, tightly concentrated) plus NULL scores and the span-0
+    degenerate."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from shmr_spark.operators.selection import (
+        auto_scaled_bucket,
+        select_by_token_fraction,
+        select_by_token_fraction_from_totals,
+    )
+
+    rng = random.Random(41)
+    rows = [
+        (
+            i,
+            None if i % 67 == 0 else rng.gauss(0.0, 0.08),
+            rng.randrange(1, 300),
+        )
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, score double, n_tokens long"
+    ).repartition(8)
+
+    mm = df.agg(
+        F.min("score").alias("lo"), F.max("score").alias("hi")
+    ).collect()[0]
+    bucket = auto_scaled_bucket("score", mm["lo"], mm["hi"], 1024)
+    totals = [
+        (r["__bucket"], r["__btot"])
+        for r in df.filter(F.col("score").isNotNull())
+        .groupBy(bucket.alias("__bucket"))
+        .agg(F.sum("n_tokens").alias("__btot"))
+        .collect()
+    ]
+    for frac in (0.07, 0.3, 0.5, 1.0):
+        want = {
+            (r.doc_id, r.start_tok)
+            for r in select_by_token_fraction(
+                df,
+                fraction=frac,
+                score_col="score",
+                score_buckets=1024,
+                auto_scale_score=True,
+            ).collect()
+        }
+        got = {
+            (r.doc_id, r.start_tok)
+            for r in select_by_token_fraction_from_totals(
+                df,
+                totals,
+                fraction=frac,
+                score_col="score",
+                score_buckets=1024,
+                bucket_expr=bucket,
+            ).collect()
+        }
+        assert got == want, f"fraction={frac}"
+
+    # span-0 degenerate: all-equal scores → auto_scaled_bucket(lo==hi)
+    # and the in-plan otherwise-branch both land every row in bucket 0
+    flat = spark.createDataFrame(
+        [(i, 0.25, 10) for i in range(30)],
+        "doc_id long, score double, n_tokens long",
+    )
+    fb = auto_scaled_bucket("score", 0.25, 0.25, 1024)
+    ftot = [
+        (r["__bucket"], r["__btot"])
+        for r in flat.groupBy(fb.alias("__bucket"))
+        .agg(F.sum("n_tokens").alias("__btot"))
+        .collect()
+    ]
+    want = {
+        (r.doc_id, r.start_tok)
+        for r in select_by_token_fraction(
+            flat,
+            fraction=0.5,
+            score_col="score",
+            auto_scale_score=True,
+        ).collect()
+    }
+    got = {
+        (r.doc_id, r.start_tok)
+        for r in select_by_token_fraction_from_totals(
+            flat, ftot, fraction=0.5, score_col="score", bucket_expr=fb
+        ).collect()
+    }
+    assert got == want
+
+    # empty input: min/max collect to None → bucket 0 literal, no rows
+    empty = flat.filter(F.lit(False))
+    eb = auto_scaled_bucket("score", None, None, 1024)
+    assert (
+        select_by_token_fraction_from_totals(
+            empty, [], fraction=0.5, score_col="score", bucket_expr=eb
+        ).count()
+        == 0
+    )
+
+
 def test_grouped_rank_matches_window(spark, sf_dir):
     """grouped_rank ≡ row_number() OVER (PARTITION BY group ORDER BY
     key, id) — row-identical to the one-task-per-group window it

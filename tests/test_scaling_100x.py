@@ -136,11 +136,19 @@ def corpora(spark):
 
 
 def _ratio(spark, name, corpora):
+    # ONE execution per scale: shuffle BYTES are plan-determined, not
+    # warmth-determined — measured r13 on the four heaviest members
+    # (lm_perplexity, ngram_decontamination, perplexity_buckets,
+    # join_three_way at both scales): cold and warm byte counts are
+    # identical in all 8 cases, and the former warm-then-measure
+    # order both doubled the sweep's wall and once put the MEASURED
+    # pass on a GC-degraded second run (lm_perplexity@100x: 29 s
+    # cold, 412 s for the repeat in one session). Wall-time tests
+    # warm; byte tests don't need to.
     d10, d100 = corpora
     spec = load_all()[name]
     measured = {}
     for d in (d10, d100):
-        noop_sink(spec.fn(spark, d))  # warm: footers + codegen
         measured[d] = shuffle_bytes_of(spark, lambda: noop_sink(spec.fn(spark, d)))
     small, big = measured[d10], measured[d100]
     assert small["write"] > 0, (
