@@ -1534,7 +1534,15 @@ def ngram_decontamination(spark, sf_dir):
     split (split: doc_id % 5, as contamination_check). Output rows
     only for contaminated docs; n_shared_grams counts DISTINCT shared
     grams (per-doc grams are distinct, the train side is a distinct
-    set, so each test gram matches at most once)."""
+    set, so each test gram matches at most once).
+
+    The gram identity is INTERNAL (no hash value reaches the output),
+    so the Spark side keys on xxhash64(gram) longs — exact up to
+    ~2^-64-per-pair collisions, the established minhash-verify caveat
+    — while the oracle keeps its md5 strings: 8-byte keys cut the
+    train-distinct + join exchange 44.4 → 13.6 MB (−69%) at the 10×
+    corpus and 216 → 85 MB (−61%) at 100× vs md5's 32-char strings
+    (r13 measurement; outputs identical at sf0.001/0.01/0.1)."""
     from shmr_spark.dedup.minhash import shingle_ngrams
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1547,11 +1555,13 @@ def ngram_decontamination(spark, sf_dir):
     )
     train = (
         grams.filter(F.col("doc_id") % 5 != 0)
-        .select(F.md5("gram").alias("h"))
+        .select(F.xxhash64("gram").alias("h"))
         .distinct()
     )
     test = grams.filter(F.col("doc_id") % 5 == 0).select(
-        F.col("doc_id").alias("test_doc"), "n_test_grams", F.md5("gram").alias("h")
+        F.col("doc_id").alias("test_doc"),
+        "n_test_grams",
+        F.xxhash64("gram").alias("h"),
     )
     shared = F.count("*")
     return (
