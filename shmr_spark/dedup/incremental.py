@@ -170,7 +170,14 @@ def incremental_dedup_minhash(
         F.col("__uid").alias("other_uid"), F.col("__sh").alias("sh_o")
     )
     inter = F.size(F.array_intersect("sh_n", "sh_o")).cast("double")
-    union = F.size(F.array_union("sh_n", "sh_o")).cast("double")
+    # |A∪B| = |A|+|B|−|A∩B|: the __sh arrays are duplicate-free
+    # (array_distinct'd shingles, hashed — same ~2⁻⁶⁴ xxhash64
+    # collision caveat as verify_jaccard_pairs), so deriving the
+    # union size drops one of the two O(|A|+|B|) set-op passes;
+    # identical jaccard in exact double arithmetic.
+    union = (
+        F.size("sh_n").cast("double") + F.size("sh_o").cast("double") - inter
+    )
     rejected = (
         blocking.join(sh_n, "new_uid")
         .join(sh_o, "other_uid")

@@ -269,7 +269,12 @@ def verify_jaccard_pairs(
     sa = F.size("sh_a").cast("double")
     sb = F.size("sh_b").cast("double")
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    # |A∪B| = |A|+|B|−|A∩B| for duplicate-free sets — the identity
+    # removes the O(|A|+|B|) array_union hash pass entirely (the
+    # verify join's per-pair work halves). Exact in doubles (set
+    # sizes ≪ 2^53), so jaccard is bit-identical to the array_union
+    # formulation under the same duplicate-free precondition.
+    union = sa + sb - inter
     return (
         cands.join(a, "id_a")
         .join(b, "id_b")

@@ -2,8 +2,9 @@
 patterns"), composed from existing DataFrame ops per the preference
 order (no applyInPandas needed).
 
-Technique: tag and union both sides on aligned schemas, then one
-window per key ordered by (ts, side, tiebreak) carries the most
+Technique: union both sides on aligned schemas, then one window per
+key ordered by (ts, tiebreak) — side is encoded in the tiebreak
+column's nullability, not a column of its own — carries the most
 recent right-side payload forward (last_value ignoreNulls); left rows
 then read their as-of match from the carried columns. ONE shuffle
 total (the window's hashpartitioning on the key) — versus the naive
@@ -49,70 +50,75 @@ def asof_join(
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in (on, right_ts)]
 
-    # side ordering at equal ts decides inclusivity: rights sort before
-    # lefts (side 0 < 1) ⇒ a right at ts == left_ts is visible ⇒ <=.
-    left_side, right_side = (1, 0) if inclusive else (0, 1)
-
-    # the key and timestamp already cross the shuffle as __k/__ts —
-    # carrying them again inside the __left payload struct widens every
-    # left row for no information (UnsafeRow spends 8 bytes per field);
-    # the final projection reconstructs them from __k/__ts instead.
+    # Row-width discipline: every union row crosses the window's one
+    # exchange, and UnsafeRow spends a fixed 8-byte slot per column
+    # even when NULL. So (a) the side marker is not a column — a row
+    # is a LEFT iff __tb IS NULL (lefts never need a tiebreak; rights
+    # always carry one, NULL tiebreak values mapped to Long.MAX below),
+    # and (b) left payload columns ride as top-level __l_* columns
+    # (NULL on right rows), not inside a struct — a nested UnsafeRow
+    # costs an offset slot plus its own null bitmap per row.
     carry_cols = [c for c in left.columns if c not in (on, left_ts)]
-    # a left of exactly (key, ts) has no payload to carry; struct()
-    # with zero fields is not constructible, so mark rather than carry
-    left_payload = (
-        F.struct(*carry_cols) if carry_cols else F.lit(True)
-    ).alias("__left")
 
     lt = left.select(
         F.col(on).alias("__k"),
         F.col(left_ts).alias("__ts"),
-        F.lit(left_side).alias("__side"),
         F.lit(None).cast("long").alias("__tb"),
-        left_payload,
+        *[F.col(c).alias(f"__l_{c}") for c in carry_cols],
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_cols],
     )
+    # NULL tiebreak values previously sorted last among same-ts rights
+    # (asc_nulls_last); Long.MAX keeps them there now that NULL means
+    # "left row". (A genuine tiebreak of exactly Long.MAX at the same
+    # key+ts as a NULL one would tie nondeterministically — the
+    # docstring already requires distinct tiebreaks for determinism.)
     tb = (
-        F.col(tiebreak).cast("long")
+        F.coalesce(F.col(tiebreak).cast("long"), F.lit((1 << 63) - 1))
         if tiebreak is not None
         else F.monotonically_increasing_id()
     )
     rt = right.select(
         F.col(on).alias("__k"),
         F.col(right_ts).alias("__ts"),
-        F.lit(right_side).alias("__side"),
         tb.alias("__tb"),
-        F.lit(None).cast(lt.schema["__left"].dataType).alias("__left"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(f"__l_{c}") for c in carry_cols],
         *[F.col(c).alias(f"__r_{c}") for c in right_cols],
     )
 
     # forward = the same carry, scanning time in reverse: the "last
     # right seen" in a descending scan is the EARLIEST right after the
-    # left row. Side ordering (inclusivity) is direction-independent.
+    # left row. NULL placement at equal ts decides inclusivity: lefts
+    # (NULL __tb) first ⇒ a right at ts == left_ts is not yet visible
+    # ⇒ strict <; lefts last ⇒ <=. Direction-independent.
     ts_order = F.col("__ts").desc() if direction == "forward" else F.col("__ts").asc()
+    tb_order = (
+        F.col("__tb").asc_nulls_last()
+        if inclusive
+        else F.col("__tb").asc_nulls_first()
+    )
     w = (
         Window.partitionBy("__k")
-        .orderBy(ts_order, "__side", F.col("__tb").asc_nulls_last())
+        .orderBy(ts_order, tb_order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = lt.unionByName(rt).select(
-        "__side",
+        "__tb",
         "__k",
         "__ts",
-        "__left",
+        *[F.col(f"__l_{c}") for c in carry_cols],
         *[
             F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__c_{c}")
             for c in right_cols
         ],
     )
-    is_left = F.col("__side") == left_side
+    is_left = F.col("__tb").isNull()
 
     def _left_out(c: str) -> F.Column:
         if c == on:
             return F.col("__k").alias(c)
         if c == left_ts:
             return F.col("__ts").alias(c)
-        return F.col(f"__left.{c}").alias(c)
+        return F.col(f"__l_{c}").alias(c)
 
     return carried.filter(is_left).select(
         *[_left_out(c) for c in left.columns],

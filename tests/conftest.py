@@ -39,3 +39,22 @@ def spark(tmp_path_factory):
 @pytest.fixture(scope="session")
 def sf_dir():
     return SF_DIR
+
+
+@pytest.fixture(scope="session")
+def gate_frames(spark):
+    """Every registry gate's DataFrame, built ONCE per session and
+    shared by the registry-wide plan sweeps (unpartitioned-window
+    gate, plan-size budgets): building all 203 gates costs ~50 s, and
+    DataFrames are immutable, so each sweep re-building its own copy
+    only burns verify-window time. Gates whose build raises are kept
+    as the exception so every sweep reports the same failure."""
+    from shmr_spark.queries import load_all
+
+    out: dict[str, object] = {}
+    for name, spec in load_all().items():
+        try:
+            out[name] = spec.fn(spark, SF_DIR)
+        except Exception as exc:  # noqa: BLE001 - sweeps report, not mask
+            out[name] = exc
+    return out

@@ -405,6 +405,7 @@ _ROWS = st.lists(
 )
 
 
+@pytest.mark.heavy  # slow evidence re-derivation; run via `pytest -m heavy` each round
 @pytest.mark.skipif(not _HYP, reason="hypothesis absent")
 @settings(
     max_examples=6,
@@ -755,6 +756,7 @@ def test_diff_chained_pipeline(spark, fixture_dir, tmp_path):
     assert _meta(str(ref_w / "ages.txt")) == _meta(str(our_w / "ages.txt")) == 5
 
 
+@pytest.mark.heavy  # slow evidence re-derivation; run via `pytest -m heavy` each round
 @pytest.mark.skipif(not _HYP, reason="hypothesis absent")
 @settings(
     max_examples=5,

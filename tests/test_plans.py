@@ -437,21 +437,17 @@ def _unpartitioned_window_inputs(df):
     return out
 
 
-def test_no_unpartitioned_window_over_unbounded_input(spark, sf_dir):
+def test_no_unpartitioned_window_over_unbounded_input(spark, sf_dir, gate_frames):
     """Every registry gate: any partition-less Window must read from a
     bucket-totals Aggregate (``__bucket``/``__b``) or a gate-specific
     bounded-domain Aggregate listed above — anything else is the
     single-task funnel that serializes the corpus at scale."""
-    from shmr_spark.queries import load_all
-
     errors: list[str] = []
     offenders: list[str] = []
     allowlist_used: set[str] = set()
-    for name, spec in load_all().items():
-        try:
-            df = spec.fn(spark, sf_dir)
-        except Exception as exc:  # noqa: BLE001 - report, don't mask the sweep
-            errors.append(f"{name}: build failed: {exc!r}")
+    for name, df in gate_frames.items():
+        if isinstance(df, Exception):
+            errors.append(f"{name}: build failed: {df!r}")
             continue
         allowed_key = BOUNDED_DOMAIN_WINDOWS.get(name, (None,))[0]
         for keys in _unpartitioned_window_inputs(df):
@@ -609,3 +605,107 @@ def test_weighted_sample_take_ordered_single_scan(spark, sf_dir):
     assert "TakeOrderedAndProject" in tree
     assert tree.count("Scan parquet") == 1
     assert "Sort " not in tree
+
+
+# --------------------------------------------------------------------
+# Registry-wide plan-SIZE budgets (r12 VERDICT item 5): the two
+# worst plans that round — pipeline_e2e at 402 Exchange and
+# perplexity_buckets at 158 — were found by hand-survey after each
+# had silently re-inlined a multi-referenced sub-plan per reference.
+# These ceilings make the next such re-inlining fail a test instead
+# of waiting for a survey. Calibrated at sf0.001 (r13: registry max
+# 17 Exchange / 476 plan lines; median 2): the ceilings carry ~1.5x
+# headroom over today's largest plans, so they flag order-of-magnitude
+# re-inlining blowups, not legitimate growth. A gate that must exceed
+# them gets an explicit PLAN_SIZE_EXCEPTIONS entry with a reason.
+# --------------------------------------------------------------------
+
+GATE_EXCHANGE_CEILING = 26
+GATE_PLAN_LINE_CEILING = 750
+
+# name -> (exchange ceiling, plan-line ceiling, reason)
+PLAN_SIZE_EXCEPTIONS: dict[str, tuple[int, int, str]] = {}
+
+
+def _plan_size(df) -> tuple[int, int]:
+    jmode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = df._jdf.queryExecution().explainString(jmode)
+    tree = plan.split("\n\n")[0]
+    n_ex = sum(1 for line in tree.splitlines() if "Exchange" in line)
+    return n_ex, len(plan.splitlines())
+
+
+def test_registry_plan_size_budgets(gate_frames):
+    errors: list[str] = []
+    offenders: list[str] = []
+    for name, df in gate_frames.items():
+        if isinstance(df, Exception):
+            errors.append(f"{name}: build failed: {df!r}")
+            continue
+        ex_cap, line_cap, _ = PLAN_SIZE_EXCEPTIONS.get(
+            name, (GATE_EXCHANGE_CEILING, GATE_PLAN_LINE_CEILING, "")
+        )
+        n_ex, n_lines = _plan_size(df)
+        if n_ex > ex_cap or n_lines > line_cap:
+            offenders.append(
+                f"{name}: {n_ex} Exchange / {n_lines} plan lines "
+                f"(ceiling {ex_cap}/{line_cap})"
+            )
+    assert not errors, "\n".join(errors)
+    assert not offenders, (
+        "plan-size budget exceeded — usually a multi-referenced frame "
+        "re-inlining its sub-plan per reference (fix: localCheckpoint "
+        "the scored frame / fold driver-derivable relations, as r12 did "
+        "for pipeline_e2e and perplexity_buckets); if the growth is "
+        "legitimate, add a PLAN_SIZE_EXCEPTIONS entry with a reason:\n"
+        + "\n".join(offenders)
+    )
+
+
+def test_prod_shape_plan_size_budgets(spark, sf_dir):
+    """Same budget gate for the bench prod shapes (not registry
+    gates — pipeline_e2e WAS the 402-Exchange offender). Measured at
+    sf0.001 post-fold: dedup_minhash_prod 2/77, knn_join_lsh_prod
+    2/106, pipeline_e2e 124/2130."""
+    from shmr_spark.prod_shapes import (
+        dedup_minhash_prod,
+        knn_join_lsh_prod,
+        pipeline_e2e,
+    )
+
+    caps = {
+        "dedup_minhash_prod": (dedup_minhash_prod, 6, 160),
+        "knn_join_lsh_prod": (knn_join_lsh_prod, 6, 220),
+        "pipeline_e2e": (pipeline_e2e, 180, 3200),
+    }
+    offenders = []
+    for name, (fn, ex_cap, line_cap) in caps.items():
+        n_ex, n_lines = _plan_size(fn(spark, sf_dir))
+        if n_ex > ex_cap or n_lines > line_cap:
+            offenders.append(
+                f"{name}: {n_ex} Exchange / {n_lines} lines "
+                f"(ceiling {ex_cap}/{line_cap})"
+            )
+    assert not offenders, "\n".join(offenders)
+
+
+@pytest.mark.heavy  # ~40 s plan build; run via `pytest -m heavy` each round
+def test_dsir_pipeline_plan_size_budget(spark, sf_dir):
+    """The DSIR-mode pipeline (r13 fold: 1471 -> 583 Exchange, 14564
+    -> 7156 lines at sf0.001). Budget pins the post-fold size so the
+    re-inlining cannot silently return."""
+    from pyspark.sql import functions as F
+
+    from shmr_spark.operators.training_pipeline import training_pipeline
+
+    df = training_pipeline(
+        spark, sf_dir, n_shards=4, dsir_target=F.col("lang") == "en"
+    )
+    n_ex, n_lines = _plan_size(df)
+    assert n_ex <= 800 and n_lines <= 10000, (
+        f"DSIR pipeline plan grew past its post-fold budget: {n_ex} "
+        f"Exchange / {n_lines} lines (ceiling 800/10000; measured "
+        "583/7156 at sf0.001 after the r13 fold)"
+    )

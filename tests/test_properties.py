@@ -8,6 +8,7 @@ from __future__ import annotations
 import functools
 import json
 
+import pytest
 from hypothesis import given, settings, strategies as st
 
 from shmr_spark.compat import funcs
@@ -56,6 +57,7 @@ def test_outpath_templates(auto):
 # -- spark-backed properties (small example counts) ------------------------
 
 
+@pytest.mark.heavy  # slow evidence re-derivation; run via `pytest -m heavy` each round
 @settings(max_examples=5, deadline=None)
 @given(
     st.lists(st.integers(-1000, 1000), min_size=0, max_size=40),
@@ -82,6 +84,7 @@ def test_reduce_records_matches_sequential_fold(spark, xs, init):
     assert got == want
 
 
+@pytest.mark.heavy  # slow evidence re-derivation; run via `pytest -m heavy` each round
 @settings(max_examples=5, deadline=None)
 @given(st.data())
 def test_minhash_estimates_jaccard(spark, data):

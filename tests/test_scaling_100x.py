@@ -40,9 +40,15 @@ BASE = os.environ.get("SPARK_GRAFT_SF_DIR", os.path.join(_ROOT, "sf0.1"))
 D10 = os.path.join(REPO, ".scaled", "sf1")
 D100 = os.path.join(REPO, ".scaled", "sf10_100x")
 
-pytestmark = pytest.mark.skipif(
-    not os.path.isdir(BASE), reason=f"needs the sf0.1 corpus at {BASE}"
-)
+# heavy: ~18 min of 100x-corpus executions re-deriving the committed
+# AUDIT_100X evidence — excluded from the default (driver-window) run,
+# mandatory once per round via `pytest -m heavy` (see pytest.ini)
+pytestmark = [
+    pytest.mark.heavy,
+    pytest.mark.skipif(
+        not os.path.isdir(BASE), reason=f"needs the sf0.1 corpus at {BASE}"
+    ),
+]
 
 ROW_RATIO = 10.0  # sf10_100x holds 10x the rows of sf1 in every fact
 LO, HI = 0.5 * ROW_RATIO, 3.0 * ROW_RATIO

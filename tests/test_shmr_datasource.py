@@ -441,6 +441,7 @@ def test_stream_pipeline_checkpoint_restart_exactly_once(registered, tmp_path):
         q.stop()
 
 
+@pytest.mark.heavy  # slow evidence re-derivation; run via `pytest -m heavy` each round
 def test_pushdown_filters_match_spark_side_evaluation(registered, tmp_path):
     """The pushdown tier must be semantics-invisible: every filter
     evaluated source-side (incl. three-valued NULL logic under NOT /

@@ -11,6 +11,7 @@ from __future__ import annotations
 import hashlib
 import unicodedata
 
+import pytest
 from pyspark.sql import functions as F
 
 from shmr_spark.dedup.minhash import minhash_signature, shingle_ngrams
@@ -128,6 +129,7 @@ def test_minhash_signature_unicode_stable(spark):
     assert rerun == sigs
 
 
+@pytest.mark.heavy  # slow evidence re-derivation; run via `pytest -m heavy` each round
 def test_prehashed_shingle_path_equals_string_path_on_adversarial_text(spark):
     """The hashed-shingle verify optimization (BUILD_LOG §44) must not
     diverge on web-crawl garbage: for adversarial texts plus seeded
