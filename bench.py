@@ -264,6 +264,41 @@ def main() -> None:
 
     scale_extra["streaming_tumbling_per_file"] = _Spec(_streaming_tumbling_per_file)
 
+    # round 13 (ADDED row, nothing removed/renamed): the same
+    # degenerate per-file replay with the state-partition count pinned
+    # to 8 via the new per-stream option (streaming/tuning.py) — the
+    # measured per-trigger fixed-cost lever (32 state-store commits per
+    # trigger -> 8; interleaved A/B median trigger 1430 -> 559 ms at
+    # the 10x corpus). Riding next to the untuned row keeps the
+    # option's effect driver-recorded every round.
+    def _streaming_tumbling_per_file_s8(spark, sf_dir):
+        from shmr_spark.queries.analytics import stage_events_copy
+        from shmr_spark.streaming import (
+            read_events_stream,
+            run_stream_to_memory,
+            tumbling_window_stream,
+        )
+
+        d = _sess_src_cache.get(("per_file_s8", sf_dir))
+        if d is None:
+            import tempfile
+
+            d = tempfile.mkdtemp(prefix="shmr_bench_tumb_per_file_s8_")
+            stage_events_copy(sf_dir, d)
+            _sess_src_cache[("per_file_s8", sf_dir)] = d
+        return run_stream_to_memory(
+            tumbling_window_stream(
+                read_events_stream(spark, d, max_files_per_trigger=1)
+            ),
+            "bench_tumbling_per_file_s8",
+            output_mode="complete",
+            state_partitions=8,
+        )
+
+    scale_extra["streaming_tumbling_per_file_s8"] = _Spec(
+        _streaming_tumbling_per_file_s8
+    )
+
     # the composed training-data flow (clean → exact+minhash dedup →
     # quality filter → token-budget select → pack → sorted shards) as
     # ONE lazy plan — the invariant chain is asserted in

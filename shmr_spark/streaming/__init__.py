@@ -15,6 +15,7 @@ from shmr_spark.streaming.sinks import (
     stream_foreach_batch,
     stream_to_parquet,
 )
+from shmr_spark.streaming.tuning import state_partitions
 
 __all__ = [
     "enrich_stream",
@@ -29,6 +30,7 @@ __all__ = [
     "dedup_stream",
     "dedup_stream_watermarked",
     "idempotent_batch_writer",
+    "state_partitions",
     "stream_foreach_batch",
     "stream_to_parquet",
 ]

@@ -20,17 +20,25 @@ from pyspark.sql.streaming import StreamingQuery
 
 
 def stream_to_parquet(
-    sdf: DataFrame, out_dir: str, checkpoint_dir: str
+    sdf: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    state_partitions: int | None = None,
 ) -> StreamingQuery:
     """Append-only parquet sink (aggregations need a watermark so
-    append mode can finalize windows)."""
-    return (
-        sdf.writeStream.outputMode("append")
-        .format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", checkpoint_dir)
-        .start()
-    )
+    append mode can finalize windows). ``state_partitions`` pins the
+    state-store count at first start (streaming/tuning.py); restarts
+    from the checkpoint reuse the recorded count."""
+    from shmr_spark.streaming.tuning import state_partitions as _sp
+
+    with _sp(sdf.sparkSession, state_partitions):
+        return (
+            sdf.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .start()
+        )
 
 
 def stream_foreach_batch(
@@ -38,13 +46,17 @@ def stream_foreach_batch(
     fn: Callable[[DataFrame, int], None],
     checkpoint_dir: str,
     output_mode: str = "update",
+    state_partitions: int | None = None,
 ) -> StreamingQuery:
-    return (
-        sdf.writeStream.outputMode(output_mode)
-        .foreachBatch(fn)
-        .option("checkpointLocation", checkpoint_dir)
-        .start()
-    )
+    from shmr_spark.streaming.tuning import state_partitions as _sp
+
+    with _sp(sdf.sparkSession, state_partitions):
+        return (
+            sdf.writeStream.outputMode(output_mode)
+            .foreachBatch(fn)
+            .option("checkpointLocation", checkpoint_dir)
+            .start()
+        )
 
 
 def idempotent_batch_writer(out_dir: str) -> Callable[[DataFrame, int], None]:

@@ -171,16 +171,26 @@ def trending_topk_finish(counts: DataFrame, key_col: str = "event_type", k: int 
     )
 
 
-def run_stream_to_memory(sdf: DataFrame, name: str, output_mode: str = "complete") -> DataFrame:
+def run_stream_to_memory(
+    sdf: DataFrame,
+    name: str,
+    output_mode: str = "complete",
+    state_partitions: int | None = None,
+) -> DataFrame:
     """Drive a streaming DF to completion into an in-memory table
     (test/smoke harness): processAllAvailable → stop → return the
-    materialized result as a batch DF."""
-    q = (
-        sdf.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
+    materialized result as a batch DF. ``state_partitions`` pins the
+    state-store count for this stream (streaming/tuning.py — the
+    per-trigger fixed-cost lever for small-state streams)."""
+    from shmr_spark.streaming.tuning import state_partitions as _sp
+
+    with _sp(sdf.sparkSession, state_partitions):
+        q = (
+            sdf.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
     try:
         q.processAllAvailable()
     finally:

@@ -424,3 +424,62 @@ def test_foreach_batch_stream_with_idempotent_sink(spark, sf_dir, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == want
     assert got.select("event_id").distinct().count() == want
+
+
+def test_state_partitions_pinned_across_restart(spark, sf_dir, tmp_path):
+    """The per-stream state-partition option (streaming/tuning.py —
+    the measured per-trigger fixed-cost lever): first start under
+    ``state_partitions(5)`` must run 5 state stores, the bracket must
+    restore the session conf, and a RESTART from the same checkpoint
+    WITHOUT the option must keep the pinned 5 (the offset log owns
+    the count) while the dedup state survives — end state identical
+    to the batch distinct over both waves."""
+    import os
+
+    from shmr_spark.streaming import read_events_stream, state_partitions
+    from shmr_spark.streaming.dedup import dedup_stream
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    chk = str(tmp_path / "chk")
+    os.makedirs(src)
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    ev.filter(F.col("user_id") % 2 == 0).coalesce(1).write.parquet(
+        os.path.join(src, "wave_a.parquet")
+    )
+
+    def run_once(n):
+        stream = read_events_stream(spark, src).select("user_id", "event_type")
+        with state_partitions(spark, n):
+            q = (
+                dedup_stream(stream, ["user_id", "event_type"])
+                .writeStream.outputMode("append")
+                .format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", chk)
+                .trigger(availableNow=True)
+                .start()
+            )
+        q.awaitTermination()
+        return q
+
+    prev_conf = spark.conf.get("spark.sql.shuffle.partitions")
+    q1 = run_once(5)
+    # bracket restored the session conf
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev_conf
+    assert q1.lastProgress["stateOperators"][0]["numShufflePartitions"] == 5
+
+    # wave B: every wave-A key again plus the odd users; restart with
+    # NO option — the checkpoint's pinned count must win over the
+    # session default
+    ev.coalesce(1).write.parquet(os.path.join(src, "wave_b.parquet"))
+    q2 = run_once(None)
+    assert q2.lastProgress["stateOperators"][0]["numShufflePartitions"] == 5
+
+    out = spark.read.parquet(sink)
+    want = ev.select("user_id", "event_type").distinct().count()
+    assert out.count() == want
+    assert out.distinct().count() == want
