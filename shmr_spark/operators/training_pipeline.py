@@ -369,14 +369,32 @@ def training_pipeline(
             .agg(F.sum("n_tokens").alias("__btot"))
             .collect()
         )
-        sel = select_by_token_fraction_from_totals(
-            ranked,
-            [(r["__bucket"], r["__btot"]) for r in bucket_rows],
-            fraction=budget_fraction,
-            score_col="dsir_score",
-            score_buckets=1024,
-            bucket_expr=dsir_bucket,
-        ).join(scored.select("doc_id", "quality"), "doc_id")
+        sel = (
+            select_by_token_fraction_from_totals(
+                ranked,
+                [(r["__bucket"], r["__btot"]) for r in bucket_rows],
+                fraction=budget_fraction,
+                score_col="dsir_score",
+                score_buckets=1024,
+                bucket_expr=dsir_bucket,
+            )
+            .join(scored.select("doc_id", "quality"), "doc_id")
+            # lazily checkpoint the DSIR selection (r13; the
+            # perplexity_buckets lesson): persist() substitutes the
+            # cache at EXECUTION, but Catalyst still re-analyzes the
+            # full dsir_logweights lineage under every downstream
+            # reference (pack join, quality re-attach, shard ranking)
+            # on every action — the DSIR pipeline plan was 583
+            # Exchange / 7156 lines vs quality mode's 124/2130, all
+            # driver-side analysis cost. The checkpoint truncates the
+            # logical plan at the selection boundary; rows identical
+            # (asserted against the unchanged quality/DSIR invariant
+            # tests). Quality mode stays un-checkpointed: its
+            # selection sub-plan is cheap (r12 measured the persist
+            # variant neutral) and its plan is already an order of
+            # magnitude smaller.
+            .localCheckpoint(eager=False)
+        )
     else:
         # Quality mode folds the selection's bucket-offset relation
         # into this SAME action (optimization round 12): grouping the

@@ -691,11 +691,14 @@ def test_prod_shape_plan_size_budgets(spark, sf_dir):
     assert not offenders, "\n".join(offenders)
 
 
-@pytest.mark.heavy  # ~40 s plan build; run via `pytest -m heavy` each round
+@pytest.mark.heavy  # ~20 s pipeline build; run via `pytest -m heavy` each round
 def test_dsir_pipeline_plan_size_budget(spark, sf_dir):
-    """The DSIR-mode pipeline (r13 fold: 1471 -> 583 Exchange, 14564
-    -> 7156 lines at sf0.001). Budget pins the post-fold size so the
-    re-inlining cannot silently return."""
+    """The DSIR-mode pipeline after the r13 fold (1471 -> 583
+    Exchange) AND the r13 selection checkpoint (583 -> 25 Exchange,
+    7156 -> 608 lines at sf0.001 — the localCheckpoint truncates the
+    dsir_logweights lineage Catalyst was re-analyzing per reference).
+    Budget pins the post-checkpoint size so neither re-inlining can
+    silently return."""
     from pyspark.sql import functions as F
 
     from shmr_spark.operators.training_pipeline import training_pipeline
@@ -704,8 +707,8 @@ def test_dsir_pipeline_plan_size_budget(spark, sf_dir):
         spark, sf_dir, n_shards=4, dsir_target=F.col("lang") == "en"
     )
     n_ex, n_lines = _plan_size(df)
-    assert n_ex <= 800 and n_lines <= 10000, (
-        f"DSIR pipeline plan grew past its post-fold budget: {n_ex} "
-        f"Exchange / {n_lines} lines (ceiling 800/10000; measured "
-        "583/7156 at sf0.001 after the r13 fold)"
+    assert n_ex <= 60 and n_lines <= 1200, (
+        f"DSIR pipeline plan grew past its budget: {n_ex} "
+        f"Exchange / {n_lines} lines (ceiling 60/1200; measured "
+        "25/608 at sf0.001 after the r13 selection checkpoint)"
     )
