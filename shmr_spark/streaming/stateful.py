@@ -40,17 +40,30 @@ def _session_fold(
     pdfs: Iterable[pd.DataFrame],
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
     gap = 1800
     if state.exists:
         last_ts, n_sessions, n_events = state.get
     else:
         last_ts, n_sessions, n_events = None, 0, 0
     for pdf in pdfs:
-        for ts in sorted(int(x) for x in pdf["epoch"]):
-            if last_ts is None or ts - last_ts > gap:
-                n_sessions += 1
-            last_ts = ts
-            n_events += 1
+        # vectorized twin of the per-event fold (guide §4.2 — the
+        # Python boundary is per batch, so the per-row work must be
+        # numpy, not an interpreted loop): sort once, count gap
+        # crossings with a diff. A new session opens at the first
+        # event iff state is empty; at every event whose gap from its
+        # predecessor (carried last_ts included) exceeds the window.
+        ts = np.sort(pdf["epoch"].to_numpy(dtype=np.int64, copy=True))
+        if ts.size == 0:
+            continue
+        if last_ts is None:
+            n_sessions += 1 + int((np.diff(ts) > gap).sum())
+        else:
+            full = np.concatenate(([last_ts], ts))
+            n_sessions += int((np.diff(full) > gap).sum())
+        last_ts = int(ts[-1])
+        n_events += int(ts.size)
     state.update((last_ts, n_sessions, n_events))
     yield pd.DataFrame(
         {"user_id": [key[0]], "n_sessions": [n_sessions], "n_events": [n_events]}
