@@ -17,6 +17,22 @@ def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
+def lit_double_array(vals) -> Column:
+    """Constant array<double> literal built as ONE parsed expression
+    string instead of ``F.array(*[F.lit(float(v)) ...])`` — each
+    F.lit is a py4j round trip, so a 64-dim probe vector costs ~65
+    driver calls per construction (the lsh_bucket/minhash plan-BUILD
+    lesson). Bit-identical values: repr() round-trips each double and
+    the decimal-literal→DOUBLE cast is correctly rounded to the same
+    value F.lit ships."""
+    vals = list(vals)
+    if not vals:
+        return F.expr("CAST(array() AS ARRAY<DOUBLE>)")
+    return F.expr(
+        "array(" + ",".join(f"CAST({float(v)!r} AS DOUBLE)" for v in vals) + ")"
+    )
+
+
 def dot(a: Column | str, b: Column | str) -> Column:
     """Dot product of two array<numeric> columns (double)."""
     prods = F.zip_with(_c(a), _c(b), lambda x, y: x.cast("double") * y.cast("double"))

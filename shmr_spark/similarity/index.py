@@ -25,7 +25,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from shmr_spark.functions.vectors import cosine_similarity
+from shmr_spark.functions.vectors import cosine_similarity, lit_double_array
 from shmr_spark.similarity.search import ivf_assign
 
 
@@ -68,7 +68,7 @@ def search_ivf_index(
     only those directories are read. Returns (id, sim) like the
     in-memory tiers."""
     centroids = spark.read.parquet(os.path.join(path, "centroids"))
-    probe = F.array(*[F.lit(float(x)) for x in probe_vec])
+    probe = lit_double_array(probe_vec)
     cells = [
         r["__cell"]
         for r in centroids.select(

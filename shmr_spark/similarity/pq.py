@@ -40,6 +40,8 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from shmr_spark.functions.vectors import lit_double_array
+
 
 def _check_books(codebooks: list[list[list[float]]]) -> tuple[int, int]:
     m = len(codebooks)
@@ -283,7 +285,7 @@ def pq_topk_df(
     if rem:
         raise ValueError(f"probe dim {len(probe)} not divisible by m={m}")
     qnorm = math.sqrt(sum(float(x) * float(x) for x in probe))
-    probe_arr = F.array(*[F.lit(float(v)) for v in probe])
+    probe_arr = lit_double_array(probe)
     qsub = F.slice(probe_arr, F.col("j") * d_sub + 1, F.lit(d_sub))
     fold = lambda arr: F.aggregate(  # noqa: E731
         arr, F.lit(0.0), lambda acc, v: acc + v
@@ -346,7 +348,7 @@ def pq_topk(
     ]
 
     def const(vals):
-        return F.array(*[F.lit(float(v)) for v in vals])
+        return lit_double_array(vals)
 
     adot, ansq = None, None
     for j in range(m):
@@ -405,7 +407,7 @@ def cosine_topk_ivfpq(
     )
     from shmr_spark.functions.vectors import cosine_similarity
 
-    probe_arr = F.array(*[F.lit(float(x)) for x in probe_vec])
+    probe_arr = lit_double_array(probe_vec)
     # probe norm is a constant, so cosine ranks cells identically to
     # the probe-normalized dot; nanvl maps a degenerate zero-norm
     # centroid below every real sim (same guard as _assign_cells) so
